@@ -1,0 +1,286 @@
+"""Rooted binary time trees as flat integer/float arrays.
+
+Role of dr.evomodel.tree.TreeModel redesigned around the flat-array layout
+of BigFastTreeModel (ref: src/dr/evomodel/bigfasttree/BigFastTreeModel.java:
+48,91-119 — heights/edges as primitive arrays, not Node objects). This is
+the only tree representation in the framework: it is jit-traceable, has
+static shape, and topology moves are pure index rewires.
+
+Layout, for N taxa and M = 2N-1 nodes:
+  nodes 0..N-1    tips (index == taxon index)
+  nodes N..M-1    internal
+  parent  : int32[M]   parent index; parent[root] == -1
+  children: int32[M,2] child indices; -1 for tips
+  heights : float[M]   time before present (tips may be dated > 0)
+  root    : int32      scalar root index (an internal node)
+
+Invariant: heights[parent[i]] > heights[i] for every non-root i. This gives
+the peeling kernels a free topological order — sorting internal nodes by
+height is a valid child-before-parent schedule, computed entirely on device
+(replaces the host-side dirty-flag traversal of TreeTraversal.java:41-131).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import chex
+import jax.numpy as jnp
+import numpy as np
+
+
+@chex.dataclass(frozen=True)
+class TreeState:
+    """Device-side tree pytree (all fields jnp arrays)."""
+
+    parent: jnp.ndarray  # int32[M]
+    children: jnp.ndarray  # int32[M, 2]
+    heights: jnp.ndarray  # float[M]
+    root: jnp.ndarray  # int32 scalar
+
+    @property
+    def n_nodes(self) -> int:
+        return self.parent.shape[0]
+
+    @property
+    def n_taxa(self) -> int:
+        return (self.parent.shape[0] + 1) // 2
+
+
+def make_tree_state(parent, children, heights, root, dtype=None) -> TreeState:
+    import beast_mcmc_tpu.utils.dtypes as dtypes
+
+    dtype = dtype or dtypes.default_float()
+    return TreeState(
+        parent=jnp.asarray(parent, jnp.int32),
+        children=jnp.asarray(children, jnp.int32),
+        heights=jnp.asarray(heights, dtype),
+        root=jnp.asarray(root, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newick import/export (role of dr.evolution.io.NewickImporter)
+# ---------------------------------------------------------------------------
+
+
+def parse_newick(
+    newick: str,
+    taxa: Optional[Sequence[str]] = None,
+    tip_heights: Optional[Dict[str, float]] = None,
+    dtype=np.float64,
+):
+    """Parse a Newick string into flat arrays.
+
+    Returns (parent, children, heights, root, taxa_order). If `taxa` is
+    given, tip indices follow that order (unlisted taxa are an error);
+    otherwise tips are numbered in order of first appearance.
+
+    Heights are computed from branch lengths as (max root-to-tip depth) -
+    depth, so contemporaneous tips sit at height 0. If tip_heights is
+    given (dated tips), heights are instead anchored so that each tip
+    matches its date-derived height exactly when branch lengths are
+    consistent; otherwise the depth-based heights are kept.
+    """
+    s = newick.strip()
+    if s.endswith(";"):
+        s = s[:-1]
+
+    pos = 0
+
+    def error(msg):
+        raise ValueError(f"newick parse error at {pos}: {msg}")
+
+    # First pass: build a nested structure of (children, label, length)
+    def parse_node():
+        nonlocal pos
+        children = []
+        if s[pos] == "(":
+            pos += 1
+            while True:
+                children.append(parse_node())
+                if s[pos] == ",":
+                    pos += 1
+                elif s[pos] == ")":
+                    pos += 1
+                    break
+                else:
+                    error(f"expected ',' or ')' got {s[pos]!r}")
+        # label
+        start = pos
+        while pos < len(s) and s[pos] not in ",():;[":
+            pos += 1
+        label = s[start:pos].strip()
+        # comment block (ignored)
+        if pos < len(s) and s[pos] == "[":
+            depth = 0
+            while pos < len(s):
+                if s[pos] == "[":
+                    depth += 1
+                elif s[pos] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        pos += 1
+                        break
+                pos += 1
+        length = None
+        if pos < len(s) and s[pos] == ":":
+            pos += 1
+            start = pos
+            while pos < len(s) and s[pos] not in ",():;[":
+                pos += 1
+            length = float(s[start:pos])
+        # strip quotes from label
+        if label.startswith("'") and label.endswith("'"):
+            label = label[1:-1]
+        return (children, label, length)
+
+    tree = parse_node()
+
+    # count tips, assign indices
+    tip_names: List[str] = []
+
+    def count_tips(node):
+        children, label, _ = node
+        if not children:
+            tip_names.append(label)
+        for c in children:
+            count_tips(c)
+
+    count_tips(tree)
+    n = len(tip_names)
+    if taxa is not None:
+        order = {name: i for i, name in enumerate(taxa)}
+        missing = [t for t in tip_names if t not in order]
+        if missing:
+            raise ValueError(f"tips not in taxa list: {missing}")
+    else:
+        order = {name: i for i, name in enumerate(tip_names)}
+        taxa = tip_names
+
+    m = 2 * n - 1
+    parent = np.full(m, -1, np.int32)
+    children_arr = np.full((m, 2), -1, np.int32)
+    depth = np.zeros(m, np.float64)
+    next_internal = [n]
+
+    def assign(node, parent_idx, d):
+        kids, label, length = node
+        d = d + (length or 0.0)
+        if not kids:
+            idx = order[label]
+        else:
+            if len(kids) != 2:
+                raise ValueError(
+                    f"non-binary node with {len(kids)} children (only rooted "
+                    "binary trees are supported)"
+                )
+            idx = next_internal[0]
+            next_internal[0] += 1
+        parent[idx] = parent_idx
+        depth[idx] = d
+        if kids:
+            ch = [assign(k, idx, d) for k in kids]
+            children_arr[idx] = ch
+        return idx
+
+    root = assign(tree, -1, 0.0)
+
+    max_depth = depth[:n].max()
+    heights = max_depth - depth
+    if tip_heights:
+        # anchor so the youngest dated tip sits at its stated height
+        stated = np.array([tip_heights.get(t, 0.0) for t in taxa])
+        shift = (stated - heights[:n]).mean()
+        heights = heights + shift
+    return parent, children_arr, heights.astype(dtype), root, list(taxa)
+
+
+def to_newick(
+    parent: np.ndarray,
+    children: np.ndarray,
+    heights: np.ndarray,
+    root: int,
+    taxa: Sequence[str],
+    digits: int = 6,
+    include_labels: bool = True,
+) -> str:
+    """Serialize flat arrays back to Newick (branch lengths from heights)."""
+    children = np.asarray(children)
+    heights = np.asarray(heights)
+    n = len(taxa)
+
+    def fmt_bl(node, par):
+        if par < 0:
+            return ""
+        bl = heights[par] - heights[node]
+        return f":{bl:.{digits}f}"
+
+    # iterative post-order to avoid recursion limits on big trees
+    out: Dict[int, str] = {}
+    stack = [(int(root), False)]
+    while stack:
+        node, done = stack.pop()
+        if node < n:
+            label = taxa[node] if include_labels else str(node + 1)
+            out[node] = label + fmt_bl(node, parent[node])
+            continue
+        if not done:
+            stack.append((node, True))
+            stack.append((int(children[node, 0]), False))
+            stack.append((int(children[node, 1]), False))
+        else:
+            l, r = int(children[node, 0]), int(children[node, 1])
+            out[node] = f"({out[l]},{out[r]})" + fmt_bl(node, parent[node])
+    return out[int(root)] + ";"
+
+
+def simulate_coalescent_tree(
+    rng: np.random.Generator,
+    tip_heights: np.ndarray,
+    pop_size: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Simulate a serial-sample coalescent start tree (host-side).
+
+    Role of dr.evomodel.coalescent.CoalescentSimulator as used for random
+    starting trees (<coalescentTree> in the minimal XML slice).
+    Returns (parent, children, heights, root).
+    """
+    n = len(tip_heights)
+    m = 2 * n - 1
+    parent = np.full(m, -1, np.int32)
+    children = np.full((m, 2), -1, np.int32)
+    heights = np.zeros(m, np.float64)
+    heights[:n] = tip_heights
+
+    # sweep backwards in time; lineages activate at their tip height
+    events = sorted(range(n), key=lambda i: tip_heights[i])
+    t = float(tip_heights[events[0]])
+    active: List[int] = []
+    pending = list(events)
+    next_internal = n
+    while len(active) > 1 or pending:
+        # activate tips sampled at or before current time
+        while pending and tip_heights[pending[0]] <= t + 1e-300:
+            active.append(pending.pop(0))
+        if len(active) < 2:
+            t = float(tip_heights[pending[0]])
+            continue
+        k = len(active)
+        rate = k * (k - 1) / (2.0 * pop_size)
+        wait = rng.exponential(1.0 / rate)
+        if pending and t + wait > tip_heights[pending[0]]:
+            t = float(tip_heights[pending[0]])
+            continue
+        t += wait
+        i, j = rng.choice(k, size=2, replace=False)
+        a, b = active[i], active[j]
+        node = next_internal
+        next_internal += 1
+        heights[node] = t
+        children[node] = (a, b)
+        parent[a] = node
+        parent[b] = node
+        active = [x for x in active if x not in (a, b)] + [node]
+    root = active[0]
+    return parent, children, heights, root

@@ -1,0 +1,19 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh, f64 on.
+
+The CPU jit path is the "fake backend" for device-free CI (the role of the
+reference's pure-Java BEAGLE fallback, SURVEY.md §4.7); sharding tests use
+the 8 virtual devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
