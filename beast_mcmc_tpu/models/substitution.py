@@ -1,0 +1,92 @@
+"""Substitution models: parameter vectors -> eigen systems.
+
+Functional redesign of src/dr/evomodel/substmodel (BaseSubstitutionModel,
+nucleotide/HKY.java, nucleotide/GTR.java, nucleotide/TN93.java,
+GeneralSubstitutionModel.java, aminoacid/*): each model is a pure function
+from its parameters to an EigenSystem of the normalized generator. No
+listener graph; recomputation policy is XLA's problem.
+
+Conventions match the reference:
+  - states A,C,G,T = 0,1,2,3
+  - Q normalized so the expected substitution rate is 1
+  - GTR parameterized by 6 symmetric exchange rates (AC,AG,AT,CG,CT,GT)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.ops.eigen import EigenSystem, normalized_q, reversible_eigen
+
+# index pairs for the 6 nucleotide exchangeabilities, reference order
+# (ref: src/dr/oldevomodelxml/substmodel/GTRParser A_TO_C..G_TO_T)
+_GTR_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def symmetric_rates_from_vector(rates: jnp.ndarray, state_count: int) -> jnp.ndarray:
+    """Upper-triangle exchange-rate vector -> symmetric [S,S] matrix."""
+    s = state_count
+    iu = jnp.triu_indices(s, k=1)
+    r = jnp.zeros((s, s), dtype=rates.dtype)
+    r = r.at[iu].set(rates)
+    return r + r.T
+
+
+def jc_eigen(freqs=None, dtype=jnp.float64) -> EigenSystem:
+    """JC69: equal rates, equal frequencies."""
+    freqs = jnp.full(4, 0.25, dtype) if freqs is None else freqs
+    return reversible_eigen(jnp.ones((4, 4), freqs.dtype), freqs)
+
+
+def hky_eigen(kappa, freqs) -> EigenSystem:
+    """HKY85 (ref: src/dr/evomodel/substmodel/nucleotide/HKY.java:53).
+
+    kappa is the transition/transversion *rate* ratio. K80 is the
+    freqs=1/4 special case.
+    """
+    kappa = jnp.asarray(kappa, freqs.dtype)
+    r = jnp.array(
+        [[0, 1, 0, 1], [1, 0, 1, 0], [0, 1, 0, 1], [1, 0, 1, 0]], freqs.dtype
+    )
+    rates = r + (1.0 - r) * kappa - jnp.eye(4, dtype=freqs.dtype) * kappa
+    # rates: kappa on the two transition pairs (A<->G, C<->T), 1 elsewhere
+    return reversible_eigen(rates, freqs)
+
+
+def tn93_eigen(kappa1, kappa2, freqs) -> EigenSystem:
+    """TN93: separate purine (A<->G, kappa1) and pyrimidine (C<->T, kappa2)
+    transition rates (ref: nucleotide/TN93.java)."""
+    k1 = jnp.asarray(kappa1, freqs.dtype)
+    k2 = jnp.asarray(kappa2, freqs.dtype)
+    r = jnp.ones((4, 4), freqs.dtype)
+    r = r.at[0, 2].set(k1).at[2, 0].set(k1)
+    r = r.at[1, 3].set(k2).at[3, 1].set(k2)
+    return reversible_eigen(r, freqs)
+
+
+def gtr_eigen(rates6: jnp.ndarray, freqs: jnp.ndarray) -> EigenSystem:
+    """GTR with 6 exchangeabilities in reference order AC,AG,AT,CG,CT,GT
+    (ref: nucleotide/GTR.java:50)."""
+    return reversible_eigen(symmetric_rates_from_vector(rates6, 4), freqs)
+
+
+def general_reversible_eigen(rates_vec: jnp.ndarray, freqs: jnp.ndarray) -> EigenSystem:
+    """K-state reversible model from S(S-1)/2 exchangeabilities (ref:
+    GeneralSubstitutionModel.java:45 — used for discrete traits /
+    phylogeography)."""
+    s = freqs.shape[-1]
+    return reversible_eigen(symmetric_rates_from_vector(rates_vec, s), freqs)
+
+
+def svs_masked_rates(rates_vec: jnp.ndarray, indicators: jnp.ndarray) -> jnp.ndarray:
+    """BSSVS: elementwise indicator mask over exchangeabilities (ref:
+    SVSGeneralSubstitutionModel.java:44). Masked-out rates become 0."""
+    return rates_vec * indicators
+
+
+def hky_q(kappa, freqs) -> jnp.ndarray:
+    kappa = jnp.asarray(kappa, freqs.dtype)
+    r = jnp.ones((4, 4), freqs.dtype)
+    r = r.at[0, 2].set(kappa).at[2, 0].set(kappa)
+    r = r.at[1, 3].set(kappa).at[3, 1].set(kappa)
+    return normalized_q(r, freqs)

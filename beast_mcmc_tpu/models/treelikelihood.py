@@ -1,0 +1,93 @@
+"""Tree data likelihood: tree + substitution + site + clock -> logL.
+
+Functional role of dr.evomodel.treedatalikelihood.TreeDataLikelihood +
+BeagleDataLikelihoodDelegate (ref: TreeDataLikelihood.java:145-183,330-369):
+no events, no dirty flags — one pure function. Incremental recomputation is
+an optimization applied later at the peeling level; store/restore is free
+(functional state).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.ops.eigen import EigenSystem, transition_probs
+from beast_mcmc_tpu.ops.peeling import (
+    peel_loglikelihood,
+    peel_order_from_heights,
+    peel_site_loglik,
+)
+
+
+def branch_lengths(parent: jnp.ndarray, heights: jnp.ndarray) -> jnp.ndarray:
+    """Time-lengths of the branch above each node; 0 for the root.
+
+    (ref: TreeTraversal.java:107-124 — branchLength = h(parent) - h(node),
+    scaled by the branch rate by the caller.)
+    """
+    pidx = jnp.maximum(parent, 0)
+    bl = heights[pidx] - heights
+    return jnp.where(parent >= 0, bl, 0.0)
+
+
+def branch_transition_matrices(
+    eig: EigenSystem,
+    parent: jnp.ndarray,
+    heights: jnp.ndarray,
+    branch_rates: jnp.ndarray,  # [M] or scalar
+    category_rates: jnp.ndarray,  # [C]
+) -> jnp.ndarray:
+    """[M, C, S, S] matrices for every node's parent branch, one batched
+    einsum (the whole updateTransitionMatrices pass of
+    BeagleDataLikelihoodDelegate.java:838 as a single MXU launch)."""
+    bl = branch_lengths(parent, heights) * branch_rates
+    t = bl[:, None] * category_rates[None, :]
+    return transition_probs(eig, t)
+
+
+def tree_loglikelihood(
+    tip_partials: jnp.ndarray,  # [N, S, P]
+    pattern_weights: jnp.ndarray,  # [P]
+    parent: jnp.ndarray,
+    children: jnp.ndarray,
+    heights: jnp.ndarray,
+    root,
+    eig: EigenSystem,
+    freqs: jnp.ndarray,
+    category_rates: jnp.ndarray,
+    category_weights: jnp.ndarray,
+    branch_rates,
+) -> jnp.ndarray:
+    n_taxa = tip_partials.shape[0]
+    p_mats = branch_transition_matrices(
+        eig, parent, heights, branch_rates, category_rates
+    )
+    order = peel_order_from_heights(heights, n_taxa)
+    return peel_loglikelihood(
+        tip_partials, children, order, root, p_mats, freqs,
+        category_weights, pattern_weights,
+    )
+
+
+def tree_site_logliks(
+    tip_partials,
+    parent,
+    children,
+    heights,
+    root,
+    eig,
+    freqs,
+    category_rates,
+    category_weights,
+    branch_rates,
+):
+    """Per-pattern log-likelihoods (the getSiteLogLikelihoods surface,
+    ref: BeagleDataLikelihoodDelegate.java:1020-1030)."""
+    n_taxa = tip_partials.shape[0]
+    p_mats = branch_transition_matrices(
+        eig, parent, heights, branch_rates, category_rates
+    )
+    order = peel_order_from_heights(heights, n_taxa)
+    return peel_site_loglik(
+        tip_partials, children, order, root, p_mats, freqs, category_weights
+    )

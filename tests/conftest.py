@@ -3,17 +3,23 @@
 The CPU jit path is the "fake backend" for device-free CI (the role of the
 reference's pure-Java BEAGLE fallback, SURVEY.md §4.7); sharding tests use
 the 8 virtual devices.
+
+NOTE: this image pre-imports jax via an `axon` sitecustomize hook and sets
+JAX_PLATFORMS=axon, so plain env vars in conftest are too late; we redirect
+through jax.config before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS is read when the CPU client is created (lazily) — still in time.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
