@@ -1,0 +1,191 @@
+"""The Metropolis-Hastings chain kernel — fully inside jit.
+
+Redesign of the reference's hot loop (ref: MarkovChain.runChain,
+src/dr/inference/markovchain/MarkovChain.java:125-475; MCMC.java:143-202):
+
+  reference                                  here
+  ---------                                  ----
+  weighted operator draw (SimpleOperator     categorical draw from the
+    Schedule.java:96-126)                      static weight vector
+  storeModelState / restoreModelState        functional state: reject =
+    (AbstractModel.java:252-326)               keep the old pytree
+  op.operate() + listener dirty propagation  lax.switch over operator fns
+  acceptance logr = (new-old)*T + hastings   identical
+    (MCMCCriterion.java:64-71)
+  Robbins-Monro adaptation p += (acc-tgt)/   identical (log schedule,
+    log(count+2) (MarkovChain.java:559-590,     acceptance capped at 1)
+    OperatorSchedule DEFAULT_TRANSFORM=LOG)
+  NaN score diagnosed then treated as -inf   jnp.isnan -> -inf
+    (MarkovChain.java:305-334)
+
+The whole chain (steps x {draw, propose, evaluate, accept, adapt}) is one
+lax.scan; multi-chain / MC3 is a vmap of this kernel over state batches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.inference.operators import Operator
+from beast_mcmc_tpu.inference.state import MCMCState, init_state
+from beast_mcmc_tpu.tree.topology import TreeState
+
+LogPosteriorFn = Callable[[Dict, TreeState], jnp.ndarray]
+
+
+def make_mcmc_step(
+    log_posterior: LogPosteriorFn,
+    operators: Sequence[Operator],
+    adaptation: bool = True,
+    adaptation_delay: int = 0,
+):
+    """Build `step(state, temperature=1.0) -> state` (jit-safe)."""
+    weights = jnp.asarray([op.weight for op in operators])
+    log_probs = jnp.log(weights / weights.sum())
+    adaptable = jnp.asarray([op.adaptable for op in operators])
+    targets = jnp.asarray([op.target_acceptance for op in operators])
+
+    def make_branch(op: Operator):
+        def branch(params, tree, key, adapt_vec, op_idx):
+            tuning = op.tuning(adapt_vec[op_idx])
+            return op.propose(params, tree, key, tuning)
+
+        return branch
+
+    branches = [make_branch(op) for op in operators]
+
+    def step(state: MCMCState, temperature=1.0) -> MCMCState:
+        key, k_op, k_prop, k_acc = jax.random.split(state.key, 4)
+        op_idx = jax.random.categorical(k_op, log_probs)
+
+        new_params, new_tree, log_hastings = jax.lax.switch(
+            op_idx, branches, state.params, state.tree, k_prop,
+            state.op_adapt, op_idx,
+        )
+
+        new_lp = log_posterior(new_params, new_tree)
+        new_lp = jnp.where(jnp.isnan(new_lp), -jnp.inf, new_lp)
+
+        # MCMCCriterion.java:64-71 (temperature = 1/(1+dT k) for MC3 chains)
+        logr = (new_lp - state.log_posterior) * temperature + log_hastings
+        # first evaluation: old lp is -inf -> always accept a finite proposal
+        logr = jnp.where(
+            jnp.isneginf(state.log_posterior) & jnp.isfinite(new_lp),
+            jnp.inf,
+            logr,
+        )
+        u = jax.random.uniform(k_acc, dtype=state.log_posterior.dtype)
+        accept = jnp.log(u) < logr
+
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(accept, x, y), a, b
+        )
+        params = sel(new_params, state.params)
+        tree = sel(new_tree, state.tree)
+        lp = jnp.where(accept, new_lp, state.log_posterior)
+
+        # operator stats + Robbins-Monro adaptation
+        acc_prob = jnp.exp(jnp.minimum(logr, 0.0))
+        acc_prob = jnp.where(jnp.isnan(acc_prob), 0.0, acc_prob)
+        op_accept = state.op_accept.at[op_idx].add(accept.astype(jnp.int32))
+        op_reject = state.op_reject.at[op_idx].add(1 - accept.astype(jnp.int32))
+        op_sum_accept = state.op_sum_accept.at[op_idx].add(acc_prob)
+
+        do_adapt = (
+            adaptable[op_idx]
+            & jnp.asarray(adaptation)
+            & (state.step >= adaptation_delay)
+        )
+        count = state.op_adapt_count[op_idx]
+        denom = jnp.log(count.astype(lp.dtype) + 2.0)
+        delta = (acc_prob - targets[op_idx]) / denom
+        op_adapt = state.op_adapt.at[op_idx].add(
+            jnp.where(do_adapt, delta, 0.0)
+        )
+        op_adapt_count = state.op_adapt_count.at[op_idx].add(
+            do_adapt.astype(jnp.int32)
+        )
+
+        return state.replace(
+            params=params,
+            tree=tree,
+            log_posterior=lp,
+            key=key,
+            step=state.step + 1,
+            op_adapt=op_adapt,
+            op_adapt_count=op_adapt_count,
+            op_accept=op_accept,
+            op_reject=op_reject,
+            op_sum_accept=op_sum_accept,
+        )
+
+    return step
+
+
+def init_mcmc_state(
+    params: Dict,
+    tree: TreeState,
+    key,
+    operators: Sequence[Operator],
+    log_posterior: Optional[LogPosteriorFn] = None,
+    dtype=None,
+) -> MCMCState:
+    import beast_mcmc_tpu.utils.dtypes as dtypes
+
+    dtype = dtype or dtypes.default_float()
+    init_adapt = jnp.asarray([op.initial_adapt() for op in operators], dtype)
+    state = init_state(params, tree, key, len(operators), init_adapt, dtype)
+    if log_posterior is not None:
+        lp = log_posterior(state.params, state.tree)
+        state = state.replace(log_posterior=jnp.asarray(lp, dtype))
+    return state
+
+
+def run_chain(
+    step_fn,
+    state: MCMCState,
+    n_steps: int,
+    collect_every: int = 0,
+    collector: Optional[Callable[[MCMCState], Dict]] = None,
+    temperature=1.0,
+):
+    """Run the chain under one jit. With collect_every > 0, returns
+    (final_state, stacked collector outputs) — the in-memory role of the
+    reference's MCLogger columns (MCLogger.java:45-100)."""
+    if collect_every and collector:
+        n_blocks = n_steps // collect_every
+
+        def block(state, _):
+            def inner(_, s):
+                return step_fn(s, temperature)
+
+            state = jax.lax.fori_loop(0, collect_every, inner, state)
+            return state, collector(state)
+
+        return jax.lax.scan(block, state, None, length=n_blocks)
+
+    def inner(_, s):
+        return step_fn(s, temperature)
+
+    return jax.lax.fori_loop(0, n_steps, inner, state), None
+
+
+def operator_report(operators: Sequence[Operator], state: MCMCState) -> str:
+    """End-of-run operator analysis table (ref:
+    OperatorAnalysisPrinter.java, MCMC.java:274-281)."""
+    lines = ["operator                          weight  accepted  rejected  acc%    tuning"]
+    for i, op in enumerate(operators):
+        acc = int(state.op_accept[i])
+        rej = int(state.op_reject[i])
+        total = max(acc + rej, 1)
+        tuning = op.tuning(state.op_adapt[i])
+        tstr = f"{float(tuning):.4f}" if tuning is not None else "-"
+        name = f"{type(op).__name__}({getattr(op, 'parameter', '')})"
+        lines.append(
+            f"{name:<32}  {op.weight:<6.1f}  {acc:<8d}  {rej:<8d}  "
+            f"{100.0 * acc / total:<5.1f}  {tstr}"
+        )
+    return "\n".join(lines)

@@ -1,0 +1,418 @@
+"""MCMC proposal operators.
+
+The reference's operator suite (~85 generic + 58 tree operators, ref:
+src/dr/inference/operators/*, src/dr/evomodel/operators/*) redesigned as
+pure functions usable inside lax.switch: every operator is
+
+    propose(params, tree, key, tuning) -> (params', tree', log_hastings)
+
+with static shapes and branchless control flow. Invalid proposals return
+log_hastings = -inf (the reference throws / returns -inf, e.g.
+WilsonBalding.java proposeTree; same acceptance semantics).
+
+Selection-with-exclusion: where the reference resamples until it hits an
+eligible node (uniform over a fixed-size eligible set, e.g.
+ExchangeOperator.narrow's while loop), we draw an index in
+[0, M - #excluded) and order-shift past the sorted excluded indices —
+exactly uniform over the eligible set, no loops.
+
+Proposal/Hastings conventions are cited per operator:
+  scale:        ScaleOperator.java doOperation — s = sf + u(1/sf - sf),
+                logq = -log s (single), (dim-2) log s (scale-all),
+                adaptable parameter log(1/sf - 1) (:243-247)
+  random walk:  RandomWalkOperator.java — symmetric window, reflection
+  delta:        DeltaExchangeOperator.java — symmetric, bounds-checked
+  up/down:      UpDownOperator.java — (nUp - nDown - 2) log s
+  uniform h:    uniform in [max child height, parent height]
+  narrow/wide:  ExchangeOperator.java narrow/wide — symmetric, validity
+  Wilson-Balding: WilsonBalding.java proposeTree — q = newRange/oldRange
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.tree.topology import TreeState
+
+Params = Dict[str, jnp.ndarray]
+NEG_INF = -jnp.inf
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def sample_excluding(key, m: int, exclusions: jnp.ndarray) -> jnp.ndarray:
+    """Uniform draw from [0, m) excluding the given (distinct) indices.
+
+    exclusions must be a fixed-size int array; duplicates are NOT allowed.
+    """
+    k = exclusions.shape[0]
+    r = jax.random.randint(key, (), 0, m - k, dtype=exclusions.dtype)
+    ex = jnp.sort(exclusions)
+
+    def body(r, e):
+        return r + (r >= e).astype(r.dtype), None
+
+    r, _ = jax.lax.scan(body, r, ex)
+    return r
+
+
+def replace_child(children: jnp.ndarray, node, old, new) -> jnp.ndarray:
+    row = children[node]
+    row = jnp.where(row == old, new, row)
+    return children.at[node].set(row)
+
+
+def other_child(children: jnp.ndarray, node, child) -> jnp.ndarray:
+    c0 = children[node, 0]
+    c1 = children[node, 1]
+    return jnp.where(c0 == child, c1, c0)
+
+
+def _scale_draw(key, scale_factor):
+    """BEAST scale draw: uniform on [sf, 1/sf] (ScaleOperator.java)."""
+    u = jax.random.uniform(key)
+    return scale_factor + u * (1.0 / scale_factor - scale_factor)
+
+
+def _in_bounds(x, lower, upper):
+    return jnp.all((x >= lower) & (x <= upper))
+
+
+# ---------------------------------------------------------------------------
+# operator specs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Operator:
+    """Base spec. weight: schedule weight (SimpleOperatorSchedule draws
+    operators with probability proportional to weight)."""
+
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = False
+
+    def initial_adapt(self) -> float:
+        return 0.0
+
+    def tuning(self, adapt_value):
+        return None
+
+    def propose(self, params: Params, tree: TreeState, key, tuning):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class ScaleOperator(Operator):
+    """ref: ScaleOperator.java. modes: 'random' (one random dim),
+    'all' (same factor on all dims), 'independent' (a factor per dim)."""
+
+    parameter: str = ""
+    scale_factor: float = 0.75
+    mode: str = "random"
+    lower: float = 0.0
+    upper: float = jnp.inf
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return float(jnp.log(1.0 / self.scale_factor - 1.0))
+
+    def tuning(self, adapt_value):
+        return 1.0 / (jnp.exp(adapt_value) + 1.0)
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        flat = jnp.atleast_1d(x)
+        dim = flat.shape[0]
+        if self.mode == "independent":
+            s = jax.vmap(_scale_draw, in_axes=(0, None))(
+                jax.random.split(key, dim), tuning
+            )
+            new = flat * s
+            logh = -jnp.sum(jnp.log(s))
+        elif self.mode == "all":
+            s = _scale_draw(key, tuning)
+            new = flat * s
+            logh = (dim - 2) * jnp.log(s)
+        else:
+            k1, k2 = jax.random.split(key)
+            s = _scale_draw(k1, tuning)
+            idx = jax.random.randint(k2, (), 0, dim)
+            new = flat.at[idx].multiply(s)
+            logh = -jnp.log(s)
+        logh = jnp.where(_in_bounds(new, self.lower, self.upper), logh, NEG_INF)
+        return {**params, self.parameter: new.reshape(x.shape)}, tree, logh
+
+
+@dataclasses.dataclass
+class RandomWalkOperator(Operator):
+    """ref: RandomWalkOperator.java — x' = x + U(-w, w) on a random dim,
+    with optional reflection at the bounds (keeps symmetry)."""
+
+    parameter: str = ""
+    window: float = 1.0
+    lower: float = -jnp.inf
+    upper: float = jnp.inf
+    reflect: bool = False
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return float(jnp.log(self.window))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        flat = jnp.atleast_1d(x)
+        dim = flat.shape[0]
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (), 0, dim)
+        delta = (jax.random.uniform(k2) * 2.0 - 1.0) * tuning
+        v = flat[idx] + delta
+        if self.reflect and jnp.isfinite(self.lower) and jnp.isfinite(self.upper):
+            span = self.upper - self.lower
+            v = jnp.abs((v - self.lower) % (2 * span) - span) + self.lower
+        new = flat.at[idx].set(v)
+        logh = jnp.where(_in_bounds(new, self.lower, self.upper), 0.0, NEG_INF)
+        return {**params, self.parameter: new.reshape(x.shape)}, tree, logh
+
+
+@dataclasses.dataclass
+class DeltaExchangeOperator(Operator):
+    """ref: DeltaExchangeOperator.java — move mass d~U(0,delta) between two
+    random dims; preserves the sum (frequency/rate simplexes)."""
+
+    parameter: str = ""
+    delta: float = 0.01
+    lower: float = 0.0
+    upper: float = jnp.inf
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return float(jnp.log(self.delta))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        flat = jnp.atleast_1d(x)
+        dim = flat.shape[0]
+        k1, k2, k3 = jax.random.split(key, 3)
+        i = jax.random.randint(k1, (), 0, dim)
+        j = sample_excluding(k2, dim, i[None])
+        d = jax.random.uniform(k3) * tuning
+        new = flat.at[i].add(-d).at[j].add(d)
+        logh = jnp.where(_in_bounds(new, self.lower, self.upper), 0.0, NEG_INF)
+        return {**params, self.parameter: new.reshape(x.shape)}, tree, logh
+
+
+TREE_HEIGHTS = "__tree_heights__"  # sentinel target for up/down on the tree
+
+
+@dataclasses.dataclass
+class UpDownOperator(Operator):
+    """ref: UpDownOperator.java — up-params *= s, down-params /= s,
+    log-Hastings (nUp - nDown - 2) log s. The sentinel TREE_HEIGHTS in
+    `down` (or `up`) scales all internal-node heights (the reference's
+    <upDownOperator><down><parameter treeModel.allInternalNodeHeights>)."""
+
+    up: Sequence[str] = ()
+    down: Sequence[str] = ()
+    scale_factor: float = 0.75
+    bounds: Dict[str, Tuple[float, float]] = dataclasses.field(default_factory=dict)
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return float(jnp.log(1.0 / self.scale_factor - 1.0))
+
+    def tuning(self, adapt_value):
+        return 1.0 / (jnp.exp(adapt_value) + 1.0)
+
+    def _apply(self, params, tree, name, s):
+        """Returns (params, tree, n_dims_scaled, valid)."""
+        if name == TREE_HEIGHTS:
+            m = tree.parent.shape[0]
+            n_taxa = (m + 1) // 2
+            internal = jnp.arange(m) >= n_taxa
+            heights = jnp.where(internal, tree.heights * s, tree.heights)
+            tree = tree.replace(heights=heights)
+            # validity: parent above child everywhere (dated tips can break)
+            pidx = jnp.maximum(tree.parent, 0)
+            ok = jnp.all(
+                jnp.where(tree.parent >= 0, heights[pidx] > heights, True)
+            )
+            return params, tree, n_taxa - 1, ok
+        x = params[name]
+        new = x * s
+        lo, hi = self.bounds.get(name, (0.0, jnp.inf))
+        ok = _in_bounds(jnp.atleast_1d(new), lo, hi)
+        return {**params, name: new}, tree, int(jnp.size(x)), ok
+
+    def propose(self, params, tree, key, tuning):
+        s = _scale_draw(key, tuning)
+        n_up = 0
+        n_down = 0
+        ok = jnp.asarray(True)
+        for name in self.up:
+            params, tree, n, o = self._apply(params, tree, name, s)
+            n_up += n
+            ok &= o
+        for name in self.down:
+            params, tree, n, o = self._apply(params, tree, name, 1.0 / s)
+            n_down += n
+            ok &= o
+        logh = (n_up - n_down - 2) * jnp.log(s)
+        return params, tree, jnp.where(ok, logh, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# tree operators
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class UniformNodeHeightOperator(Operator):
+    """Draw a non-root internal node's height uniformly between its oldest
+    child and its parent (the reference's <uniformOperator> over
+    treeModel.internalNodeHeights; bounds from the tree)."""
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        n_taxa = (m + 1) // 2
+        k1, k2 = jax.random.split(key)
+        # internal nodes are [n_taxa, m); exclude the root
+        r = jax.random.randint(k1, (), 0, m - n_taxa - 1, dtype=tree.parent.dtype) + n_taxa
+        node = r + (r >= tree.root).astype(r.dtype)
+        lo = jnp.maximum(
+            tree.heights[tree.children[node, 0]],
+            tree.heights[tree.children[node, 1]],
+        )
+        hi = tree.heights[tree.parent[node]]
+        new_h = lo + jax.random.uniform(k2, dtype=tree.heights.dtype) * (hi - lo)
+        tree = tree.replace(heights=tree.heights.at[node].set(new_h))
+        return params, tree, jnp.asarray(0.0, tree.heights.dtype)
+
+
+@dataclasses.dataclass
+class RootHeightScaleOperator(Operator):
+    """Scale the root height (ref: <scaleOperator> on treeModel.rootHeight;
+    lower bound = oldest child of the root)."""
+
+    scale_factor: float = 0.75
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return float(jnp.log(1.0 / self.scale_factor - 1.0))
+
+    def tuning(self, adapt_value):
+        return 1.0 / (jnp.exp(adapt_value) + 1.0)
+
+    def propose(self, params, tree, key, tuning):
+        s = _scale_draw(key, tuning)
+        root = tree.root
+        new_h = tree.heights[root] * s
+        lo = jnp.maximum(
+            tree.heights[tree.children[root, 0]],
+            tree.heights[tree.children[root, 1]],
+        )
+        ok = new_h > lo
+        tree = tree.replace(heights=tree.heights.at[root].set(new_h))
+        logh = jnp.where(ok, -jnp.log(s), NEG_INF)
+        return params, tree, logh
+
+
+@dataclasses.dataclass
+class NarrowExchangeOperator(Operator):
+    """ref: ExchangeOperator.java narrow — swap a node with its uncle when
+    the uncle is younger than the node's parent. Symmetric (logq 0)."""
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        root = tree.root
+        ex = jnp.stack([root, tree.children[root, 0], tree.children[root, 1]])
+        i = sample_excluding(key, m, ex)
+        ip = tree.parent[i]
+        igp = tree.parent[ip]
+        uncle = other_child(tree.children, igp, ip)
+        valid = tree.heights[uncle] < tree.heights[ip]
+        parent = tree.parent.at[i].set(igp).at[uncle].set(ip)
+        children = replace_child(tree.children, ip, i, uncle)
+        children = replace_child(children, igp, uncle, i)
+        tree = tree.replace(parent=parent, children=children)
+        return params, tree, jnp.where(valid, 0.0, NEG_INF)
+
+
+@dataclasses.dataclass
+class WideExchangeOperator(Operator):
+    """ref: ExchangeOperator.java wide — swap two random subtrees when
+    heights permit. Symmetric."""
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        root = tree.root
+        k1, k2 = jax.random.split(key)
+        i = sample_excluding(k1, m, root[None])
+        j = sample_excluding(k2, m, jnp.stack([root, i]))
+        ip = tree.parent[i]
+        jp = tree.parent[j]
+        h = tree.heights
+        valid = (
+            (ip != jp) & (i != jp) & (j != ip)
+            & (h[j] < h[ip]) & (h[i] < h[jp])
+        )
+        parent = tree.parent.at[i].set(jp).at[j].set(ip)
+        children = replace_child(tree.children, ip, i, j)
+        children = replace_child(children, jp, j, i)
+        tree = tree.replace(parent=parent, children=children)
+        return params, tree, jnp.where(valid, 0.0, NEG_INF)
+
+
+@dataclasses.dataclass
+class WilsonBaldingOperator(Operator):
+    """ref: WilsonBalding.java proposeTree — prune subtree i (with its
+    parent iP), regraft iP onto a random branch <k,j> above height(i),
+    drawing iP's new height uniformly in the branch window. Root-changing
+    variants are disallowed (as in the reference's current code path);
+    Hastings = newRange / oldRange."""
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        root = tree.root
+        h = tree.heights
+        k1, k2, k3 = jax.random.split(key, 3)
+        i = sample_excluding(k1, m, root[None])
+        j = jax.random.randint(k2, (), 0, m, dtype=tree.parent.dtype)
+        ip = tree.parent[i]
+        k = tree.parent[j]
+        cip = other_child(tree.children, ip, i)
+        pip = tree.parent[ip]
+        valid = (
+            (j != root) & (ip != root)
+            & (j != i) & (k != ip) & (j != ip) & (k != i)
+            & (h[jnp.maximum(k, 0)] > h[i])
+        )
+        new_min = jnp.maximum(h[i], h[j])
+        new_range = h[jnp.maximum(k, 0)] - new_min
+        new_age = new_min + jax.random.uniform(k3, dtype=h.dtype) * new_range
+        old_min = jnp.maximum(h[i], h[cip])
+        old_range = h[jnp.maximum(pip, 0)] - old_min
+        logh = jnp.where(
+            valid, jnp.log(new_range) - jnp.log(old_range), NEG_INF
+        )
+        # rewire (sequence valid for the k == pip case too)
+        children = replace_child(tree.children, ip, cip, j)
+        children = replace_child(children, pip, ip, cip)
+        children = replace_child(children, k, j, ip)
+        parent = tree.parent.at[ip].set(k).at[j].set(ip).at[cip].set(pip)
+        heights = h.at[ip].set(new_age)
+        tree = tree.replace(parent=parent, children=children, heights=heights)
+        return params, tree, logh

@@ -1,0 +1,63 @@
+"""Trace statistics: mean, stderr, autocorrelation time, ESS.
+
+Role of dr.inference.trace.TraceCorrelation (ref:
+src/dr/inference/trace/TraceCorrelation.java:71-87 — ACT by summing sample
+autocovariances until they go negative, capped at maxLag; ESS =
+n / (ACT/stepSize)). Host-side numpy; used by the log-analyser app and the
+statistical expectation tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+MAX_LAG = 2000
+
+
+@dataclasses.dataclass
+class TraceStats:
+    mean: float
+    stdev: float
+    variance: float
+    act: float  # autocorrelation time in steps
+    ess: float
+    std_error_of_mean: float
+
+
+def analyze(samples: np.ndarray, step_size: int = 1) -> TraceStats:
+    """TraceCorrelation's ACT estimator: Geyer-style initial sequence sum
+    of autocovariances gamma_0 + 2 sum gamma_k while the running sum stays
+    positive (the reference stops when the pairwise sums go negative)."""
+    x = np.asarray(samples, np.float64)
+    n = x.size
+    mean = x.mean()
+    d = x - mean
+    max_lag = min(n - 1, MAX_LAG)
+    gamma = np.empty(max_lag)
+    for k in range(max_lag):
+        gamma[k] = np.dot(d[: n - k], d[k:]) / (n - k)
+    var = gamma[0]
+    if var <= 0:
+        act = step_size
+    else:
+        s = gamma[0]
+        for k in range(1, max_lag):
+            if gamma[k] <= 0:
+                break
+            s += 2 * gamma[k]
+        act = step_size * s / gamma[0]
+    ess = n * step_size / act
+    return TraceStats(
+        mean=float(mean),
+        stdev=float(np.sqrt(var)),
+        variance=float(var),
+        act=float(act),
+        ess=float(ess),
+        std_error_of_mean=float(np.sqrt(var / max(ess, 1e-12))),
+    )
+
+
+def effective_sample_size(samples: np.ndarray) -> float:
+    return analyze(samples).ess
