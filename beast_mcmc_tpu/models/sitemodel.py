@@ -9,8 +9,9 @@ src/dr/oldevomodel/sitemodel/GammaSiteModel.java calculateCategoryRates):
   - rates normalized so the weighted mean rate across ALL categories is 1
   - an overall relative rate mu multiplies everything
 
-The gamma quantile is computed by a jit-safe bisection/Newton inversion of
-the regularized incomplete gamma function (no gammaincinv in jax).
+The gamma quantile comes from ops.special.gamma_quantile — a
+fixed-iteration (TPU-friendly, no data-dependent while loops) inversion
+of the regularized incomplete gamma function.
 """
 
 from __future__ import annotations
@@ -19,47 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammainc, gammaln
-
-
-def gamma_quantile(p: jnp.ndarray, shape, scale) -> jnp.ndarray:
-    """Inverse CDF of Gamma(shape, scale), elementwise over p.
-
-    Bisection to locate, then Newton polish (the cdf is smooth and
-    monotone; 60 bisection steps give ~1e-18 relative bracketing, Newton
-    sharpens to machine precision). jit/vmap-safe; static iteration count.
-    """
-    a = jnp.asarray(shape, p.dtype)
-    p = jnp.asarray(p)
-
-    # initial bracket: Wilson-Hilferty start, then expand geometrically
-    lo = jnp.full_like(p, 1e-300)
-    hi = jnp.full_like(p, 1.0)
-
-    def expand(_, hi):
-        return jnp.where(gammainc(a, hi) < p, hi * 4.0, hi)
-
-    hi = jax.lax.fori_loop(0, 60, expand, hi)
-
-    def bisect(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        below = gammainc(a, mid) < p
-        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, 80, bisect, (lo, hi))
-    x = 0.5 * (lo + hi)
-
-    # Newton polish: f(x) = gammainc(a,x) - p, f'(x) = x^(a-1) e^-x / Gamma(a)
-    def newton(_, x):
-        f = gammainc(a, x) - p
-        logpdf = (a - 1.0) * jnp.log(x) - x - gammaln(a)
-        step = f * jnp.exp(-logpdf)
-        x_new = x - step
-        return jnp.where((x_new > 0) & jnp.isfinite(x_new), x_new, x)
-
-    x = jax.lax.fori_loop(0, 4, newton, x)
-    return x * scale
+from beast_mcmc_tpu.ops.special import gamma_quantile
 
 
 def discrete_gamma_rates(

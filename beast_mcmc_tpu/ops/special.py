@@ -1,0 +1,116 @@
+"""Fixed-iteration special functions for the TPU hot path.
+
+jax.scipy.special.gammainc lowers to data-dependent while-loops, which
+serialize horribly inside a compiled MCMC step on TPU (profiled at ~5 ms
+per posterior evaluation for the 4 gamma-category quantiles). These
+replacements use static iteration counts — pure fused elementwise code,
+microseconds on the VPU — at f64-accurate precision over the parameter
+ranges phylogenetics uses (shape in ~[1e-3, 1e3]).
+
+  gammainc_fixed    regularized lower incomplete gamma P(a, x):
+                    power series for x < a+1, Lentz continued fraction
+                    otherwise (Numerical-Recipes-style, fixed iterations)
+  gamma_quantile    inverse of P(a, .): Wilson-Hilferty / small-shape
+                    initialization + damped log-space Newton
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, ndtri
+
+_SERIES_ITERS = 120
+_CF_ITERS = 120
+_NEWTON_ITERS = 25
+
+
+def gammainc_fixed(a, x):
+    """Regularized lower incomplete gamma P(a, x), elementwise.
+
+    Both branches evaluate with static iteration counts; jnp.where picks.
+    Accurate to ~1e-14 relative for a in [1e-3, 1e3] at quantile-relevant x.
+    """
+    a = jnp.asarray(a)
+    x = jnp.asarray(x)
+    a, x = jnp.broadcast_arrays(a, x)
+    dtype = x.dtype
+    safe_x = jnp.where(x > 0, x, 1.0)
+
+    log_prefix = a * jnp.log(safe_x) - safe_x - gammaln(a)
+
+    # --- power series: P = e^log_prefix * sum_n x^n / (a(a+1)...(a+n)) / a
+    def series_body(n, carry):
+        term, total = carry
+        term = term * safe_x / (a + n)
+        return term, total + term
+
+    t0 = 1.0 / a
+    _, series_sum = jax.lax.fori_loop(
+        1, _SERIES_ITERS, series_body, (t0, t0)
+    )
+    p_series = jnp.exp(log_prefix) * series_sum
+
+    # --- Lentz continued fraction for Q(a, x)
+    tiny = jnp.asarray(1e-30, dtype)
+    b0 = safe_x + 1.0 - a
+    c0 = jnp.full_like(safe_x, 1.0 / 1e-30)
+    d0 = 1.0 / jnp.where(jnp.abs(b0) > tiny, b0, tiny)
+    h0 = d0
+
+    def cf_body(i, carry):
+        c, d, h = carry
+        an = -i * (i - a)
+        b = safe_x + 2.0 * i + 1.0 - a
+        d = b + an * d
+        d = jnp.where(jnp.abs(d) > tiny, d, tiny)
+        c = b + an / c
+        c = jnp.where(jnp.abs(c) > tiny, c, tiny)
+        d = 1.0 / d
+        h = h * d * c
+        return c, d, h
+
+    _, _, h = jax.lax.fori_loop(1, _CF_ITERS, cf_body, (c0, d0, h0))
+    q_cf = jnp.exp(log_prefix) * h
+    p_cf = 1.0 - q_cf
+
+    use_series = safe_x < a + 1.0
+    p = jnp.where(use_series, p_series, p_cf)
+    p = jnp.where(x <= 0, 0.0, p)
+    return jnp.clip(p, 0.0, 1.0)
+
+
+def _log_gamma_pdf(a, log_x, x):
+    return (a - 1.0) * log_x - x - gammaln(a)
+
+
+def gamma_quantile(p, shape, scale=1.0):
+    """Inverse CDF of Gamma(shape, scale), elementwise over p.
+
+    Wilson-Hilferty start (shape >= 0.6) or the small-shape asymptote
+    x0 = exp((log p + log a + lgamma(a)) / a), then damped Newton in
+    u = log x (monotone, positivity-free). Converges to machine precision
+    in < 10 iterations over the tested range; the static count adds margin.
+    """
+    p = jnp.asarray(p)
+    a = jnp.asarray(shape, p.dtype)
+    a_b, p_b = jnp.broadcast_arrays(a, p)
+
+    z = ndtri(p_b)
+    wh = a_b * (1.0 - 1.0 / (9.0 * a_b) + z / (3.0 * jnp.sqrt(a_b))) ** 3
+    u_wh = jnp.log(jnp.maximum(wh, 1e-30))
+    u_small = (jnp.log(p_b) + jnp.log(a_b) + gammaln(a_b)) / a_b
+    u0 = jnp.where((a_b >= 0.6) & (wh > 0), u_wh, u_small)
+
+    def newton(_, u):
+        x = jnp.exp(u)
+        f = gammainc_fixed(a_b, x) - p_b
+        # dP/du = pdf(x) * x
+        dfdu = jnp.exp(_log_gamma_pdf(a_b, u, x) + u)
+        step = f / jnp.maximum(dfdu, 1e-300)
+        step = jnp.clip(step, -2.0, 2.0)
+        u_new = u - step
+        return jnp.where(jnp.isfinite(u_new), u_new, u)
+
+    u = jax.lax.fori_loop(0, _NEWTON_ITERS, newton, u0)
+    return jnp.exp(u) * scale
