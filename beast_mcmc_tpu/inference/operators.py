@@ -416,3 +416,74 @@ class WilsonBaldingOperator(Operator):
         heights = h.at[ip].set(new_age)
         tree = tree.replace(parent=parent, children=children, heights=heights)
         return params, tree, logh
+
+
+@dataclasses.dataclass
+class UniformIntegerOperator(Operator):
+    """ref: UniformIntegerOperator.java — set a random dim of an integer
+    parameter to U{lower..upper}; symmetric. Used for relaxed-clock rate
+    categories (DiscretizedBranchRates)."""
+
+    parameter: str = ""
+    lower: int = 0
+    upper: int = 1  # inclusive
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (), 0, x.shape[0])
+        v = jax.random.randint(k2, (), self.lower, self.upper + 1, dtype=x.dtype)
+        return {**params, self.parameter: x.at[idx].set(v)}, tree, jnp.asarray(0.0, tree.heights.dtype)
+
+
+@dataclasses.dataclass
+class SwapOperator(Operator):
+    """ref: SwapOperator.java — swap two random dims of a parameter;
+    symmetric."""
+
+    parameter: str = ""
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        dim = x.shape[0]
+        k1, k2 = jax.random.split(key)
+        i = jax.random.randint(k1, (), 0, dim)
+        j = sample_excluding(k2, dim, i[None])
+        xi, xj = x[i], x[j]
+        return (
+            {**params, self.parameter: x.at[i].set(xj).at[j].set(xi)},
+            tree,
+            jnp.asarray(0.0, tree.heights.dtype),
+        )
+
+
+@dataclasses.dataclass
+class BitFlipOperator(Operator):
+    """ref: BitFlipOperator.java — flip one random bit of a 0/1 indicator
+    vector (BSSVS). With the default usesPriorOnSum, the Hastings ratio
+    makes the move symmetric on the number of ones:
+      flip 0->1: logq = -log((dim - sum)/(sum + 1))
+      flip 1->0: logq = -log(sum/(dim - sum + 1))
+    """
+
+    parameter: str = ""
+    uses_prior_on_sum: bool = True
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        dim = x.shape[0]
+        fdt = tree.heights.dtype
+        pos = jax.random.randint(key, (), 0, dim)
+        value = x[pos]
+        flipped = x.at[pos].set(1 - value)
+        if self.uses_prior_on_sum:
+            s = jnp.sum(x).astype(fdt)
+            d = jnp.asarray(dim, fdt)
+            logq = jnp.where(
+                value == 0,
+                -jnp.log((d - s) / (s + 1.0)),
+                -jnp.log(s / (d - s + 1.0)),
+            )
+        else:
+            logq = jnp.asarray(0.0, fdt)
+        return {**params, self.parameter: flipped}, tree, logq

@@ -41,8 +41,12 @@ def init_state(
     init_adapt: jnp.ndarray,
     dtype=jnp.float64,
 ) -> MCMCState:
+    def cast(v):
+        v = jnp.asarray(v)
+        return v if jnp.issubdtype(v.dtype, jnp.integer) else v.astype(dtype)
+
     return MCMCState(
-        params={k: jnp.asarray(v, dtype) for k, v in params.items()},
+        params={k: cast(v) for k, v in params.items()},
         tree=tree,
         log_posterior=jnp.asarray(-jnp.inf, dtype),
         key=key,
