@@ -1,0 +1,109 @@
+"""Hamiltonian Monte Carlo operators.
+
+Role of the reference's HMC framework (ref: src/dr/inference/operators/hmc/
+HamiltonianMonteCarloOperator.java:51-107 leapfrog + MassPreconditioner;
+GradientWrtParameterProvider). The reference needs bespoke gradient
+delegates per model (preorder/ BEAGLE edge derivatives); here jax.grad of
+the posterior — which hits the peeling kernel's linear-time custom VJP —
+gives exact gradients for ANY parameter set with no extra code.
+
+Positive parameters run in log space: the operator targets
+pi_y(y) = pi_x(e^y) e^y, and reports the Hastings correction
+  logh = (sum y' - sum y) + (K_old - K_new)
+so the host MH kernel (which compares pi_x) remains exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.inference.operators import NEG_INF, Operator
+
+
+@dataclasses.dataclass
+class HmcOperator(Operator):
+    """Leapfrog HMC over a named subset of continuous parameters.
+
+    parameters: names of (scalar or vector) params; log_transform maps all
+    of them through log (for positivity). mass: diagonal mass (scalar).
+    Step size adapts via Robbins-Monro toward target_acceptance=0.8 (the
+    hmc default; ref: HamiltonianMonteCarloOperator adaptation).
+    """
+
+    parameters: Sequence[str] = ()
+    n_leapfrog: int = 10
+    step_size: float = 0.1
+    mass: float = 1.0
+    log_transform: bool = True
+    adaptable: bool = True
+    target_acceptance: float = 0.8
+    _log_posterior: Optional[Callable] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    def bind_log_posterior(self, log_posterior):
+        self._log_posterior = log_posterior
+
+    def initial_adapt(self) -> float:
+        return float(jnp.log(self.step_size))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def _pack(self, params):
+        vals = [jnp.atleast_1d(params[n]) for n in self.parameters]
+        flat = jnp.concatenate(vals)
+        return jnp.log(flat) if self.log_transform else flat
+
+    def _unpack(self, params, y):
+        x = jnp.exp(y) if self.log_transform else y
+        out = dict(params)
+        i = 0
+        for n in self.parameters:
+            v = params[n]
+            k = max(1, int(jnp.size(v)))
+            out[n] = x[i:i + k].reshape(jnp.shape(v))
+            i += k
+        return out
+
+    def propose(self, params, tree, key, tuning):
+        assert self._log_posterior is not None, "HmcOperator not bound"
+        lp_fn = self._log_posterior
+        eps = tuning
+        dt = tree.heights.dtype
+
+        y0 = self._pack(params).astype(dt)
+
+        def neg_log_py(y):
+            prms = self._unpack(params, y)
+            lp = lp_fn(prms, tree)
+            if self.log_transform:
+                lp = lp + jnp.sum(y)
+            return -lp
+
+        grad_fn = jax.grad(neg_log_py)
+
+        k1, _ = jax.random.split(key)
+        p0 = jax.random.normal(k1, y0.shape, dt) * jnp.sqrt(self.mass)
+
+        def leapfrog(_, carry):
+            y, p = carry
+            p = p - 0.5 * eps * grad_fn(y)
+            y = y + eps * p / self.mass
+            p = p - 0.5 * eps * grad_fn(y)
+            return y, p
+
+        y1, p1 = jax.lax.fori_loop(0, self.n_leapfrog, leapfrog, (y0, p0))
+
+        k_old = 0.5 * jnp.sum(p0 * p0) / self.mass
+        k_new = 0.5 * jnp.sum(p1 * p1) / self.mass
+        logh = (k_old - k_new)
+        if self.log_transform:
+            logh = logh + jnp.sum(y1) - jnp.sum(y0)
+        ok = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(logh)
+        logh = jnp.where(ok, logh, NEG_INF)
+        y1 = jnp.where(ok, y1, y0)
+        return self._unpack(params, y1), tree, logh

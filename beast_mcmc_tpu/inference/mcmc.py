@@ -43,6 +43,9 @@ def make_mcmc_step(
     adaptation_delay: int = 0,
 ):
     """Build `step(state, temperature=1.0) -> state` (jit-safe)."""
+    for op in operators:
+        if hasattr(op, "bind_log_posterior"):
+            op.bind_log_posterior(log_posterior)
     weights = jnp.asarray([op.weight for op in operators])
     log_probs = jnp.log(weights / weights.sum())
     adaptable = jnp.asarray([op.adaptable for op in operators])

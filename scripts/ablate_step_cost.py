@@ -3,8 +3,9 @@
 Builds several chain variants and times each inside a single process to
 amortize tunnel/compile overhead. Results guide kernel optimization.
 """
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
-import sys
 
 import jax
 import jax.numpy as jnp
