@@ -90,3 +90,39 @@ def hky_q(kappa, freqs) -> jnp.ndarray:
     r = r.at[0, 2].set(kappa).at[2, 0].set(kappa)
     r = r.at[1, 3].set(kappa).at[3, 1].set(kappa)
     return normalized_q(r, freqs)
+
+
+def empirical_aa_eigen(model_name: str, freqs=None, dtype=jnp.float64) -> EigenSystem:
+    """Empirical amino-acid replacement model (ref: src/dr/evomodel/
+    substmodel/aminoacid/* — Dayhoff/JTT/WAG/LG/mt*/cpREV/FLU/Blosum62).
+
+    freqs=None uses the model's published frequencies; pass alignment
+    frequencies for the +F variants.
+    """
+    from beast_mcmc_tpu.models.data.aa_matrices import AA_MODELS
+
+    entry = AA_MODELS[model_name.upper()]
+    rates = symmetric_rates_from_vector(
+        jnp.asarray(entry["rates"], dtype), 20)
+    if freqs is None:
+        freqs = jnp.asarray(entry["frequencies"], dtype)
+    return reversible_eigen(rates, freqs)
+
+
+def gy94_eigen(kappa, omega, codon_freqs, code=None) -> EigenSystem:
+    """Goldman-Yang 1994 codon model (ref: src/dr/evomodel/substmodel/
+    codon/GY94CodonModel.java): single-nucleotide codon exchanges with
+    rate kappa^[transition] * omega^[nonsynonymous]; reversible wrt the
+    codon frequencies."""
+    import numpy as _np
+
+    from beast_mcmc_tpu.data.codons import UNIVERSAL_CODE, codon_structure
+
+    single, is_ts, is_nonsyn = codon_structure(code or UNIVERSAL_CODE)
+    single = jnp.asarray(single, codon_freqs.dtype)
+    is_ts = jnp.asarray(is_ts, codon_freqs.dtype)
+    is_nonsyn = jnp.asarray(is_nonsyn, codon_freqs.dtype)
+    kappa = jnp.asarray(kappa, codon_freqs.dtype)
+    omega = jnp.asarray(omega, codon_freqs.dtype)
+    r = single * kappa ** is_ts * omega ** is_nonsyn
+    return reversible_eigen(r, codon_freqs)
