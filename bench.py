@@ -45,7 +45,8 @@ def measure_states_per_sec(n_steps: int) -> float:
     )
 
     run = jax.jit(lambda s, n: run_chain(step, s, n)[0], static_argnums=1)
-    state = run(state, WARMUP_STEPS)
+    # warm up with the SAME program shape so compile stays out of the timing
+    state = run(state, n_steps)
     jax.block_until_ready(state.log_posterior)
 
     t0 = time.perf_counter()

@@ -6,9 +6,12 @@ amortize tunnel/compile overhead. Results guide kernel optimization.
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
+import jax as _jax_cfg
 
 import jax
 import jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from beast_mcmc_tpu.apps.benchmarks import build_analysis
 from beast_mcmc_tpu.inference.mcmc import init_mcmc_state, make_mcmc_step, run_chain
