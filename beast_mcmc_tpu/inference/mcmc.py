@@ -54,7 +54,13 @@ def make_mcmc_step(
     def make_branch(op: Operator):
         def branch(params, tree, key, adapt_vec, op_idx):
             tuning = op.tuning(adapt_vec[op_idx])
-            return op.propose(params, tree, key, tuning)
+            out = op.propose(params, tree, key, tuning)
+            if len(out) == 3:
+                # no internal acceptance statistic: adapt on the outer
+                # Metropolis ratio (NaN sentinel)
+                p, t, logh = out
+                out = (p, t, logh, jnp.asarray(jnp.nan, tree.heights.dtype))
+            return out
 
         return branch
 
@@ -64,7 +70,7 @@ def make_mcmc_step(
         key, k_op, k_prop, k_acc = jax.random.split(state.key, 4)
         op_idx = jax.random.categorical(k_op, log_probs)
 
-        new_params, new_tree, log_hastings = jax.lax.switch(
+        new_params, new_tree, log_hastings, acc_stat = jax.lax.switch(
             op_idx, branches, state.params, state.tree, k_prop,
             state.op_adapt, op_idx,
         )
@@ -90,9 +96,12 @@ def make_mcmc_step(
         tree = sel(new_tree, state.tree)
         lp = jnp.where(accept, new_lp, state.log_posterior)
 
-        # operator stats + Robbins-Monro adaptation
+        # operator stats + Robbins-Monro adaptation. Gibbs-style operators
+        # (NUTS) supply their own internal acceptance statistic via
+        # acc_stat; NaN means "use the outer Metropolis ratio".
         acc_prob = jnp.exp(jnp.minimum(logr, 0.0))
         acc_prob = jnp.where(jnp.isnan(acc_prob), 0.0, acc_prob)
+        acc_prob = jnp.where(jnp.isnan(acc_stat), acc_prob, acc_stat)
         op_accept = state.op_accept.at[op_idx].add(accept.astype(jnp.int32))
         op_reject = state.op_reject.at[op_idx].add(1 - accept.astype(jnp.int32))
         op_sum_accept = state.op_sum_accept.at[op_idx].add(acc_prob)
