@@ -1,0 +1,341 @@
+"""SPR-family tree operators: SubtreeSlide, SubtreeLeap, FNPR.
+
+Roles of the reference's SubtreeSlideOperator (ref:
+src/dr/evomodel/operators/SubtreeSlideOperator.java:89-330 — slide a
+parent node up/down by delta, prune-regrafting across intersected edges;
+Hastings = ratio of intersecting-edge counts), SubtreeLeapOperator (ref:
+SubtreeLeapOperator.java:176-362 — patristic-distance leap to any edge at
+distance delta, Hastings = |D|/|D'|) and FNPR (ref:
+src/dr/evomodel/operators/FNPR.java:63-120 — fixed-height prune-regraft,
+symmetric).
+
+TPU-native redesign: the reference's recursive `intersectingEdges`
+tree-walks become vectorized masks over the flat node arrays —
+  subtree membership  : pointer-doubling reachability, O(M log M), no
+                        recursion (replaces the Java recursion);
+  intersecting edges  : subtree_mask & (h[n] < h <= h[parent[n]]);
+  uniform pick        : cumsum + argmax over the mask.
+All control flow is lax.switch/while_loop with static shapes; invalid
+draws return log-Hastings = -inf (same MH semantics as the reference's
+retry loops for the symmetric FNPR, exact for the others).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beast_mcmc_tpu.inference.operators import (
+    NEG_INF,
+    Operator,
+    other_child,
+    replace_child,
+    sample_excluding,
+)
+
+
+def subtree_mask(parent: jnp.ndarray, top) -> jnp.ndarray:
+    """bool[M]: nodes in the subtree rooted at `top` (inclusive), by
+    parent-pointer doubling (log2(M) unrolled steps)."""
+    m = parent.shape[0]
+    idx = jnp.arange(m)
+    q = jnp.where(parent < 0, idx, parent)  # root self-loop
+    reach = idx == top
+    for _ in range(int(np.ceil(np.log2(max(m, 2)))) + 1):
+        reach = reach | reach[q]
+        q = q[q]
+    return reach
+
+
+def intersecting_edges(parent, heights, smask, h):
+    """Edges (parent[n], n) inside `smask` whose branch spans height h:
+    heights[n] < h < heights[parent[n]] (the reference's
+    intersectingEdges recursion, SubtreeSlideOperator.java:334-356)."""
+    p = jnp.maximum(parent, 0)
+    above = jnp.where(parent < 0, jnp.inf, heights[p])
+    return smask & (heights < h) & (above > h)
+
+
+def sample_masked(key, mask):
+    """(uniform index among mask==True, count). Undefined index if count
+    is 0 — callers must gate on count."""
+    c = jnp.cumsum(mask.astype(jnp.int32))
+    count = c[-1]
+    k = jax.random.randint(key, (), 0, jnp.maximum(count, 1))
+    idx = jnp.argmax(c == (k + 1)).astype(jnp.int32)
+    return idx, count
+
+
+@dataclasses.dataclass
+class SubtreeSlideOperator(Operator):
+    """ref: SubtreeSlideOperator.java. delta ~ N(0, size) (gaussian) or
+    U(-size/2, size/2); slides parent(i) by delta, changing topology when
+    the new height crosses other edges."""
+
+    size: float = 1.0
+    gaussian: bool = True
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return float(np.log(self.size))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        fdt = tree.heights.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        i = sample_excluding(k1, m, tree.root[None])
+        if self.gaussian:
+            delta = jax.random.normal(k2, dtype=fdt) * tuning
+        else:
+            delta = (jax.random.uniform(k2, dtype=fdt) - 0.5) * tuning
+
+        parent, children, heights, root = (
+            tree.parent, tree.children, tree.heights, tree.root)
+        ip = parent[i]
+        cip = other_child(children, ip, i)
+        pip = parent[ip]  # -1 when ip is root
+        old_h = heights[ip]
+        new_h = old_h + delta
+
+        up = delta > 0
+        topo_up = up & (pip >= 0) & (heights[jnp.maximum(pip, 0)] < new_h)
+        down_invalid = (~up) & (new_h < heights[i])
+        topo_down = (~up) & (~down_invalid) & (heights[cip] > new_h)
+        case = jnp.where(
+            down_invalid, 3, jnp.where(topo_up, 1, jnp.where(topo_down, 2, 0))
+        )
+
+        def no_topo(_):
+            return parent, children, heights.at[ip].set(new_h), root, jnp.asarray(0.0, fdt)
+
+        def slide_up(_):
+            # walk up: find edge (new_parent, new_child) spanning new_h
+            def cond(c):
+                nc, npar = c
+                return (npar >= 0) & (heights[jnp.maximum(npar, 0)] < new_h)
+
+            def body(c):
+                nc, npar = c
+                return npar, parent[npar]
+
+            new_child, new_parent = jax.lax.while_loop(cond, body, (ip, pip))
+            is_new_root = new_parent < 0
+
+            ch = replace_child(children, ip, cip, new_child)
+            ch = replace_child(ch, pip, ip, cip)  # pip >= 0 in this case
+            par = parent.at[cip].set(pip).at[new_child].set(ip)
+            # non-root: insert ip on (new_parent, new_child)
+            ch_nr = replace_child(ch, jnp.maximum(new_parent, 0), new_child, ip)
+            par_nr = par.at[ip].set(new_parent)
+            # new-root: ip becomes root above the old root (== new_child)
+            par_r = par.at[ip].set(-1)
+            ch = jnp.where(is_new_root, ch, ch_nr)
+            par = jnp.where(is_new_root, par_r, par_nr)
+            rt = jnp.where(is_new_root, ip, root).astype(root.dtype)
+            h = heights.at[ip].set(new_h)
+            # sources: edges in the NEW tree under new_child spanning old_h
+            smask = subtree_mask(par, new_child)
+            n_src = jnp.sum(intersecting_edges(par, h, smask, old_h))
+            logq = -jnp.log(n_src.astype(fdt))
+            return par, ch, h, rt, logq
+
+        def slide_down(_):
+            smask = subtree_mask(parent, cip)
+            emask = intersecting_edges(parent, heights, smask, new_h)
+            new_child, count = sample_masked(k3, emask)
+            new_gp = parent[new_child]
+            was_root = pip < 0
+            ch = replace_child(children, ip, cip, new_child)
+            ch_nr = replace_child(ch, jnp.maximum(pip, 0), ip, cip)
+            ch = jnp.where(was_root, ch, ch_nr)
+            ch = replace_child(ch, new_gp, new_child, ip)
+            par = (
+                parent.at[cip].set(pip)
+                .at[new_child].set(ip)
+                .at[ip].set(new_gp)
+            )
+            rt = jnp.where(was_root, cip, root).astype(root.dtype)
+            h = heights.at[ip].set(new_h)
+            logq = jnp.where(
+                count > 0, jnp.log(count.astype(fdt)), NEG_INF
+            )
+            return par, ch, h, rt, logq
+
+        def invalid(_):
+            return parent, children, heights, root, jnp.asarray(NEG_INF, fdt)
+
+        par, ch, h, rt, logq = jax.lax.switch(
+            case, [no_topo, slide_up, slide_down, invalid], None
+        )
+        new_tree = tree.replace(parent=par, children=ch, heights=h, root=rt)
+        return params, new_tree, logq
+
+
+def _get_destinations(parent, children, heights, node, par, sib, delta):
+    """SubtreeLeap destination set (ref: SubtreeLeapOperator.java:295-362):
+    all edges at patristic distance delta from parent(node), as
+    (mask[M], height[M]) with one insertion height per destination edge."""
+    m = parent.shape[0]
+    fdt = heights.dtype
+    h_par = heights[par]
+    h_node = heights[node]
+
+    # downward destinations on the sibling's side
+    h_below = h_par - delta
+    smask = subtree_mask(parent, sib)
+    mask0 = intersecting_edges(parent, heights, smask, h_below) & (
+        h_below > h_node
+    )
+    dest_mask = mask0
+    dest_h = jnp.where(mask0, h_below, jnp.zeros((m,), fdt))
+
+    # walk up from par; at each crossed ancestor, mirror down its other side
+    h_above = h_par + delta
+
+    def cond(c):
+        node1, done, dm, dh = c
+        return ~done
+
+    def body(c):
+        node1, done, dm, dh = c
+        parent1 = parent[node1]
+        at_root = parent1 < 0
+        p1 = jnp.maximum(parent1, 0)
+        crossed = (~at_root) & (heights[p1] < h_above)
+        # terminal: this edge (or the root) holds the destination height
+        dm_term = dm.at[node1].set(True)
+        dh_term = dh.at[node1].set(h_above)
+        # crossing: mirror down the other child of parent1
+        sibling1 = other_child(children, p1, node1)
+        h_below1 = 2.0 * heights[p1] - h_above
+        smask1 = subtree_mask(parent, sibling1)
+        mask1 = intersecting_edges(parent, heights, smask1, h_below1) & (
+            h_below1 > h_node
+        )
+        dm_cross = dm | mask1
+        dh_cross = jnp.where(mask1, h_below1, dh)
+        dm = jnp.where(crossed, dm_cross, dm_term)
+        dh = jnp.where(crossed, dh_cross, dh_term)
+        return p1, done | ~crossed, dm, dh
+
+    _, _, dest_mask, dest_h = jax.lax.while_loop(
+        cond, body,
+        (par, jnp.asarray(False), dest_mask, dest_h),
+    )
+    return dest_mask, dest_h
+
+
+@dataclasses.dataclass
+class SubtreeLeapOperator(Operator):
+    """ref: SubtreeLeapOperator.java — prune parent(node), regraft at
+    patristic distance delta = |N(0, size)| (normal kernel), picking
+    uniformly among all destination edges; Hastings = |D|/|D'|."""
+
+    size: float = 1.0
+    adaptable: bool = True
+    target_acceptance: float = 0.225  # reference default for tree ops
+
+    def initial_adapt(self) -> float:
+        return float(np.log(self.size))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        fdt = tree.heights.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        delta = jnp.abs(jax.random.normal(k1, dtype=fdt)) * tuning
+        node = sample_excluding(k2, m, tree.root[None])
+
+        parent, children, heights, root = (
+            tree.parent, tree.children, tree.heights, tree.root)
+        par = parent[node]
+        sib = other_child(children, par, node)
+        gp = parent[par]  # -1 when par is root
+
+        dmask, dheights = _get_destinations(
+            parent, children, heights, node, par, sib, delta
+        )
+        j, count = sample_masked(k3, dmask)
+        new_h = dheights[j]
+        jp = parent[j]
+        no_topo = (j == par) | (jp == par)
+
+        def keep(_):
+            return parent, children, root
+
+        def move(_):
+            was_root = gp < 0
+            # detach: sibling takes par's place (or becomes root)
+            ch = replace_child(children, jnp.maximum(gp, 0), par, sib)
+            ch = jnp.where(was_root, children, ch)
+            par_arr = parent.at[sib].set(gp)
+            # attach on edge (jp, j) — or above the root when j is root
+            j_is_root = jp < 0
+            ch = replace_child(ch, par, sib, j)
+            ch_attach = replace_child(ch, jnp.maximum(jp, 0), j, par)
+            ch = jnp.where(j_is_root, ch, ch_attach)
+            par_arr = par_arr.at[j].set(par).at[par].set(jp)
+            rt = jnp.where(was_root, sib, root)
+            rt = jnp.where(j_is_root, par, rt).astype(root.dtype)
+            return par_arr, ch, rt
+
+        par_arr, ch, rt = jax.lax.cond(no_topo, keep, move, None)
+        h = heights.at[par].set(new_h)
+        new_tree = tree.replace(parent=par_arr, children=ch, heights=h, root=rt)
+
+        # reverse destination count from the new state
+        sib_new = other_child(ch, par, node)
+        rmask, _ = _get_destinations(par_arr, ch, h, node, par, sib_new, delta)
+        rcount = jnp.sum(rmask)
+        logq = jnp.log(count.astype(fdt)) - jnp.log(rcount.astype(fdt))
+        logq = jnp.where(count > 0, logq, NEG_INF)
+        return params, new_tree, logq
+
+
+@dataclasses.dataclass
+class FNPROperator(Operator):
+    """ref: FNPR.java:63-120 — prune parent(i), regraft at its ORIGINAL
+    height onto a uniformly drawn edge spanning that height. Symmetric;
+    invalid draws -> -inf (replacing the reference's retry loop, which is
+    also symmetric)."""
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        fdt = tree.heights.dtype
+        parent, children, heights, root = (
+            tree.parent, tree.children, tree.heights, tree.root)
+        k1, k2 = jax.random.split(key)
+        i = sample_excluding(k1, m, root[None])
+        ifa = parent[i]
+        igf = parent[ifa]  # -1 when ifa is root
+        ibro = other_child(children, ifa, i)
+        h_fa = heights[ifa]
+        new_child = jax.random.randint(k2, (), 0, m, dtype=parent.dtype)
+        ngf = parent[new_child]
+        valid = (
+            (ifa != root)
+            & (new_child != root)
+            & (heights[new_child] < h_fa)
+            & (heights[jnp.maximum(ngf, 0)] > h_fa)
+            & (new_child != ifa)
+            & (ngf != ifa)
+        )
+        ch = replace_child(children, ifa, ibro, new_child)
+        ch = replace_child(ch, jnp.maximum(igf, 0), ifa, ibro)
+        ch = replace_child(ch, jnp.maximum(ngf, 0), new_child, ifa)
+        par = (
+            parent.at[ibro].set(igf)
+            .at[new_child].set(ifa)
+            .at[ifa].set(ngf)
+        )
+        new_tree = tree.replace(parent=par, children=ch)
+        logq = jnp.where(valid, 0.0, NEG_INF).astype(fdt)
+        return params, new_tree, logq
