@@ -176,3 +176,138 @@ def gmrf_log_prior(log_pop_sizes: jnp.ndarray, precision) -> jnp.ndarray:
     return 0.5 * k1 * (jnp.log(tau) - jnp.log(2 * jnp.pi)) - 0.5 * tau * jnp.sum(
         diffs * diffs
     )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian skyline: piecewise-constant N over GROUPS of coalescent intervals
+# (ref: dr.evomodel.coalescent.BayesianSkylineLikelihood — group boundaries
+# at coalescent events, popSizes[K] + groupSizes[K] parameters)
+# ---------------------------------------------------------------------------
+
+
+def bayesian_skyline_loglik(
+    heights: jnp.ndarray,
+    n_taxa: int,
+    pop_sizes: jnp.ndarray,  # [K]
+    group_sizes: jnp.ndarray,  # int[K], sums to n_taxa - 1
+) -> jnp.ndarray:
+    """Piecewise-constant Bayesian skyline coalescent density.
+
+    Group k spans coalescent events [cum_{k-1}, cum_k); the population
+    size governing an inter-event interval is that of the group containing
+    the NEXT coalescent event (the reference's convention: N changes at
+    coalescent events).
+    """
+    dt = heights.dtype
+    times, lineages, is_coal = coalescent_intervals(heights, n_taxa)
+    # index of the next coalescent event for each interval start
+    coal_before = jnp.cumsum(is_coal.astype(jnp.int32))  # events at <= times[i]
+    cum_groups = jnp.cumsum(group_sizes)
+    # group of coalescent event j (0-based): first k with cum_groups[k] > j
+    def group_of(j):
+        return jnp.searchsorted(cum_groups, j, side="right").astype(jnp.int32)
+
+    # interval (times[i], times[i+1]) -> next event index = coal_before[i]
+    next_event = jnp.minimum(coal_before[:-1], n_taxa - 2)
+    n_interval = pop_sizes[group_of(next_event)]
+    k = lineages[:-1]
+    choose2 = (k * (k - 1) / 2.0).astype(dt)
+    interval_term = -jnp.sum(choose2 * jnp.diff(times) / n_interval)
+    # event term: -log N(group of the event itself)
+    event_idx = jnp.maximum(coal_before - 1, 0)
+    event_term = -jnp.sum(
+        jnp.where(is_coal, jnp.log(pop_sizes[group_of(event_idx)]), 0.0)
+    )
+    return interval_term + event_term
+
+
+# ---------------------------------------------------------------------------
+# SIR epidemic demographic (ref: dr.evomodel.epidemiology.SIRModel — ODE
+# solved numerically; Volz-style effective population size
+# Ne(t) = I(t) / (2 beta S(t) / N); coalescent intensity by trapezoid,
+# mirroring the reference's numerical getIntensity)
+# ---------------------------------------------------------------------------
+
+
+def sir_trajectories(
+    r0, recovery_rate, i0_prop, t_grid: jnp.ndarray
+):
+    """Integrate the (backward-time) SIR ODE on a fixed grid with RK4.
+
+    Forward-time dynamics: dS/dt = -beta S I, dI/dt = beta S I - gamma I,
+    with beta = R0 * gamma (per-capita, S/I as proportions). The epidemic
+    peaks at t=0 boundary condition S(0)=1-i0, I(0)=i0, integrated
+    BACKWARD in time (toward the epidemic's start), matching the
+    coalescent's time-into-the-past axis.
+    Returns (S[T], I[T]) on t_grid.
+    """
+    dt_ = t_grid.dtype
+    gamma = jnp.asarray(recovery_rate, dt_)
+    beta = jnp.asarray(r0, dt_) * gamma
+
+    def deriv(y):
+        s, i = y
+        # backward time: negate the forward derivatives
+        ds = beta * s * i
+        di = -(beta * s * i - gamma * i)
+        return jnp.stack([ds, di])
+
+    def rk4_step(y, h):
+        k1 = deriv(y)
+        k2 = deriv(y + 0.5 * h * k1)
+        k3 = deriv(y + 0.5 * h * k2)
+        k4 = deriv(y + h * k3)
+        return y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    y0 = jnp.stack([1.0 - jnp.asarray(i0_prop, dt_), jnp.asarray(i0_prop, dt_)])
+
+    def scan_step(y, h):
+        y_new = rk4_step(y, h)
+        y_new = jnp.maximum(y_new, 1e-12)
+        return y_new, y_new
+
+    hs = jnp.diff(t_grid)
+    _, ys = jax.lax.scan(scan_step, y0, hs)
+    s = jnp.concatenate([y0[0:1], ys[:, 0]])
+    i = jnp.concatenate([y0[1:2], ys[:, 1]])
+    return s, i
+
+
+def sir_coalescent_loglik(
+    heights: jnp.ndarray,
+    n_taxa: int,
+    r0,
+    recovery_rate,
+    i0_prop,
+    n_total,
+    t_max: float,
+    n_grid: int = 256,
+) -> jnp.ndarray:
+    """Coalescent density under the SIR effective population size
+    Ne(t) = N I(t) / (2 beta S(t)) (Volz 2009; the reference's SIRModel
+    demographic role), with trapezoid intensity on a fixed grid."""
+    dt = heights.dtype
+    t_grid = jnp.linspace(0.0, t_max, n_grid).astype(dt)
+    s, i = sir_trajectories(r0, recovery_rate, i0_prop, t_grid)
+    gamma = jnp.asarray(recovery_rate, dt)
+    beta = jnp.asarray(r0, dt) * gamma
+    ne = jnp.asarray(n_total, dt) * i / (2.0 * beta * s)
+    inv_ne = 1.0 / ne
+    # trapezoid cumulative intensity on the grid
+    cum = jnp.concatenate([
+        jnp.zeros((1,), dt),
+        jnp.cumsum(0.5 * (inv_ne[1:] + inv_ne[:-1]) * jnp.diff(t_grid)),
+    ])
+
+    def log_pop(t):
+        ti = jnp.clip(t, 0.0, t_max)
+        return jnp.interp(ti, t_grid, jnp.log(ne))
+
+    def intensity(t):
+        ti = jnp.clip(t, 0.0, t_max)
+        base = jnp.interp(ti, t_grid, cum)
+        # beyond the grid: extrapolate with the last Ne
+        over = jnp.maximum(t - t_max, 0.0) * inv_ne[-1]
+        return base + over
+
+    return coalescent_loglik(heights, n_taxa, log_pop, intensity)
