@@ -126,3 +126,84 @@ def gy94_eigen(kappa, omega, codon_freqs, code=None) -> EigenSystem:
     omega = jnp.asarray(omega, codon_freqs.dtype)
     r = single * kappa ** is_ts * omega ** is_nonsyn
     return reversible_eigen(r, codon_freqs)
+
+
+# ---------------------------------------------------------------------------
+# Non-reversible / GLM / covarion generators (ref:
+# ComplexSubstitutionModel.java, GlmSubstitutionModel.java,
+# src/dr/evomodel/substmodel/TwoStateCovarionModel.java + covarion pkg).
+# These return normalized Q matrices for the expm transition path
+# (ops/expm.py) instead of EigenSystems.
+# ---------------------------------------------------------------------------
+
+
+def complex_q(rates_full: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Non-reversible generator from all S(S-1) off-diagonal rates
+    (row-major, skipping the diagonal): Q_ij = r_ij * pi_j, rows sum to 0,
+    normalized to unit expected rate (ref: ComplexSubstitutionModel.java
+    setupMatrix; used for asymmetric discrete-trait phylogeography)."""
+    import numpy as _np
+
+    s = freqs.shape[-1]
+    rows, cols = _np.where(~_np.eye(s, dtype=bool))
+    r = jnp.zeros((s, s), freqs.dtype).at[rows, cols].set(rates_full)
+    q = r * freqs[None, :]
+    q = q - jnp.diag(jnp.sum(q, axis=1))
+    norm = -jnp.sum(freqs * jnp.diag(q))
+    return q / norm
+
+
+def glm_rates(design: jnp.ndarray, coefficients: jnp.ndarray,
+              indicators=None) -> jnp.ndarray:
+    """GLM-parameterized log-linear rates (ref: GlmSubstitutionModel.java
+    + inference/distribution/GeneralizedLinearModel): rate vector =
+    exp(X @ (beta * delta)) with optional BSSVS indicators delta on the
+    coefficients. design: [n_rates, n_covariates]."""
+    beta = coefficients if indicators is None else coefficients * indicators
+    return jnp.exp(design @ beta)
+
+
+def covarion_q(
+    base_rates_sym: jnp.ndarray,  # [S,S] symmetric exchangeabilities
+    freqs: jnp.ndarray,  # [S] observed-state frequencies
+    class_rates: jnp.ndarray,  # [H] rate multiplier of each hidden class
+    class_freqs: jnp.ndarray,  # [H] equilibrium class frequencies
+    switch_rate,  # scalar class-switching rate
+):
+    """Markov-modulated (covarion) generator on S*H product states
+    (ref: covarion TwoStateCovarionModel / MarkovModulated*): within class
+    h, substitution runs at class_rates[h] * base; classes switch (same
+    observed state) at switch_rate * class_freqs[target]. Returns
+    (q [SH,SH], product_freqs [SH]) normalized to unit expected
+    substitution+switching rate, state layout (class-major) hs = h*S + s.
+    """
+    s = freqs.shape[-1]
+    hclasses = class_rates.shape[-1]
+    dt = freqs.dtype
+    base_q = base_rates_sym * freqs[None, :]
+    base_q = base_q - jnp.diag(jnp.sum(base_q, axis=1))
+    sw = jnp.asarray(switch_rate, dt)
+    eye_s = jnp.eye(s, dtype=dt)
+    # class-block structure: diag blocks r_h * base_q + switching diagonal
+    rate_diag = jnp.zeros((hclasses, hclasses), dt).at[
+        jnp.arange(hclasses), jnp.arange(hclasses)].set(class_rates)
+    q = jnp.kron(rate_diag, base_q)
+    # switching: between (h, s) and (h', s) at sw * class_freqs[h']
+    switch = sw * jnp.broadcast_to(class_freqs[None, :], (hclasses, hclasses))
+    switch = switch * (1.0 - jnp.eye(hclasses, dtype=dt))
+    q = q + jnp.kron(switch, eye_s)
+    q = q - jnp.diag(jnp.sum(q, axis=1))
+    pf = (class_freqs[:, None] * freqs[None, :]).reshape(-1)
+    # normalize by the OBSERVED substitution flux only (class switches are
+    # hidden events and must not dilute the substitution rate — otherwise
+    # the identical-classes covarion would not reduce to the base model)
+    subst_rate = -jnp.sum(freqs * jnp.diag(base_q))
+    norm = jnp.sum(class_freqs * class_rates) * subst_rate
+    return q / norm, pf
+
+
+def expand_tip_partials_hidden(tip_partials: jnp.ndarray, h: int) -> jnp.ndarray:
+    """Tile observed-state tip partials [N,S,P] across H hidden classes ->
+    [N, H*S, P] (hidden classes are unobserved: partial 1 for each)."""
+    n, s, p = tip_partials.shape
+    return jnp.tile(tip_partials, (1, h, 1))

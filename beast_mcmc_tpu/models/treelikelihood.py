@@ -91,3 +91,53 @@ def tree_site_logliks(
     return peel_site_loglik(
         tip_partials, children, order, root, p_mats, freqs, category_weights
     )
+
+
+def tree_loglikelihood_q(
+    tip_partials: jnp.ndarray,
+    pattern_weights: jnp.ndarray,
+    parent: jnp.ndarray,
+    children: jnp.ndarray,
+    heights: jnp.ndarray,
+    root,
+    q: jnp.ndarray,  # [S,S] generator (may be non-reversible)
+    freqs: jnp.ndarray,
+    category_rates: jnp.ndarray,
+    category_weights: jnp.ndarray,
+    branch_rates,
+) -> jnp.ndarray:
+    """Tree likelihood via the expm transition path — the non-reversible /
+    covarion route (ref: ComplexSubstitutionModel + BEAGLE complex-eigen
+    setEigenDecomposition usage)."""
+    from beast_mcmc_tpu.ops.expm import transition_probs_expm
+
+    n_taxa = tip_partials.shape[0]
+    bl = branch_lengths(parent, heights) * branch_rates
+    t = bl[:, None] * category_rates[None, :]
+    p_mats = transition_probs_expm(q, t)
+    order = peel_order_from_heights(heights, n_taxa)
+    return peel_loglikelihood(
+        tip_partials, children, order, root, p_mats, freqs,
+        category_weights, pattern_weights,
+    )
+
+
+def tree_loglikelihood_pmats(
+    tip_partials: jnp.ndarray,
+    pattern_weights: jnp.ndarray,
+    children: jnp.ndarray,
+    heights: jnp.ndarray,
+    root,
+    p_mats: jnp.ndarray,  # [M,C,S,S] precomputed (e.g. epoch convolution)
+    freqs: jnp.ndarray,
+    category_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Tree likelihood from externally built branch matrices — the entry
+    point for epoch/branch-specific models (ref: BranchModel +
+    SubstitutionModelDelegate convolution)."""
+    n_taxa = tip_partials.shape[0]
+    order = peel_order_from_heights(heights, n_taxa)
+    return peel_loglikelihood(
+        tip_partials, children, order, root, p_mats, freqs,
+        category_weights, pattern_weights,
+    )
