@@ -72,3 +72,13 @@ def single_rate(mu=None, dtype=jnp.float64):
     if mu is not None:
         r = r * jnp.asarray(mu, dtype)
     return r, jnp.ones((1,), dtype)
+
+
+def free_rates(rates: jnp.ndarray, weights: jnp.ndarray):
+    """Free-rate site model (ref: siteratemodel free-rate /
+    DiscretizedSiteRateModel with explicit categories): arbitrary positive
+    rates and simplex weights, renormalized so the expected rate is 1.
+    Returns (rates [C], weights [C])."""
+    w = weights / jnp.sum(weights)
+    mean = jnp.sum(w * rates)
+    return rates / mean, w
