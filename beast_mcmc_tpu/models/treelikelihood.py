@@ -45,6 +45,15 @@ def branch_transition_matrices(
     return transition_probs(eig, t)
 
 
+def _use_pallas_peeling() -> bool:
+    """The fused Pallas kernel is the TPU hot path (2.7x the XLA scan on
+    benchmark2 shapes); CPU/GPU and the virtual-device CI mesh use the
+    scan. Trace-time static — safe under jit."""
+    import jax
+
+    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+
+
 def tree_loglikelihood(
     tip_partials: jnp.ndarray,  # [N, S, P]
     pattern_weights: jnp.ndarray,  # [P]
@@ -57,12 +66,22 @@ def tree_loglikelihood(
     category_rates: jnp.ndarray,
     category_weights: jnp.ndarray,
     branch_rates,
+    use_pallas: bool = None,
 ) -> jnp.ndarray:
     n_taxa = tip_partials.shape[0]
     p_mats = branch_transition_matrices(
         eig, parent, heights, branch_rates, category_rates
     )
     order = peel_order_from_heights(heights, n_taxa)
+    if use_pallas is None:
+        use_pallas = _use_pallas_peeling()
+    if use_pallas:
+        from beast_mcmc_tpu.ops.pallas_peeling import peel_loglikelihood_pallas
+
+        return peel_loglikelihood_pallas(
+            tip_partials, children, order, root, p_mats, freqs,
+            category_weights, pattern_weights,
+        )
     return peel_loglikelihood(
         tip_partials, children, order, root, p_mats, freqs,
         category_weights, pattern_weights,

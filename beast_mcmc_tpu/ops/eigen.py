@@ -97,12 +97,17 @@ def transition_probs(eig: EigenSystem, t: jnp.ndarray, clamp: bool = True) -> jn
     einsum so every branch and rate category lands on the MXU together.
     """
     e = jnp.exp(eig.values * t[..., None])  # [..., S]
+    # HIGHEST precision: TPU's default single-pass bf16 matmul loses the
+    # catastrophic cancellation in U exp U^-1 — small P entries come out
+    # zero/negative and short branches go exactly diagonal (observed as
+    # -inf site likelihoods on benchmark2 shapes)
     p = jnp.einsum(
         "ij,...j,jk->...ik",
         eig.U,
         e,
         eig.U_inv,
         preferred_element_type=e.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if clamp:
         p = jnp.maximum(p, 0.0)

@@ -51,8 +51,8 @@ def _node_op(p_l, p_r, post_l, post_r):
     p_*: [C,S,S], post_*: [C,S,P] -> [C,S,P].
     """
     dt = post_l.dtype
-    xl = jnp.einsum("csj,cjp->csp", p_l, post_l, preferred_element_type=dt)
-    xr = jnp.einsum("csj,cjp->csp", p_r, post_r, preferred_element_type=dt)
+    xl = jnp.einsum("csj,cjp->csp", p_l, post_l, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
+    xr = jnp.einsum("csj,cjp->csp", p_r, post_r, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
     return xl * xr
 
 
@@ -137,8 +137,8 @@ def _peel_bwd(residuals, g):
         p_r = p_matrices[r]
         post_l = post[l]
         post_r = post[r]
-        xl = jnp.einsum("csj,cjp->csp", p_l, post_l, preferred_element_type=dt)
-        xr = jnp.einsum("csj,cjp->csp", p_r, post_r, preferred_element_type=dt)
+        xl = jnp.einsum("csj,cjp->csp", p_l, post_l, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
+        xr = jnp.einsum("csj,cjp->csp", p_r, post_r, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
         x = xl * xr
         scale = jnp.max(x, axis=(0, 1))
         scale = jnp.where(scale > 0, scale, 1.0)  # stop-gradient: exact
