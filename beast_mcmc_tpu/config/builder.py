@@ -126,10 +126,16 @@ def build(spec: S.AnalysisSpec) -> Analysis:
     reg = _Registry(dtype)
 
     # ---- starting tree -------------------------------------------------
-    tip_heights = np.zeros(n_taxa)
+    if spec.tree.tip_heights:
+        tip_heights = np.asarray(
+            [spec.tree.tip_heights.get(t, 0.0) for t in taxa])
+    else:
+        tip_heights = np.zeros(n_taxa)
     if spec.tree.newick:
+        th = (dict(zip(taxa, tip_heights.tolist()))
+              if spec.tree.tip_heights else None)
         parent, children, heights, root, t_order = parse_newick(
-            spec.tree.newick, taxa=taxa)
+            spec.tree.newick, taxa=taxa, tip_heights=th)
     else:
         rng = np.random.default_rng(spec.tree.seed)
         parent, children, heights, root = simulate_coalescent_tree(

@@ -240,6 +240,8 @@ class TreeSpec:
     newick: Optional[str] = None  # starting topology; None => simulate
     sim_pop_size: float = 1.0
     seed: int = 1
+    # dated tips: taxon -> height (time before present); None => all 0
+    tip_heights: Optional[Dict[str, float]] = None
 
 
 @dataclasses.dataclass

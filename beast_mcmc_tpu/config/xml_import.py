@@ -1,0 +1,389 @@
+"""BEAST XML importer: reference-format XML -> AnalysisSpec.
+
+Role of the reference's XML model-assembly layer for the canonical BEAUti
+vocabulary (ref: src/dr/xml/XMLParser.java:131-220 parse/convert with the
+id/idref object store; the parser names are the registry entries in
+src/dr/app/beast/release_parsers.properties). This importer covers the
+TestXML-suite element census (SURVEY.md Appendix A): taxa/dates,
+alignment/sequence, patterns, constantSize / exponentialGrowth /
+gmrfSkyGridLikelihood / yuleModel / birthDeathModel tree priors, HKY /
+GTR / TN93 / JC substitution models, gamma+inv site models,
+strict / discretized-lognormal relaxed clocks, treeLikelihood partitions,
+the prior vocabulary (logNormal/normal/gamma/exponential/uniform/oneOnX/
+ctmcScale), operator weights (used for estimability), and mcmc settings.
+
+Elements outside this vocabulary raise a NotImplementedError naming the
+tag — the same contract as an unregistered parser in the reference.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import beast_mcmc_tpu.config.spec as S
+from beast_mcmc_tpu.data.alignment import Alignment, SitePatterns
+from beast_mcmc_tpu.data.datatype import AMINO_ACIDS, NUCLEOTIDES
+
+
+class XmlImportError(ValueError):
+    pass
+
+
+def _index_ids(root: ET.Element) -> Dict[str, ET.Element]:
+    store = {}
+    for el in root.iter():
+        i = el.get("id")
+        if i is not None:
+            store[i] = el
+    return store
+
+
+def _resolve(el: ET.Element, store) -> ET.Element:
+    ref = el.get("idref")
+    if ref is None:
+        return el
+    if ref not in store:
+        raise XmlImportError(f"unresolved idref {ref!r} on <{el.tag}>")
+    return store[ref]
+
+
+def _child(el, tag):
+    c = el.find(tag)
+    if c is None:
+        raise XmlImportError(f"<{el.tag}> missing <{tag}>")
+    return c
+
+
+def _first_param(el, store) -> ET.Element:
+    """The <parameter> under el (directly or one level down), resolved."""
+    p = el.find(".//parameter")
+    if p is None:
+        raise XmlImportError(f"no <parameter> under <{el.tag}>")
+    return _resolve(p, store)
+
+
+def _param_values(pel: ET.Element) -> np.ndarray:
+    v = pel.get("value")
+    if v is None:
+        return np.asarray([1.0])
+    return np.asarray([float(x) for x in v.split()])
+
+
+def _make_param(pel: ET.Element, registry: Dict[str, S.Param]) -> S.Param:
+    pid = pel.get("id")
+    if pid and pid in registry:
+        return registry[pid]
+    vals = _param_values(pel)
+    init = float(vals[0]) if vals.size == 1 else vals
+    p = S.Param(
+        init=init,
+        lower=float(pel.get("lower", 0.0)),
+        upper=float(pel.get("upper", "inf")),
+        estimate=False,  # flipped on when an operator targets it
+    )
+    if pid:
+        registry[pid] = p
+    return p
+
+
+def parse_beast_xml(text: str) -> S.AnalysisSpec:
+    root = ET.fromstring(text)
+    if root.tag != "beast":
+        raise XmlImportError(f"root element is <{root.tag}>, expected <beast>")
+    store = _index_ids(root)
+    registry: Dict[str, S.Param] = {}
+
+    # ---------------- taxa + dates ----------------
+    taxa_el = root.find("taxa")
+    dates: Dict[str, float] = {}
+    directions: Dict[str, str] = {}
+    taxa: List[str] = []
+    if taxa_el is not None:
+        for t in taxa_el.findall("taxon"):
+            name = t.get("id")
+            taxa.append(name)
+            d = t.find("date")
+            if d is not None:
+                dates[name] = float(d.get("value"))
+                directions[name] = d.get("direction", "forwards")
+    tip_heights = None
+    if dates:
+        vals = np.asarray([dates[t] for t in taxa])
+        if all(directions.get(t) == "forwards" for t in dates):
+            heights = vals.max() - vals
+        else:
+            heights = vals - vals.min()
+        tip_heights = {t: float(h) for t, h in zip(taxa, heights)}
+
+    # ---------------- alignment(s) ----------------
+    alignments: Dict[str, Alignment] = {}
+    for ael in root.findall("alignment"):
+        dt = (ael.get("dataType") or "nucleotide").lower()
+        datatype = AMINO_ACIDS if "amino" in dt else NUCLEOTIDES
+        names, seqs = [], []
+        for sel in ael.findall("sequence"):
+            tx = _resolve(_child(sel, "taxon"), store).get("id")
+            seq = "".join((sel.text or "").split())
+            for sub in sel:
+                if sub.tail:
+                    seq += "".join(sub.tail.split())
+            names.append(tx)
+            seqs.append(seq.upper())
+        alignments[ael.get("id", f"alignment{len(alignments)}")] = (
+            Alignment.from_sequences(names, seqs, datatype, dates=tip_heights)
+        )
+
+    # ---------------- patterns ----------------
+    patterns: Dict[str, SitePatterns] = {}
+    for pel in root.findall("patterns"):
+        aref = _resolve(_child(pel, "alignment"), store)
+        aln = alignments[aref.get("id")]
+        lo = int(pel.get("from", 1)) - 1
+        hi = int(pel.get("to", 0)) - 1  # -1 => end
+        every = int(pel.get("every", 1))
+        patterns[pel.get("id", f"patterns{len(patterns)}")] = (
+            SitePatterns.from_alignment(aln, site_range=(lo, hi), every=every)
+        )
+
+    # ---------------- frequency helper ----------------
+    def parse_frequencies(fel) -> object:
+        fm = fel.find(".//frequencyModel")
+        if fm is None:
+            return "empirical"
+        par = fm.find(".//parameter")
+        if par is not None and par.get("value"):
+            return [float(x) for x in par.get("value").split()]
+        return "empirical"
+
+    # ---------------- substitution models ----------------
+    substitutions: Dict[str, object] = {}
+    for el in root.iter():
+        if el.get("idref"):
+            continue
+        if el.tag == "HKYModel":
+            kp = _make_param(_first_param(_child(el, "kappa"), store), registry)
+            substitutions[el.get("id")] = S.HKY(
+                kappa=kp, frequencies=parse_frequencies(_child(el, "frequencies"))
+            )
+        elif el.tag == "gtrModel":
+            freqs = parse_frequencies(_child(el, "frequencies"))
+            # six exchangeabilities as separate elements (reference order)
+            names = [("rateAC", "ac"), ("rateAG", "ag"), ("rateAT", "at"),
+                     ("rateCG", "cg"), ("rateCT", "ct"), ("rateGT", "gt")]
+            vals = []
+            for long, short in names:
+                sub = el.find(long) if el.find(long) is not None else el.find(short)
+                vals.append(
+                    float(_param_values(_first_param(sub, store))[0])
+                    if sub is not None else 1.0
+                )
+            rp = S.Param(init=np.asarray(vals), estimate=False,
+                         operator_weight=2.0)
+            # register under each component parameter id for prior/operator
+            for long, short in names:
+                sub = el.find(long) if el.find(long) is not None else el.find(short)
+                if sub is not None:
+                    pel = _first_param(sub, store)
+                    if pel.get("id"):
+                        registry[pel.get("id")] = rp
+            substitutions[el.get("id")] = S.GTR(rates=rp, frequencies=freqs)
+        elif el.tag == "TN93Model":
+            k1 = _make_param(_first_param(_child(el, "kappa1"), store), registry)
+            k2 = _make_param(_first_param(_child(el, "kappa2"), store), registry)
+            substitutions[el.get("id")] = S.TN93(
+                kappa1=k1, kappa2=k2,
+                frequencies=parse_frequencies(_child(el, "frequencies")),
+            )
+        elif el.tag == "jcModel":
+            substitutions[el.get("id")] = S.JC69()
+
+    # ---------------- site models ----------------
+    site_models: Dict[str, S.SiteModel] = {}
+    site_model_subst: Dict[str, str] = {}
+    for el in root.findall("siteModel"):
+        sub_el = el.find("substitutionModel")
+        sref = None
+        if sub_el is not None:
+            inner = list(sub_el)[0]
+            sref = _resolve(inner, store).get("id")
+        alpha = None
+        n_cats = 1
+        g = el.find("gammaShape")
+        if g is not None:
+            n_cats = int(g.get("gammaCategories", 4))
+            alpha = _make_param(_first_param(g, store), registry)
+        pinv = None
+        pi = el.find("proportionInvariant")
+        if pi is not None:
+            pinv = _make_param(_first_param(pi, store), registry)
+        mu = None
+        mr = el.find("mutationRate") if el.find("mutationRate") is not None else el.find("relativeRate")
+        if mr is not None:
+            mu = _make_param(_first_param(mr, store), registry)
+        site_models[el.get("id")] = S.SiteModel(
+            categories=n_cats, alpha=alpha, p_invariant=pinv, mu=mu
+        )
+        site_model_subst[el.get("id")] = sref
+
+    # ---------------- clock ----------------
+    clock = S.StrictClock()
+    for el in root.findall("strictClockBranchRates"):
+        rp = _make_param(_first_param(_child(el, "rate"), store), registry)
+        clock = S.StrictClock(rate=rp)
+    for el in root.findall("discretizedBranchRates"):
+        dist = el.find(".//logNormalDistributionModel")
+        if dist is None:
+            raise NotImplementedError(
+                "discretizedBranchRates without logNormalDistributionModel")
+        mean = _make_param(_first_param(_child(dist, "mean"), store), registry)
+        stdev = _make_param(_first_param(_child(dist, "stdev"), store), registry)
+        clock = S.RelaxedClockLognormal(mean=mean, stdev=stdev)
+
+    # ---------------- tree prior ----------------
+    tree_prior: object = S.ConstantCoalescent()
+    for el in root.findall("constantSize"):
+        pp = _make_param(_first_param(_child(el, "populationSize"), store), registry)
+        tree_prior = S.ConstantCoalescent(pop_size=pp)
+    for el in root.findall("exponentialGrowth"):
+        pp = _make_param(_first_param(_child(el, "populationSize"), store), registry)
+        gr_el = el.find("growthRate") if el.find("growthRate") is not None else el.find("doublingTime")
+        gp = _make_param(_first_param(gr_el, store), registry)
+        gp.lower = -float("inf")
+        tree_prior = S.ExponentialGrowthCoalescent(pop_size=pp, growth_rate=gp)
+    for el in root.findall("gmrfSkyGridLikelihood"):
+        prec = _make_param(
+            _first_param(_child(el, "precisionParameter"), store), registry)
+        n_cells = 16
+        cutoff = 1.0
+        pp = el.find("populationSizes")
+        if pp is not None:
+            pel = pp.find(".//parameter")
+            if pel is not None and pel.get("dimension"):
+                n_cells = int(pel.get("dimension"))
+        ng = el.find("numGridPoints")
+        if ng is not None:
+            n_cells = int(_param_values(ng.find(".//parameter"))[0]) + 1
+        co = el.find("cutOff")
+        if co is not None:
+            cutoff = float(_param_values(co.find(".//parameter"))[0])
+        tree_prior = S.SkygridCoalescent(
+            n_cells=n_cells, cutoff=cutoff, precision=prec)
+    for el in root.findall("yuleModel"):
+        bp = _make_param(_first_param(_child(el, "birthRate"), store), registry)
+        tree_prior = S.YulePrior(birth_rate=bp)
+    for el in root.findall("birthDeathModel"):
+        bd = _make_param(
+            _first_param(_child(el, "birthMinusDeathRate"), store), registry)
+        rd = _make_param(
+            _first_param(_child(el, "relativeDeathRate"), store), registry)
+        tree_prior = S.BirthDeathPrior(
+            birth_diff_rate=bd, relative_death_rate=rd)
+
+    # ---------------- partitions (treeLikelihood elements) ----------------
+    partitions: List[S.Partition] = []
+    for el in list(root.findall("treeLikelihood")) + list(
+            root.findall("treeDataLikelihood")):
+        if el.get("idref"):
+            continue
+        pref = el.find("patterns")
+        sref = el.find("siteModel")
+        if pref is None or sref is None:
+            continue
+        pats = patterns[_resolve(pref, store).get("id")]
+        sm_id = _resolve(sref, store).get("id")
+        sm = site_models[sm_id]
+        sub = substitutions.get(site_model_subst.get(sm_id)) or S.HKY()
+        partitions.append(S.Partition(
+            patterns=pats, substitution=sub, site_model=sm,
+            name=el.get("id", f"partition{len(partitions)}"),
+            use_ambiguities=el.get("useAmbiguities", "false") == "true",
+        ))
+    if not partitions and patterns:
+        first = next(iter(patterns.values()))
+        partitions.append(S.Partition(patterns=first))
+
+    # ---------------- priors ----------------
+    def attach_prior(pel_container, prior):
+        for pref in pel_container.findall("parameter"):
+            rid = pref.get("idref")
+            if rid and rid in registry:
+                registry[rid].prior = prior
+
+    mcmc_el = root.find("mcmc")
+    prior_el = mcmc_el.find(".//prior") if mcmc_el is not None else None
+    if prior_el is not None:
+        for el in prior_el:
+            tag = el.tag
+            if tag == "logNormalPrior":
+                in_real = el.get("meanInRealSpace", "false") == "true"
+                mean = float(el.get("mean", 0.0))
+                stdev = float(el.get("stdev", 1.0))
+                mu = (np.log(mean) - 0.5 * stdev**2) if in_real else mean
+                attach_prior(el, S.LogNormalPrior(mu=float(mu), sigma=stdev))
+            elif tag == "normalPrior":
+                attach_prior(el, S.NormalPrior(
+                    mean=float(el.get("mean", 0.0)),
+                    stdev=float(el.get("stdev", 1.0))))
+            elif tag == "gammaPrior":
+                attach_prior(el, S.GammaPrior(
+                    shape=float(el.get("shape", 1.0)),
+                    scale=float(el.get("scale", 1.0))))
+            elif tag == "exponentialPrior":
+                attach_prior(el, S.ExponentialPrior(
+                    mean=float(el.get("mean", 1.0))))
+            elif tag == "uniformPrior":
+                attach_prior(el, S.UniformPrior(
+                    lower=float(el.get("lower", 0.0)),
+                    upper=float(el.get("upper", 1.0))))
+            elif tag == "oneOnXPrior":
+                attach_prior(el, S.OneOnXPrior())
+            elif tag == "ctmcScalePrior":
+                sub = el.find("ctmcScale")
+                if sub is not None:
+                    attach_prior(sub, S.CTMCScalePrior())
+            elif tag in ("coalescentLikelihood", "gmrfSkyGridLikelihood",
+                         "speciationLikelihood"):
+                pass  # the tree prior, already assembled
+            else:
+                raise NotImplementedError(f"prior element <{tag}>")
+
+    # ---------------- operators -> estimability ----------------
+    ops_el = root.find("operators")
+    if ops_el is not None:
+        for op in ops_el:
+            for pref in op.findall(".//parameter"):
+                rid = pref.get("idref")
+                if rid and rid in registry:
+                    registry[rid].estimate = True
+                    w = float(op.get("weight", 1.0))
+                    registry[rid].operator_weight = max(
+                        registry[rid].operator_weight, w)
+
+    # tree-height parameters (treeModel.*) are not free params here —
+    # topology/height operators are auto-generated by the builder.
+
+    # ---------------- mcmc settings ----------------
+    chain_length = 100_000
+    log_every = 1000
+    if mcmc_el is not None:
+        chain_length = int(mcmc_el.get("chainLength", chain_length))
+        for lg in mcmc_el.findall("log"):
+            if lg.get("fileName"):
+                log_every = int(lg.get("logEvery", log_every))
+
+    spec = S.AnalysisSpec(
+        partitions=partitions,
+        tree=S.TreeSpec(tip_heights=tip_heights),
+        clock=clock,
+        tree_prior=tree_prior,
+        mcmc=S.MCMCSpec(chain_length=chain_length, log_every=log_every),
+    )
+    return spec
+
+
+def parse_beast_xml_file(path: str) -> S.AnalysisSpec:
+    with open(path) as f:
+        return parse_beast_xml(f.read())
