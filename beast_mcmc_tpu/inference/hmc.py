@@ -16,6 +16,7 @@ so the host MH kernel (which compares pi_x) remains exact.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -48,7 +49,7 @@ class HmcOperator(Operator):
         self._log_posterior = log_posterior
 
     def initial_adapt(self) -> float:
-        return float(jnp.log(self.step_size))
+        return math.log((self.step_size))
 
     def tuning(self, adapt_value):
         return jnp.exp(adapt_value)

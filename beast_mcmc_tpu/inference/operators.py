@@ -31,6 +31,7 @@ Proposal/Hastings conventions are cited per operator:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -122,7 +123,7 @@ class ScaleOperator(Operator):
     adaptable: bool = True
 
     def initial_adapt(self) -> float:
-        return float(jnp.log(1.0 / self.scale_factor - 1.0))
+        return math.log((1.0 / self.scale_factor - 1.0))
 
     def tuning(self, adapt_value):
         return 1.0 / (jnp.exp(adapt_value) + 1.0)
@@ -164,7 +165,7 @@ class RandomWalkOperator(Operator):
     adaptable: bool = True
 
     def initial_adapt(self) -> float:
-        return float(jnp.log(self.window))
+        return math.log((self.window))
 
     def tuning(self, adapt_value):
         return jnp.exp(adapt_value)
@@ -197,7 +198,7 @@ class DeltaExchangeOperator(Operator):
     adaptable: bool = True
 
     def initial_adapt(self) -> float:
-        return float(jnp.log(self.delta))
+        return math.log((self.delta))
 
     def tuning(self, adapt_value):
         return jnp.exp(adapt_value)
@@ -232,7 +233,7 @@ class UpDownOperator(Operator):
     adaptable: bool = True
 
     def initial_adapt(self) -> float:
-        return float(jnp.log(1.0 / self.scale_factor - 1.0))
+        return math.log((1.0 / self.scale_factor - 1.0))
 
     def tuning(self, adapt_value):
         return 1.0 / (jnp.exp(adapt_value) + 1.0)
@@ -311,7 +312,7 @@ class RootHeightScaleOperator(Operator):
     adaptable: bool = True
 
     def initial_adapt(self) -> float:
-        return float(jnp.log(1.0 / self.scale_factor - 1.0))
+        return math.log((1.0 / self.scale_factor - 1.0))
 
     def tuning(self, adapt_value):
         return 1.0 / (jnp.exp(adapt_value) + 1.0)
@@ -487,3 +488,74 @@ class BitFlipOperator(Operator):
         else:
             logq = jnp.asarray(0.0, fdt)
         return {**params, self.parameter: flipped}, tree, logq
+
+
+@dataclasses.dataclass
+class JointOperator(Operator):
+    """Apply sub-operators in sequence on the same draw, summing their
+    log-Hastings corrections (ref: src/dr/inference/operators/
+    JointOperator.java — used to move correlated parameters together).
+    Sub-operators use their own static tuning (not adapted)."""
+
+    sub_operators: Sequence[Operator] = ()
+
+    def propose(self, params, tree, key, tuning):
+        logh = jnp.asarray(0.0, tree.heights.dtype)
+        for i, op in enumerate(self.sub_operators):
+            key, sub = jax.random.split(key)
+            out = op.propose(params, tree, sub, op.tuning(op.initial_adapt()))
+            params, tree, lh = out[0], out[1], out[2]
+            logh = logh + lh
+        return params, tree, logh
+
+
+@dataclasses.dataclass
+class NormalGammaPrecisionGibbsOperator(Operator):
+    """Conjugate Gibbs draw of a normal precision given residuals (ref:
+    src/dr/inference/operators/NormalGammaPrecisionGibbsOperator.java):
+    tau | x ~ Gamma(shape + n/2, rate + sum((x-mu)^2)/2). Always accepted
+    (Gibbs): log-Hastings = +inf, internal acceptance statistic 1.
+
+    data_parameter: params key holding the observations; mean_parameter:
+    params key for the (scalar) mean; precision_parameter: target.
+    """
+
+    data_parameter: str = ""
+    mean_parameter: str = ""
+    precision_parameter: str = ""
+    prior_shape: float = 0.001
+    prior_rate: float = 0.001
+
+    def propose(self, params, tree, key, tuning):
+        x = jnp.atleast_1d(params[self.data_parameter])
+        mu = params[self.mean_parameter]
+        n = x.shape[0]
+        shape = self.prior_shape + 0.5 * n
+        rate = self.prior_rate + 0.5 * jnp.sum((x - mu) ** 2)
+        tau = jax.random.gamma(key, shape, dtype=x.dtype) / rate
+        new = {**params, self.precision_parameter: tau}
+        return new, tree, jnp.asarray(jnp.inf, tree.heights.dtype), jnp.asarray(1.0, tree.heights.dtype)
+
+
+@dataclasses.dataclass
+class NormalNormalMeanGibbsOperator(Operator):
+    """Conjugate Gibbs draw of a normal mean given data and precision
+    (ref: src/dr/inference/operators/NormalNormalMeanGibbsOperator.java):
+    mu | x ~ N((p0 m0 + n tau xbar)/(p0 + n tau), 1/(p0 + n tau))."""
+
+    data_parameter: str = ""
+    mean_parameter: str = ""
+    precision_parameter: str = ""
+    prior_mean: float = 0.0
+    prior_precision: float = 1e-4
+
+    def propose(self, params, tree, key, tuning):
+        x = jnp.atleast_1d(params[self.data_parameter])
+        tau = params[self.precision_parameter]
+        n = x.shape[0]
+        post_prec = self.prior_precision + n * tau
+        post_mean = (self.prior_precision * self.prior_mean
+                     + tau * jnp.sum(x)) / post_prec
+        mu = post_mean + jax.random.normal(key, dtype=x.dtype) / jnp.sqrt(post_prec)
+        new = {**params, self.mean_parameter: mu}
+        return new, tree, jnp.asarray(jnp.inf, tree.heights.dtype), jnp.asarray(1.0, tree.heights.dtype)

@@ -23,6 +23,7 @@ retry loops for the symmetric FNPR, exact for the others).
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -339,3 +340,137 @@ class FNPROperator(Operator):
         new_tree = tree.replace(parent=par, children=ch)
         logq = jnp.where(valid, 0.0, NEG_INF).astype(fdt)
         return params, new_tree, logq
+
+
+@dataclasses.dataclass
+class NNIOperator(Operator):
+    """Nearest-neighbour interchange (ref:
+    src/dr/evomodel/operators/NNI.java — pick a random non-root node whose
+    parent is non-root, swap it with its uncle; equivalent move set to
+    narrow exchange but drawn edge-first). Symmetric; invalid when the
+    uncle is older than the node's parent."""
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        root = tree.root
+        # any node except root and the root's children (its parent must
+        # have a grandparent)
+        ex = jnp.stack([root, tree.children[root, 0], tree.children[root, 1]])
+        i = sample_excluding(key, m, ex)
+        ip = tree.parent[i]
+        igp = tree.parent[ip]
+        uncle = other_child(tree.children, igp, ip)
+        valid = (tree.heights[uncle] < tree.heights[ip]) & (
+            tree.heights[i] < tree.heights[igp]
+        )
+        parent = tree.parent.at[i].set(igp).at[uncle].set(ip)
+        children = replace_child(tree.children, ip, i, uncle)
+        children = replace_child(children, igp, uncle, i)
+        tree = tree.replace(parent=parent, children=children)
+        return params, tree, jnp.where(valid, 0.0, NEG_INF)
+
+
+@dataclasses.dataclass
+class FixedHeightSPROperator(Operator):
+    """Fixed-height subtree prune-regraft (ref:
+    src/dr/evomodel/operators/FixedHeightSubtreePruneRegraftOperator.java:66-133
+    — prune the parent edge of a random node i (root and root children
+    excluded) and regraft it, at its unchanged height, onto a uniform
+    edge intersecting that height). The intersecting-edge count at the
+    fixed height is conserved by the move, so the proposal is symmetric
+    (the reference returns 0.0)."""
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        root = tree.root
+        h = tree.heights
+        k1, k2 = jax.random.split(key)
+        ex = jnp.stack([root, tree.children[root, 0], tree.children[root, 1]])
+        i = sample_excluding(k1, m, ex)
+        ip = tree.parent[i]
+        cip = other_child(tree.children, ip, i)
+        pip = tree.parent[ip]
+        height = h[ip]
+        # edges spanning `height`, excluding i's own edge and the sibling
+        # edge (both touch iP exactly at `height`)
+        allmask = jnp.ones((m,), bool)
+        cand = intersecting_edges(tree.parent, h, allmask, height)
+        cand = cand.at[i].set(False).at[cip].set(False)
+        j, count = sample_masked(k2, cand)
+        jp = tree.parent[j]
+        valid = count > 0
+        # detach iP (bridge CiP to PiP), splice iP into <jP, j>
+        children = replace_child(tree.children, pip, ip, cip)
+        children = replace_child(children, jp, j, ip)
+        children = replace_child(children, ip, cip, j)
+        parent = tree.parent.at[cip].set(pip).at[ip].set(jp).at[j].set(ip)
+        tree = tree.replace(parent=parent, children=children)
+        return params, tree, jnp.where(valid, 0.0, NEG_INF)
+
+
+@dataclasses.dataclass
+class ScaleNodeHeightOperator(Operator):
+    """Scale one random internal (non-root) node height within its
+    (oldest child, parent) window (ref:
+    src/dr/evomodel/operators/ScaleNodeHeightOperator.java with
+    NodeHeightOperatorParser.OperatorType SCALEALL=false; root handled by
+    RootHeightScaleOperator)."""
+
+    scale_factor: float = 0.9
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return math.log((1.0 / self.scale_factor - 1.0))
+
+    def tuning(self, adapt_value):
+        return 1.0 / (jnp.exp(adapt_value) + 1.0)
+
+    def propose(self, params, tree, key, tuning):
+        from beast_mcmc_tpu.inference.operators import _scale_draw
+
+        m = tree.parent.shape[0]
+        n_taxa = (m + 1) // 2
+        k1, k2 = jax.random.split(key)
+        r = jax.random.randint(k1, (), 0, m - n_taxa - 1,
+                               dtype=tree.parent.dtype) + n_taxa
+        node = r + (r >= tree.root).astype(r.dtype)
+        s = _scale_draw(k2, tuning)
+        new_h = tree.heights[node] * s
+        lo = jnp.maximum(tree.heights[tree.children[node, 0]],
+                         tree.heights[tree.children[node, 1]])
+        hi = tree.heights[tree.parent[node]]
+        ok = (new_h > lo) & (new_h < hi)
+        tree = tree.replace(heights=tree.heights.at[node].set(new_h))
+        return params, tree, jnp.where(ok, -jnp.log(s), NEG_INF)
+
+
+@dataclasses.dataclass
+class RandomWalkNodeHeightOperator(Operator):
+    """Random-walk move on one random internal (non-root) node height
+    (ref: src/dr/evomodel/operators/RandomWalkNodeHeightOperator.java);
+    symmetric, rejected outside the (oldest child, parent) window."""
+
+    window: float = 1.0
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return math.log((self.window))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        n_taxa = (m + 1) // 2
+        k1, k2 = jax.random.split(key)
+        r = jax.random.randint(k1, (), 0, m - n_taxa - 1,
+                               dtype=tree.parent.dtype) + n_taxa
+        node = r + (r >= tree.root).astype(r.dtype)
+        delta = (jax.random.uniform(k2, dtype=tree.heights.dtype) * 2 - 1) * tuning
+        new_h = tree.heights[node] + delta
+        lo = jnp.maximum(tree.heights[tree.children[node, 0]],
+                         tree.heights[tree.children[node, 1]])
+        hi = tree.heights[tree.parent[node]]
+        ok = (new_h > lo) & (new_h < hi)
+        tree = tree.replace(heights=tree.heights.at[node].set(new_h))
+        return params, tree, jnp.where(ok, 0.0, NEG_INF)
