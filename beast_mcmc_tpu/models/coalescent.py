@@ -311,3 +311,30 @@ def sir_coalescent_loglik(
         return base + over
 
     return coalescent_loglik(heights, n_taxa, log_pop, intensity)
+
+
+def multilocus_skygrid_loglik(
+    heights_list,   # sequence of [M_l] height arrays, one per locus tree
+    n_taxa_list,    # sequence of taxon counts
+    log_pop_sizes: jnp.ndarray,   # gamma[K] shared across loci
+    cut_points: jnp.ndarray,      # [K-1] shared grid
+    ploidy_factors=None,          # [L] per-locus population-size scaling
+) -> jnp.ndarray:
+    """Multilocus skygrid: several locus trees share one piecewise-constant
+    N(t) grid; each locus may scale N by a ploidy factor (ref:
+    src/dr/evomodel/coalescent/GMRFMultilocusSkyrideLikelihood.java:53 —
+    per-locus interval sums against shared gridPoints, populationFactors).
+    Per-locus effective log N = gamma + log(ploidy); total = sum of locus
+    coalescent densities (the GMRF smoothing prior is gmrf_log_prior,
+    applied once)."""
+    total = jnp.asarray(0.0, log_pop_sizes.dtype)
+    n_loci = len(heights_list)
+    if ploidy_factors is None:
+        ploidy_factors = [1.0] * n_loci
+    for heights, n_taxa, ploidy in zip(heights_list, n_taxa_list,
+                                       ploidy_factors):
+        gamma_eff = log_pop_sizes + jnp.log(
+            jnp.asarray(ploidy, log_pop_sizes.dtype)
+        )
+        total = total + skygrid_loglik(heights, n_taxa, gamma_eff, cut_points)
+    return total
