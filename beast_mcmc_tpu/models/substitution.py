@@ -128,6 +128,25 @@ def gy94_eigen(kappa, omega, codon_freqs, code=None) -> EigenSystem:
     return reversible_eigen(r, codon_freqs)
 
 
+def mg94_eigen(alpha, beta, kappa, codon_freqs, code=None) -> EigenSystem:
+    """Muse-Gaut 1994 codon model, HKY-parameterised (ref:
+    src/dr/evomodel/substmodel/codon/MG94HKYCodonModel.java:173-198 —
+    synonymous rate alpha (dS), non-synonymous beta (dN), each times
+    kappa for transitions; multi-position changes 0). MG94+K80 is the
+    uniform-codon-frequency special case (MG94K80CodonModel.java)."""
+    from beast_mcmc_tpu.data.codons import UNIVERSAL_CODE, codon_structure
+
+    single, is_ts, is_nonsyn = codon_structure(code or UNIVERSAL_CODE)
+    single = jnp.asarray(single, codon_freqs.dtype)
+    is_ts = jnp.asarray(is_ts, codon_freqs.dtype)
+    is_nonsyn = jnp.asarray(is_nonsyn, codon_freqs.dtype)
+    kappa = jnp.asarray(kappa, codon_freqs.dtype)
+    alpha = jnp.asarray(alpha, codon_freqs.dtype)
+    beta = jnp.asarray(beta, codon_freqs.dtype)
+    r = single * kappa ** is_ts * jnp.where(is_nonsyn > 0, beta, alpha)
+    return reversible_eigen(r, codon_freqs)
+
+
 # ---------------------------------------------------------------------------
 # Non-reversible / GLM / covarion generators (ref:
 # ComplexSubstitutionModel.java, GlmSubstitutionModel.java,
