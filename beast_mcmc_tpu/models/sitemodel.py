@@ -38,16 +38,19 @@ def discrete_gamma_rates(
     """
     alpha = jnp.asarray(alpha, dtype)
     k = n_categories
-    quantiles = (2.0 * jnp.arange(k, dtype=dtype) + 1.0) / (2.0 * k)
-    raw = gamma_quantile(quantiles, alpha, 1.0 / alpha)
+    # Chebyshev-tabulated log-quantiles (ops.special): the scale 1/alpha
+    # cancels in the mean normalization, and normalizing in log space
+    # stays exact even where the raw quantiles underflow (tiny alpha).
+    lq = log_gamma_category_quantiles(alpha, k)
+    lnorm = jax.nn.logsumexp(lq) - jnp.log(jnp.asarray(float(k), dtype))
     if p_invariant is None:
-        rates = raw / jnp.mean(raw)
+        rates = jnp.exp(lq - lnorm)
         weights = jnp.full((k,), 1.0 / k, dtype)
     else:
         p_inv = jnp.asarray(p_invariant, dtype)
         prop_var = 1.0 - p_inv
         # ref normalization: rate_i = q_i * K / (propVar * sum q)
-        rates = raw / (prop_var * jnp.mean(raw))
+        rates = jnp.exp(lq - lnorm) / prop_var
         rates = jnp.concatenate([jnp.zeros((1,), dtype), rates])
         weights = jnp.concatenate(
             [p_inv[None], jnp.full((k,), 1.0, dtype) * prop_var / k]

@@ -114,3 +114,71 @@ def gamma_quantile(p, shape, scale=1.0):
 
     u = jax.lax.fori_loop(0, _NEWTON_ITERS, newton, u0)
     return jnp.exp(u) * scale
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev-tabulated gamma category quantiles — the MCMC hot path.
+#
+# The site-model only ever needs the K median quantiles q_i(alpha) at the
+# FIXED probabilities p_i = (2i+1)/(2K): K smooth univariate functions of
+# log(alpha). Ablation on TPU put the in-jit Newton inversion above at
+# ~0.31 ms/step (37% of the whole benchmark2 MH step — 25 Newton iters x
+# 240 fixed series/CF iterations of 4-lane vector ops, all sequential).
+# A degree-80 Chebyshev fit of log q_i over alpha in [1e-3, 1e3] is
+# accurate to ~1e-9 absolute in log-space and evaluates as ONE cos()
+# vector + one [K, deg+1] matvec — no sequential loop at all.
+# Coefficients are fitted host-side once per K (scipy if available,
+# else the in-package Newton inversion) and baked into the jaxpr as
+# constants.
+# ---------------------------------------------------------------------------
+
+_CHEB_LO, _CHEB_HI = -3.0 * 2.302585092994046, 3.0 * 2.302585092994046
+_CHEB_DEG = 80
+_cheb_cache: dict = {}
+
+
+def _fit_category_quantile_coeffs(k: int):
+    import numpy as np
+
+    deg = _CHEB_DEG
+    ps = (2.0 * np.arange(k) + 1.0) / (2.0 * k)
+    xc = np.cos(np.pi * (np.arange(deg + 1) + 0.5) / (deg + 1))
+    la = 0.5 * (xc + 1.0) * (_CHEB_HI - _CHEB_LO) + _CHEB_LO
+    a = np.exp(la)
+    try:
+        from scipy.special import gammaincinv, gammaln as _gln
+
+        def lq(aa, p):
+            q = gammaincinv(aa, p)
+            asym = (np.log(p) + _gln(aa + 1.0)) / aa
+            return np.where(q < 1e-250, asym,
+                            np.log(np.maximum(q, 1e-300)))
+    except Exception:  # pragma: no cover - scipy is in the image
+        def lq(aa, p):
+            return np.log(np.asarray(
+                gamma_quantile(jnp.full(aa.shape, p, jnp.float64),
+                               jnp.asarray(aa, jnp.float64))))
+
+    coeffs = np.stack([
+        np.polynomial.chebyshev.chebfit(xc, lq(a, p), deg) for p in ps
+    ])  # [K, deg+1]
+    return coeffs
+
+
+def log_gamma_category_quantiles(alpha, n_categories: int):
+    """log q_i(alpha) at p_i = (2i+1)/(2K), scale 1 — [K]. alpha is
+    clamped to [1e-3, 1e3] (the fitted range; outside it the discrete
+    gamma is numerically all-or-one-category anyway)."""
+    if n_categories not in _cheb_cache:
+        _cheb_cache[n_categories] = _fit_category_quantile_coeffs(
+            n_categories)
+    dt = jnp.asarray(alpha).dtype
+    coeffs = jnp.asarray(_cheb_cache[n_categories], dt)
+    la = jnp.log(jnp.clip(jnp.asarray(alpha, dt),
+                          jnp.exp(jnp.asarray(_CHEB_LO, dt)),
+                          jnp.exp(jnp.asarray(_CHEB_HI, dt))))
+    x = jnp.clip(2.0 * (la - _CHEB_LO) / (_CHEB_HI - _CHEB_LO) - 1.0,
+                 -1.0, 1.0)
+    theta = jnp.arccos(x)
+    basis = jnp.cos(jnp.arange(_CHEB_DEG + 1, dtype=dt) * theta)
+    return coeffs @ basis
