@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from beast_mcmc_tpu.ops.special import gamma_quantile
+from beast_mcmc_tpu.ops.special import gamma_quantile, log_gamma_category_quantiles
 
 
 def discrete_gamma_rates(
