@@ -90,6 +90,50 @@ def build_analysis(
             ScaleOperator(parameter="gtr.rates", weight=2.0),
             ScaleOperator(parameter="alpha", weight=1.0),
         ]
+    elif model == "hky_codon3":
+        # benchmark1 shape (ref: examples/Benchmarks/benchmark1.xml —
+        # HKY x 3 codon-position partitions, per-partition kappa + relative
+        # rate, strict clock, constant coalescent). n_patterns is the
+        # per-partition pattern count; partitions share the tree and clock.
+        from beast_mcmc_tpu.models.treelikelihood import (
+            multipartition_loglikelihood,
+        )
+        from beast_mcmc_tpu.inference.operators import DeltaExchangeOperator
+
+        k_parts = 3
+        tips3, weights3 = [], []
+        for k in range(k_parts):
+            tp, w = synthetic_tips(n_taxa, n_patterns, seed + 10 * k, np.float32)
+            tp, w = pad_patterns(tp.astype(dtype), w.astype(dtype), pad_multiple)
+            tips3.append(tp)
+            weights3.append(w)
+        tips = jnp.stack(tips3)  # [3, N, 4, P]
+        weights = jnp.stack(weights3)  # [3, P]
+        freqs3 = jnp.broadcast_to(freqs, (k_parts, 4))
+
+        def log_lik(params, tree):
+            eigs = jax.vmap(lambda kap, f: hky_eigen(kap, f))(
+                params["kappa"], freqs3
+            )
+            base_rates, base_w = single_rate(dtype=dtype)
+            cat_rates = params["mu"][:, None] * base_rates[None, :]
+            cat_w = jnp.broadcast_to(base_w, (k_parts, 1))
+            return multipartition_loglikelihood(
+                tips, weights, tree.parent, tree.children, tree.heights,
+                tree.root, eigs, freqs3, cat_rates, cat_w,
+                params["clock.rate"],
+            )
+
+        params0 = {
+            "kappa": jnp.full((k_parts,), 2.0, dtype),
+            "mu": jnp.ones((k_parts,), dtype),
+            "clock.rate": jnp.asarray(1.0, dtype),
+            "pop.size": jnp.asarray(0.5, dtype),
+        }
+        extra_ops = [
+            ScaleOperator(parameter="kappa", weight=3.0),
+            DeltaExchangeOperator(parameter="mu", weight=3.0),
+        ]
     elif model == "hky":
         def log_lik(params, tree):
             eig = hky_eigen(params["kappa"], freqs)

@@ -108,3 +108,102 @@ class HmcOperator(Operator):
         logh = jnp.where(ok, logh, NEG_INF)
         y1 = jnp.where(ok, y1, y0)
         return self._unpack(params, y1), tree, logh
+
+
+@dataclasses.dataclass
+class NodeHeightHmcOperator(Operator):
+    """HMC over ALL internal node heights of the current topology.
+
+    The reference needs the NodeHeightTransform ratios machinery plus
+    BEAGLE pre-order edge derivatives for this (ref: src/dr/evomodel/
+    treedatalikelihood/discrete/NodeHeightTransform.java:42,
+    NodeHeightToRatiosTransformDelegate.java); here the ratios map lives in
+    tree/transforms.py and jax.grad differentiates straight through it and
+    the peeling kernel.
+
+    Unconstrained coordinates: z_i = logit(ratio_i) for internal non-root
+    nodes, z_root = log(rootHeight - max tip height). HMC targets
+    pi_z(z) = pi_h(h(z)) |dh/dz|; the outer MH kernel compares pi_h, so the
+    returned Hastings term is K_old - K_new + log|dh/dz|(z1) - log|dh/dz|(z0).
+    """
+
+    n_leapfrog: int = 10
+    step_size: float = 0.02
+    mass: float = 1.0
+    adaptable: bool = True
+    target_acceptance: float = 0.8
+    _log_posterior: Optional[Callable] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    def bind_log_posterior(self, log_posterior):
+        self._log_posterior = log_posterior
+
+    def initial_adapt(self) -> float:
+        return math.log(self.step_size)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        from beast_mcmc_tpu.tree.transforms import (
+            heights_to_ratios,
+            ratios_to_heights,
+        )
+
+        assert self._log_posterior is not None, "operator not bound"
+        lp_fn = self._log_posterior
+        eps = tuning
+        dt = tree.heights.dtype
+        n_taxa = tree.n_taxa
+        parent, children, root = tree.parent, tree.children, tree.root
+        tip_h = tree.heights[:n_taxa]
+        max_tip = jnp.max(tip_h)
+        internal = jnp.arange(n_taxa, parent.shape[0])
+        is_root = internal == root
+
+        ratios, rh = heights_to_ratios(parent, children, tree.heights, root, n_taxa)
+        z0 = jnp.where(
+            is_root,
+            jnp.log(rh - max_tip),
+            jax.scipy.special.logit(jnp.clip(ratios, 1e-12, 1.0 - 1e-12)),
+        ).astype(dt)
+
+        def h_of_z(z):
+            r = jax.nn.sigmoid(z)
+            root_h = max_tip + jnp.exp(jnp.sum(jnp.where(is_root, z, 0.0)))
+            heights, logj = ratios_to_heights(
+                parent, children, tip_h, r, root_h, root, n_taxa
+            )
+            # |dh/dz| = J(ratios->heights) * prod r(1-r) * (rootHeight-maxTip)
+            logdet = logj + jnp.sum(
+                jnp.where(is_root, z, jnp.log(r) + jnp.log1p(-r))
+            )
+            return heights, logdet
+
+        def neg_log_pz(z):
+            heights, logdet = h_of_z(z)
+            return -(lp_fn(params, tree.replace(heights=heights)) + logdet)
+
+        grad_fn = jax.grad(neg_log_pz)
+
+        k1, _ = jax.random.split(key)
+        p0 = jax.random.normal(k1, z0.shape, dt) * jnp.sqrt(self.mass)
+
+        def leapfrog(_, carry):
+            z, p = carry
+            p = p - 0.5 * eps * grad_fn(z)
+            z = z + eps * p / self.mass
+            p = p - 0.5 * eps * grad_fn(z)
+            return z, p
+
+        z1, p1 = jax.lax.fori_loop(0, self.n_leapfrog, leapfrog, (z0, p0))
+
+        k_old = 0.5 * jnp.sum(p0 * p0) / self.mass
+        k_new = 0.5 * jnp.sum(p1 * p1) / self.mass
+        h1, logdet1 = h_of_z(z1)
+        _, logdet0 = h_of_z(z0)
+        logh = (k_old - k_new) + logdet1 - logdet0
+        ok = jnp.all(jnp.isfinite(h1)) & jnp.isfinite(logh)
+        logh = jnp.where(ok, logh, NEG_INF)
+        heights = jnp.where(ok, h1, tree.heights)
+        return params, tree.replace(heights=heights), logh

@@ -185,6 +185,37 @@ def run_chain(
     return jax.lax.fori_loop(0, n_steps, inner, state), None
 
 
+def full_evaluation_check(
+    step_fn,
+    log_posterior: LogPosteriorFn,
+    state: MCMCState,
+    n_steps: int = 100,
+    temperature=1.0,
+):
+    """In-chain correctness sanitizer — the reference's full-evaluation
+    self-test (ref: MarkovChain.java:336-373 post-accept, :408-440
+    post-restore: for the first fullEvaluationCount states the posterior is
+    recomputed from scratch and compared to the incrementally maintained
+    value within evaluationTestThreshold=0.1).
+
+    Here the carried `state.log_posterior` (threaded through accept/reject
+    selects and any incremental likelihood path) is checked against a fresh
+    evaluation after every step.  Returns (state, max_abs_deviation); the
+    carried value is re-anchored to the fresh one each step, so a run
+    started through this wrapper also cannot accumulate select-chain
+    drift.  Jit-safe: callers wrap in jit and assert on the device scalar.
+    """
+
+    def body(s, _):
+        s = step_fn(s, temperature)
+        fresh = log_posterior(s.params, s.tree)
+        dev = jnp.abs(fresh - s.log_posterior)
+        return s.replace(log_posterior=fresh), dev
+
+    state, devs = jax.lax.scan(body, state, None, length=n_steps)
+    return state, jnp.max(devs)
+
+
 def operator_report(operators: Sequence[Operator], state: MCMCState) -> str:
     """End-of-run operator analysis table (ref:
     OperatorAnalysisPrinter.java, MCMC.java:274-281)."""
