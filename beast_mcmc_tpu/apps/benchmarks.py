@@ -71,10 +71,30 @@ def build_analysis(
     )
     tree0 = make_tree_state(parent, children, heights, root, dtype)
 
+    derived = {}
     if model == "gtr_gamma":
-        def log_lik(params, tree):
-            eig = gtr_eigen(params["gtr.rates"], freqs)
-            rates, cat_w = discrete_gamma_rates(params["alpha"], 4, dtype=dtype)
+        # derived-parameter cache for the hot path: the eigendecomposition
+        # and gamma-category rates rebuild only in operator branches that
+        # touch gtr.rates / alpha. Opt-in: pass aux["derived"] to
+        # make_mcmc_step AND use aux["log_post_cached"]; the plain
+        # log_post below stays self-contained (always recomputes).
+        derived = {
+            "eig": (lambda p: gtr_eigen(p["gtr.rates"], freqs), ("gtr.rates",)),
+            "site.rates": (
+                lambda p: discrete_gamma_rates(p["alpha"], 4, dtype=dtype),
+                ("alpha",),
+            ),
+        }
+
+        def log_lik(params, tree, cached: bool = False):
+            if cached:
+                eig = params["eig"]
+                rates, cat_w = params["site.rates"]
+            else:
+                eig = gtr_eigen(params["gtr.rates"], freqs)
+                rates, cat_w = discrete_gamma_rates(
+                    params["alpha"], 4, dtype=dtype
+                )
             return tree_loglikelihood(
                 tips, weights, tree.parent, tree.children, tree.heights,
                 tree.root, eig, freqs, rates, cat_w, params["clock.rate"],
@@ -152,13 +172,21 @@ def build_analysis(
     else:
         raise ValueError(model)
 
-    def log_post(params, tree):
-        prior = (
+    def log_prior(params, tree):
+        return (
             one_on_x_logpdf(params["pop.size"])
             + lognormal_logpdf(params["clock.rate"], 0.0, 1.0)
             + constant_coalescent_loglik(tree.heights, n_taxa, params["pop.size"])
         )
-        return log_lik(params, tree) + prior
+
+    def log_post(params, tree):
+        return log_lik(params, tree) + log_prior(params, tree)
+
+    if derived:
+        def log_post_cached(params, tree):
+            return log_lik(params, tree, cached=True) + log_prior(params, tree)
+    else:
+        log_post_cached = log_post
 
     operators = [
         *extra_ops,
@@ -170,5 +198,13 @@ def build_analysis(
         WideExchangeOperator(weight=3.0),
         WilsonBaldingOperator(weight=3.0),
     ]
-    aux = {"tips": tips, "weights": weights, "freqs": freqs, "log_lik": log_lik}
+    if derived:
+        from beast_mcmc_tpu.inference.mcmc import apply_derived
+
+        params0 = apply_derived(derived, params0)
+    aux = {
+        "tips": tips, "weights": weights, "freqs": freqs,
+        "log_lik": log_lik, "derived": derived,
+        "log_post_cached": log_post_cached,
+    }
     return log_post, operators, params0, tree0, aux

@@ -132,6 +132,7 @@ class NodeHeightHmcOperator(Operator):
     mass: float = 1.0
     adaptable: bool = True
     target_acceptance: float = 0.8
+    modifies_params = ()  # tree-only proposal
     _log_posterior: Optional[Callable] = dataclasses.field(
         default=None, repr=False, compare=False)
 

@@ -36,13 +36,37 @@ from beast_mcmc_tpu.tree.topology import TreeState
 LogPosteriorFn = Callable[[Dict, TreeState], jnp.ndarray]
 
 
+def apply_derived(derived, params: Dict) -> Dict:
+    """Recompute every derived (cached) entry from the raw parameters.
+    `derived`: {name: (fn(params) -> value, depends_on_param_names)}."""
+    for name, (fn, _) in derived.items():
+        params = {**params, name: fn(params)}
+    return params
+
+
 def make_mcmc_step(
     log_posterior: LogPosteriorFn,
     operators: Sequence[Operator],
     adaptation: bool = True,
     adaptation_delay: int = 0,
+    derived: Optional[Dict] = None,
 ):
-    """Build `step(state, temperature=1.0) -> state` (jit-safe)."""
+    """Build `step(state, temperature=1.0) -> state` (jit-safe).
+
+    derived: optional {name: (fn(params) -> value, depends)} cache of
+    expensive parameter-derived quantities (e.g. the substitution-model
+    eigendecomposition). The functional analog of the reference's
+    dirty-flag model graph (ref: AbstractModel listener DAG,
+    SURVEY.md §7.1 "keep ONE incrementality trick"): each operator branch
+    recomputes only the derived entries whose dependencies intersect the
+    operator's `modified_params()` — a tree move never pays for the eigen
+    rebuild. Entries must already be present in `params`
+    (see `apply_derived` / `init_mcmc_state(derived=...)`), and may only
+    depend on params, never on the tree. Operators that internally
+    evaluate the bound log-posterior (HMC/NUTS) must not target params a
+    derived entry depends on — the in-proposal evaluations would see the
+    stale cache (the full_evaluation_check catches violations).
+    """
     for op in operators:
         if hasattr(op, "bind_log_posterior"):
             op.bind_log_posterior(log_posterior)
@@ -52,6 +76,15 @@ def make_mcmc_step(
     targets = jnp.asarray([op.target_acceptance for op in operators])
 
     def make_branch(op: Operator):
+        if derived:
+            mod = op.modified_params()
+            stale = [
+                name for name, (_, deps) in derived.items()
+                if mod is None or (set(deps) & set(mod))
+            ]
+        else:
+            stale = []
+
         def branch(params, tree, key, adapt_vec, op_idx):
             tuning = op.tuning(adapt_vec[op_idx])
             out = op.propose(params, tree, key, tuning)
@@ -60,6 +93,11 @@ def make_mcmc_step(
                 # Metropolis ratio (NaN sentinel)
                 p, t, logh = out
                 out = (p, t, logh, jnp.asarray(jnp.nan, tree.heights.dtype))
+            if stale:
+                p, t, logh, acc = out
+                for name in stale:
+                    p = {**p, name: derived[name][0](p)}
+                out = (p, t, logh, acc)
             return out
 
         return branch
@@ -144,10 +182,13 @@ def init_mcmc_state(
     operators: Sequence[Operator],
     log_posterior: Optional[LogPosteriorFn] = None,
     dtype=None,
+    derived: Optional[Dict] = None,
 ) -> MCMCState:
     import beast_mcmc_tpu.utils.dtypes as dtypes
 
     dtype = dtype or dtypes.default_float()
+    if derived:
+        params = apply_derived(derived, params)
     init_adapt = jnp.asarray([op.initial_adapt() for op in operators], dtype)
     state = init_state(params, tree, key, len(operators), init_adapt, dtype)
     if log_posterior is not None:
@@ -191,6 +232,7 @@ def full_evaluation_check(
     state: MCMCState,
     n_steps: int = 100,
     temperature=1.0,
+    derived: Optional[Dict] = None,
 ):
     """In-chain correctness sanitizer — the reference's full-evaluation
     self-test (ref: MarkovChain.java:336-373 post-accept, :408-440
@@ -208,9 +250,12 @@ def full_evaluation_check(
 
     def body(s, _):
         s = step_fn(s, temperature)
-        fresh = log_posterior(s.params, s.tree)
+        # a truly from-scratch evaluation also rebuilds any derived cache
+        # (so a stale eigendecomposition etc. IS caught, not reused)
+        p = apply_derived(derived, s.params) if derived else s.params
+        fresh = log_posterior(p, s.tree)
         dev = jnp.abs(fresh - s.log_posterior)
-        return s.replace(log_posterior=fresh), dev
+        return s.replace(params=p, log_posterior=fresh), dev
 
     state, devs = jax.lax.scan(body, state, None, length=n_steps)
     return state, jnp.max(devs)

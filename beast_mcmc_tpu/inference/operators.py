@@ -99,6 +99,27 @@ class Operator:
     weight: float = 1.0
     target_acceptance: float = 0.234
     adaptable: bool = False
+    # Names of `params` entries this operator can change; () = tree-only;
+    # None = derive from parameter/up/down/parameters attrs (or, if those
+    # are absent too, "unknown — assume anything". Used by the derived-
+    # parameter cache (make_mcmc_step(derived=...)) — the functional
+    # analog of the reference's dirty-flag model graph.
+    modifies_params = None
+
+    def modified_params(self):
+        if self.modifies_params is not None:
+            return tuple(self.modifies_params)
+        names = []
+        if getattr(self, "parameter", None):
+            names.append(self.parameter)
+        for attr in ("up", "down", "parameters"):
+            v = getattr(self, attr, None)
+            if v:
+                names.extend(n for n in v if isinstance(n, str))
+        names = [n for n in names if n != TREE_HEIGHTS]
+        if names:
+            return tuple(names)
+        return None  # unknown: derived caches must be conservatively rebuilt
 
     def initial_adapt(self) -> float:
         return 0.0
@@ -286,6 +307,8 @@ class UniformNodeHeightOperator(Operator):
     child and its parent (the reference's <uniformOperator> over
     treeModel.internalNodeHeights; bounds from the tree)."""
 
+    modifies_params = ()  # tree-only proposal
+
     def propose(self, params, tree, key, tuning):
         m = tree.parent.shape[0]
         n_taxa = (m + 1) // 2
@@ -310,6 +333,8 @@ class RootHeightScaleOperator(Operator):
 
     scale_factor: float = 0.75
     adaptable: bool = True
+
+    modifies_params = ()  # tree-only proposal
 
     def initial_adapt(self) -> float:
         return math.log((1.0 / self.scale_factor - 1.0))
@@ -336,6 +361,8 @@ class NarrowExchangeOperator(Operator):
     """ref: ExchangeOperator.java narrow — swap a node with its uncle when
     the uncle is younger than the node's parent. Symmetric (logq 0)."""
 
+    modifies_params = ()  # tree-only proposal
+
     def propose(self, params, tree, key, tuning):
         m = tree.parent.shape[0]
         root = tree.root
@@ -356,6 +383,8 @@ class NarrowExchangeOperator(Operator):
 class WideExchangeOperator(Operator):
     """ref: ExchangeOperator.java wide — swap two random subtrees when
     heights permit. Symmetric."""
+
+    modifies_params = ()  # tree-only proposal
 
     def propose(self, params, tree, key, tuning):
         m = tree.parent.shape[0]
@@ -384,6 +413,8 @@ class WilsonBaldingOperator(Operator):
     drawing iP's new height uniformly in the branch window. Root-changing
     variants are disallowed (as in the reference's current code path);
     Hastings = newRange / oldRange."""
+
+    modifies_params = ()  # tree-only proposal
 
     def propose(self, params, tree, key, tuning):
         m = tree.parent.shape[0]

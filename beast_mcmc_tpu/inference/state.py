@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import chex
+import jax
 import jax.numpy as jnp
 
 from beast_mcmc_tpu.tree.topology import TreeState
@@ -41,9 +42,13 @@ def init_state(
     init_adapt: jnp.ndarray,
     dtype=jnp.float64,
 ) -> MCMCState:
-    def cast(v):
+    def cast_leaf(v):
         v = jnp.asarray(v)
         return v if jnp.issubdtype(v.dtype, jnp.integer) else v.astype(dtype)
+
+    def cast(v):
+        # params entries may be pytrees (derived caches like EigenSystem)
+        return jax.tree_util.tree_map(cast_leaf, v)
 
     return MCMCState(
         params={k: cast(v) for k, v in params.items()},

@@ -80,6 +80,8 @@ class SubtreeSlideOperator(Operator):
     gaussian: bool = True
     adaptable: bool = True
 
+    modifies_params = ()  # tree-only proposal
+
     def initial_adapt(self) -> float:
         return float(np.log(self.size))
 
@@ -242,6 +244,8 @@ class SubtreeLeapOperator(Operator):
     adaptable: bool = True
     target_acceptance: float = 0.225  # reference default for tree ops
 
+    modifies_params = ()  # tree-only proposal
+
     def initial_adapt(self) -> float:
         return float(np.log(self.size))
 
@@ -308,6 +312,8 @@ class FNPROperator(Operator):
     invalid draws -> -inf (replacing the reference's retry loop, which is
     also symmetric)."""
 
+    modifies_params = ()  # tree-only proposal
+
     def propose(self, params, tree, key, tuning):
         m = tree.parent.shape[0]
         fdt = tree.heights.dtype
@@ -350,6 +356,8 @@ class NNIOperator(Operator):
     narrow exchange but drawn edge-first). Symmetric; invalid when the
     uncle is older than the node's parent."""
 
+    modifies_params = ()  # tree-only proposal
+
     def propose(self, params, tree, key, tuning):
         m = tree.parent.shape[0]
         root = tree.root
@@ -379,6 +387,8 @@ class FixedHeightSPROperator(Operator):
     edge intersecting that height). The intersecting-edge count at the
     fixed height is conserved by the move, so the proposal is symmetric
     (the reference returns 0.0)."""
+
+    modifies_params = ()  # tree-only proposal
 
     def propose(self, params, tree, key, tuning):
         m = tree.parent.shape[0]
@@ -419,6 +429,8 @@ class ScaleNodeHeightOperator(Operator):
     scale_factor: float = 0.9
     adaptable: bool = True
 
+    modifies_params = ()  # tree-only proposal
+
     def initial_adapt(self) -> float:
         return math.log((1.0 / self.scale_factor - 1.0))
 
@@ -452,6 +464,8 @@ class RandomWalkNodeHeightOperator(Operator):
 
     window: float = 1.0
     adaptable: bool = True
+
+    modifies_params = ()  # tree-only proposal
 
     def initial_adapt(self) -> float:
         return math.log((self.window))

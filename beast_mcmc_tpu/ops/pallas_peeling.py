@@ -95,7 +95,11 @@ def _peel_kernel(children_ref, order_ref, tips_ref, pmat_ref, wcs_ref,
 
 
 def _peel_forward_pallas(tip_partials, children, order, p_matrices, freqs,
-                         cat_w, interpret=False):
+                         cat_w, interpret=False, want_post=True):
+    """want_post=False is the MH hot path: the whole-tree partials live
+    only in VMEM scratch (no [C,M,S,P] HBM write-out + transpose), since
+    the forward-only evaluation never reads them back. The VJP path
+    (want_post=True) materializes them for the linear-time adjoint."""
     n_tips, s, p = tip_partials.shape
     m = children.shape[0]
     c = p_matrices.shape[1]
@@ -116,6 +120,18 @@ def _peel_forward_pallas(tip_partials, children, order, p_matrices, freqs,
     kernel = functools.partial(
         _peel_kernel, n_tips=n_tips, n_internal=n_internal, c=c, s=s, bp=bp
     )
+    out_specs = [pl.BlockSpec((1, bp), lambda i, *_: (0, i))]
+    out_shape = [jax.ShapeDtypeStruct((1, p_padded), dt)]
+    scratch_shapes = []
+    if want_post:
+        # post_ref arrives as the 2nd output — same kernel signature
+        out_specs.append(
+            pl.BlockSpec((c, m, s, bp), lambda i, *_: (0, 0, 0, i))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((c, m, s, p_padded), dt))
+    else:
+        # ...or as the 1st scratch ref (pallas passes scratch after outputs)
+        scratch_shapes.append(pltpu.VMEM((c, m, s, bp), dt))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -124,18 +140,13 @@ def _peel_forward_pallas(tip_partials, children, order, p_matrices, freqs,
             pl.BlockSpec((c, m, s, s), lambda i, *_: (0, 0, 0, 0)),
             pl.BlockSpec((c, s, 1), lambda i, *_: (0, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, bp), lambda i, *_: (0, i)),
-            pl.BlockSpec((c, m, s, bp), lambda i, *_: (0, 0, 0, i)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
-    out, post_cm = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, p_padded), dt),
-            jax.ShapeDtypeStruct((c, m, s, p_padded), dt),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(
         children.reshape(-1).astype(jnp.int32),
@@ -144,6 +155,9 @@ def _peel_forward_pallas(tip_partials, children, order, p_matrices, freqs,
         pmats_cm,
         wcs.astype(dt),
     )
+    if not want_post:
+        return res[0][0, :p], None
+    out, post_cm = res
     post = jnp.swapaxes(post_cm, 0, 1)  # [M, C, S, P]
     return out[0, :p], post[..., :p]
 
@@ -157,7 +171,8 @@ def peel_site_loglik_pallas(
     `root` is accepted for interface parity (the peel order ends at the
     root, which the kernel uses directly)."""
     site_logl, _ = _peel_forward_pallas(
-        tip_partials, children, order, p_matrices, freqs, cat_w, interpret
+        tip_partials, children, order, p_matrices, freqs, cat_w, interpret,
+        want_post=False,
     )
     return site_logl
 

@@ -34,11 +34,15 @@ def measure_states_per_sec(n_steps: int) -> float:
     from beast_mcmc_tpu.apps.benchmarks import build_analysis
     from beast_mcmc_tpu.inference.mcmc import init_mcmc_state, make_mcmc_step, run_chain
 
-    log_post, operators, params0, tree0, _ = build_analysis(
+    log_post, operators, params0, tree0, aux = build_analysis(
         n_taxa=N_TAXA, n_patterns=N_PATTERNS, model="gtr_gamma",
         dtype=jnp.float32,
     )
-    step = make_mcmc_step(log_post, operators)
+    # hot path: cached-derived posterior (eigen/gamma rebuilt only in
+    # operator branches that change their inputs)
+    step = make_mcmc_step(
+        aux["log_post_cached"], operators, derived=aux["derived"]
+    )
     state = init_mcmc_state(
         params0, tree0, jax.random.PRNGKey(0), operators, log_post,
         dtype=jnp.float32,

@@ -125,6 +125,48 @@ def test_prior_sampling_root_height_expectation(n_taxa):
     )
 
 
+def test_prior_sampling_dated_tips_reference_oracle():
+    """The reference's own serially-sampled oracle (ref: examples/TestXML/
+    TreePriors/testCoalescent.xml:164-167 — 4 taxa, two tips at 5000 days,
+    two at 0, Theta=10000; 'the expectation for 4 leaves with Theta=10000
+    and tau=5000' is E[rootHeight] = 19344.2178)."""
+    theta = 10000.0
+    tip_heights = np.asarray([5000.0, 5000.0, 0.0, 0.0])
+    n_taxa = 4
+    rng = np.random.default_rng(11)
+    parent, children, heights, root = simulate_coalescent_tree(
+        rng, tip_heights, pop_size=theta
+    )
+    tree = make_tree_state(parent, children, heights, root)
+
+    def log_post(params, tree):
+        return constant_coalescent_loglik(tree.heights, n_taxa, theta)
+
+    ops = tree_op_suite()
+    step = make_mcmc_step(log_post, ops)
+    state = init_mcmc_state({}, tree, jax.random.PRNGKey(3), ops, log_post)
+
+    def collector(s):
+        return {"root_height": s.tree.heights[s.tree.root]}
+
+    (state, out) = jax.jit(
+        lambda s: run_chain(step, s, 80_000, collect_every=10,
+                            collector=collector)
+    )(state)
+    rh = np.asarray(out["root_height"])[400:]
+    stats = analyze(rh)
+    expected = 19344.2178
+    assert stats.ess > 100, operator_report(ops, state)
+    assert abs(stats.mean - expected) < 3.5 * stats.std_error_of_mean, (
+        f"E[rootHeight]={stats.mean:.1f} expected {expected} "
+        f"+/- {stats.std_error_of_mean:.1f}\n" + operator_report(ops, state)
+    )
+    check_tree_valid(
+        state.tree.parent, state.tree.children, state.tree.heights,
+        state.tree.root, n_taxa,
+    )
+
+
 def test_posterior_strict_clock_end_to_end():
     """The minimal end-to-end slice (SURVEY.md §7.2 step 6): HKY + strict
     clock + constant coalescent on the primate data; short chain must mix,
