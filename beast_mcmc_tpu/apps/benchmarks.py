@@ -54,8 +54,11 @@ def build_analysis(
     seed: int = 0,
     dtype=None,
     pad_multiple: int = 128,
+    use_pallas=None,
 ):
-    """Returns (log_post, operators, params0, tree0, aux dict)."""
+    """Returns (log_post, operators, params0, tree0, aux dict).
+    use_pallas: None = backend auto; False forces the XLA scan peel
+    (required under vmap — multi-chain batches vectorize the scan)."""
     import beast_mcmc_tpu.utils.dtypes as dtypes
 
     dtype = dtype or dtypes.default_float()
@@ -98,6 +101,7 @@ def build_analysis(
             return tree_loglikelihood(
                 tips, weights, tree.parent, tree.children, tree.heights,
                 tree.root, eig, freqs, rates, cat_w, params["clock.rate"],
+                use_pallas=use_pallas,
             )
 
         params0 = {
@@ -141,7 +145,7 @@ def build_analysis(
             return multipartition_loglikelihood(
                 tips, weights, tree.parent, tree.children, tree.heights,
                 tree.root, eigs, freqs3, cat_rates, cat_w,
-                params["clock.rate"],
+                params["clock.rate"], use_pallas=use_pallas,
             )
 
         params0 = {
@@ -161,6 +165,7 @@ def build_analysis(
             return tree_loglikelihood(
                 tips, weights, tree.parent, tree.children, tree.heights,
                 tree.root, eig, freqs, rates, cat_w, params["clock.rate"],
+                use_pallas=use_pallas,
             )
 
         params0 = {

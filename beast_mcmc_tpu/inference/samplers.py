@@ -258,3 +258,128 @@ def empirical_covariance(samples: np.ndarray, log_space: bool = True):
     cov = np.cov(s, rowvar=False)
     cov = np.atleast_2d(cov) + 1e-8 * np.eye(s.shape[1])
     return np.linalg.cholesky(cov)
+
+
+@dataclasses.dataclass
+class AvmvnOperator(Operator):
+    """IN-CHAIN adaptive-variance multivariate normal operator — the
+    reference's AVMVN (ref: AdaptableVarianceMultivariateNormalOperator
+    .java:59): a multivariate random walk whose proposal covariance is the
+    running empirical covariance of the chain itself, mixed with an
+    identity ridge,
+
+        Sigma = s^2 * ((1-beta) * Cov_emp + beta * I / dim),
+
+    with the global scale s adapted by Robbins-Monro toward 0.234.
+
+    TPU-native in-chain form: the running (mean, scatter, n) Welford
+    statistics live INSIDE the params pytree under `stats_key`, so they
+    ride through the jitted lax.scan; `make_post_update([ops])` returns the
+    per-step updater that `make_mcmc_step(post_update=...)` applies to the
+    post-accept state (the reference updates every `updateEvery` steps
+    from the chain state; updating every step is the same estimator).
+    Positive parameters adapt in log space (`log_transform`), matching the
+    reference's transform plumbing; the log-Jacobian Hastings term keeps
+    the outer kernel exact.
+    """
+
+    parameters: Sequence[str] = ()
+    scale: float = 0.2
+    beta: float = 0.05
+    warmup: int = 100  # steps before the empirical term switches on
+    log_transform: bool = True
+    adaptable: bool = True
+
+    @property
+    def stats_key(self) -> str:
+        return "_avmvn:" + ",".join(self.parameters)
+
+    def modified_params(self):
+        return tuple(self.parameters)
+
+    def initial_adapt(self) -> float:
+        return float(np.log(self.scale))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def _pack(self, params):
+        vals = [jnp.atleast_1d(params[n]).reshape(-1) for n in self.parameters]
+        flat = jnp.concatenate(vals)
+        return jnp.log(flat) if self.log_transform else flat
+
+    def _unpack(self, params, y):
+        x = jnp.exp(y) if self.log_transform else y
+        out = dict(params)
+        i = 0
+        for n in self.parameters:
+            v = params[n]
+            k = max(1, int(np.prod(np.shape(v)) or 1))
+            out[n] = x[i:i + k].reshape(jnp.shape(v))
+            i += k
+        return out
+
+    def init_stats(self, params):
+        """Seed the Welford statistics into the params pytree."""
+        d = self._pack(params).shape[0]
+        dt = self._pack(params).dtype
+        out = dict(params)
+        out[self.stats_key] = {
+            "mean": jnp.zeros((d,), dt),
+            "scatter": jnp.zeros((d, d), dt),
+            "n": jnp.zeros((), dt),
+        }
+        return out
+
+    def update_stats(self, params):
+        """One Welford update from the CURRENT chain state (called by the
+        post-update hook after accept/reject)."""
+        st = params[self.stats_key]
+        y = self._pack(params).astype(st["mean"].dtype)
+        n1 = st["n"] + 1.0
+        delta = y - st["mean"]
+        mean = st["mean"] + delta / n1
+        scatter = st["scatter"] + jnp.outer(delta, y - mean)
+        out = dict(params)
+        out[self.stats_key] = {"mean": mean, "scatter": scatter, "n": n1}
+        return out
+
+    def propose(self, params, tree, key, tuning):
+        dt = tree.heights.dtype
+        st = params[self.stats_key]
+        y0 = self._pack(params).astype(dt)
+        d = y0.shape[0]
+        n = st["n"]
+        cov_emp = st["scatter"] / jnp.maximum(n - 1.0, 1.0)
+        use_emp = (n >= self.warmup).astype(dt)
+        mix = (1.0 - self.beta) * use_emp
+        cov = mix * cov_emp.astype(dt) + (
+            (1.0 - mix) + self.beta * use_emp
+        ) / d * jnp.eye(d, dtype=dt)
+        chol = jnp.linalg.cholesky(cov + 1e-10 * jnp.eye(d, dtype=dt))
+        eps = jax.random.normal(key, (d,), dt)
+        y1 = y0 + tuning * (chol @ eps)
+        logh = jnp.asarray(0.0, dt)
+        if self.log_transform:
+            logh = jnp.sum(y1) - jnp.sum(y0)
+        ok = jnp.all(jnp.isfinite(y1))
+        y1 = jnp.where(ok, y1, y0)
+        logh = jnp.where(ok, logh, -jnp.inf)
+        return self._unpack(params, y1), tree, logh
+
+
+def make_post_update(operators):
+    """Compose the per-step params updaters of all stateful adaptive
+    operators (AVMVN Welford stats) into one post-accept hook for
+    make_mcmc_step(post_update=...). Returns None when nothing is
+    stateful."""
+    stateful = [op for op in operators if hasattr(op, "update_stats")]
+    if not stateful:
+        return None
+
+    def post_update(params):
+        for op in stateful:
+            params = op.update_stats(params)
+        return params
+
+    return post_update

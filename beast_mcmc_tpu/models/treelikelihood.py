@@ -77,9 +77,11 @@ def tree_loglikelihood(
     if use_pallas is None:
         use_pallas = _use_pallas_peeling()
     if use_pallas:
-        from beast_mcmc_tpu.ops.pallas_peeling import peel_loglikelihood_pallas
+        from beast_mcmc_tpu.ops.pallas_peeling import (
+            peel_loglikelihood_pallas_auto,
+        )
 
-        return peel_loglikelihood_pallas(
+        return peel_loglikelihood_pallas_auto(
             tip_partials, children, order, root, p_mats, freqs,
             category_weights, pattern_weights,
         )
@@ -177,10 +179,12 @@ def multipartition_loglikelihood(
     if use_pallas is None:
         use_pallas = _use_pallas_peeling()
     if use_pallas:
-        from beast_mcmc_tpu.ops.pallas_peeling import peel_loglikelihood_pallas
+        from beast_mcmc_tpu.ops.pallas_peeling import (
+            peel_loglikelihood_pallas_auto,
+        )
 
         parts = [
-            peel_loglikelihood_pallas(
+            peel_loglikelihood_pallas_auto(
                 tip_partials[k], children, order, root, p_mats[k], freqs[k],
                 category_weights[k], pattern_weights[k],
             )

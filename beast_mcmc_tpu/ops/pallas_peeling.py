@@ -199,6 +199,13 @@ def _bwd(interpret, residuals, g):
 peel_site_loglik_pallas.defvjp(_fwd, _bwd)
 
 
+def resident_plan_fits(m: int, c: int, s: int) -> bool:
+    """True when the whole-tree partials tensor fits the resident kernel's
+    ~6 MB VMEM budget at the minimum 128-lane block (see _pick_block).
+    Above this, peeling must stream through HBM (ops/pallas_stream.py)."""
+    return m * c * max(s, 8) * 128 * 4 <= 6 * 1024 * 1024
+
+
 def peel_loglikelihood_pallas(
     tip_partials, children, order, root, p_matrices, freqs,
     category_weights, pattern_weights, interpret=False,
@@ -209,3 +216,24 @@ def peel_loglikelihood_pallas(
     )
     return jnp.dot(pattern_weights, site_logl,
                    preferred_element_type=site_logl.dtype)
+
+
+def peel_loglikelihood_pallas_auto(
+    tip_partials, children, order, root, p_matrices, freqs,
+    category_weights, pattern_weights, interpret=False,
+):
+    """Shape-dispatched TPU peel: the fully-VMEM-resident kernel when the
+    partials tensor fits on-chip, the HBM-streaming kernel otherwise
+    (benchmark1/Makona scale, 1,441-1,610+ taxa)."""
+    m, c, s = p_matrices.shape[0], p_matrices.shape[1], p_matrices.shape[2]
+    if resident_plan_fits(m, c, s):
+        return peel_loglikelihood_pallas(
+            tip_partials, children, order, root, p_matrices, freqs,
+            category_weights, pattern_weights, interpret,
+        )
+    from beast_mcmc_tpu.ops.pallas_stream import peel_loglikelihood_stream
+
+    return peel_loglikelihood_stream(
+        tip_partials, children, order, root, p_matrices, freqs,
+        category_weights, pattern_weights, interpret,
+    )
