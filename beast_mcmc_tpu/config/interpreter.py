@@ -1,0 +1,2078 @@
+"""TestXML interpreter: execute reference BEAST XML analyses end-to-end.
+
+The reference's public API is its XML vocabulary: a registry of per-tag
+parsers assembles the runtime object graph (ref: XMLParser.java:131-220
+parse/convert with the id/idref store; registry listed in
+src/dr/app/beast/release_parsers.properties, loaded by
+BeastParser.java:97-112). This module is the TPU-native analog: a
+registry of per-tag builders (`_BUILDERS`) assembles pure log-density
+closures, operator specs, and loggers from the same XML, then runs each
+<mcmc> block through the jitted chain kernel and executes the file's own
+embedded checks:
+
+  - <traceAnalysis><expectation name value> — posterior-mean oracles
+    checked within k standard errors of the run's own trace (ref:
+    TraceAnalysisParser.java:81-107, 2 SE);
+  - completion without error (+ the full-evaluation self-check) for
+    files without expectations — the reference CI's criterion
+    (.github/workflows/ci.yml:71-83).
+
+Chains may be shortened by `scale` (expectation checks remain valid: the
+SE comes from the shortened run's own trace). Elements outside the
+vocabulary raise Unsupported naming the tag — the unregistered-parser
+contract.
+
+Operator-substitution notes (posterior-preserving):
+  - <subtreeJump> runs as SubtreeLeap (a valid move with its own correct
+    Hastings ratio; the stationary distribution is unchanged).
+  - <gmrfBlockUpdateOperator> runs as a scale move on the precision plus
+    a random-walk on the field (same posterior, different mixing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import xml.etree.ElementTree as ET
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class Unsupported(NotImplementedError):
+    pass
+
+
+class XmlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# small XML helpers
+# ---------------------------------------------------------------------------
+
+
+def _attr(el, name, default=None, cast=str):
+    v = el.get(name)
+    if v is None:
+        return default
+    if cast is bool:
+        return v.lower() == "true"
+    return cast(v)
+
+
+def _text_values(el) -> np.ndarray:
+    return np.array([float(x) for x in (el.get("value") or "").split()])
+
+
+# ---------------------------------------------------------------------------
+# runtime object kinds
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Param:
+    """A real parameter registered in the chain's params dict."""
+
+    name: str
+    value: np.ndarray
+    lower: float = -np.inf
+    upper: float = np.inf
+    integer: bool = False
+
+
+@dataclasses.dataclass
+class TreeAlias:
+    """A <parameter> that is a VIEW of the tree state (rootHeight /
+    nodeHeights / leafHeight blocks of <treeModel>,
+    ref: TreeModelParser.java)."""
+
+    kind: str  # "root_height" | "internal_heights" | "all_heights" | "leaf_height"
+    tree_id: str
+    tip_index: int = -1  # for leaf_height
+
+
+@dataclasses.dataclass
+class Demographic:
+    kind: str
+    params: Dict[str, str]  # role -> param name
+    # loglik(tree_heights, n_taxa, params) -> scalar
+    loglik: Callable = None
+    # pop-size value usable for host-side start-tree simulation
+    sim_pop: float = 1.0
+
+
+@dataclasses.dataclass
+class TreeModel:
+    tree_id: str
+    taxa: List[str]
+    tip_heights: np.ndarray
+    parent: np.ndarray
+    children: np.ndarray
+    heights: np.ndarray
+    root: int
+    sampled_tips: Dict[str, int] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class ClockModel:
+    kind: str  # "strict" | "discretized" | "continuous_quantile"
+    tree_id: str
+    # rates(params, tree) -> [M] per-node branch rates (branch above node)
+    rates: Callable = None
+    rate_param: Optional[str] = None
+
+
+@dataclasses.dataclass
+class LikelihoodFn:
+    fn: Callable  # (params, tree) -> scalar
+    tree_id: Optional[str] = None
+    name: str = ""
+
+
+# ---------------------------------------------------------------------------
+# the interpreter
+# ---------------------------------------------------------------------------
+
+
+class XmlAnalysis:
+    """Parse + execute one reference TestXML file."""
+
+    def __init__(self, path: str, scale: float = 1.0, workdir: str = ".",
+                 seed: int = 666, dtype=None, max_states: int = 200_000):
+        import beast_mcmc_tpu.utils.dtypes as dtypes
+
+        self.path = path
+        self.scale = scale
+        self.workdir = workdir
+        self.seed = seed
+        self.max_states = max_states
+        self.dtype = dtype or dtypes.default_float()
+        self.root = ET.parse(path).getroot()
+        if self.root.tag != "beast":
+            raise XmlError(f"root element <{self.root.tag}>, expected <beast>")
+        self._ids: Dict[str, ET.Element] = {}
+        for el in self.root.iter():
+            if el.get("id"):
+                self._ids[el.get("id")] = el
+        self._built: Dict[int, object] = {}
+        self._params: Dict[str, Param] = {}
+        self._aliases: Dict[str, TreeAlias] = {}
+        self._trees: Dict[str, TreeModel] = {}
+        self._rng = np.random.default_rng(seed)
+        self.results: Dict[str, Dict[str, np.ndarray]] = {}
+        self.assertions: List[Tuple[str, str, float, float, float]] = []
+
+    # -- id/idref resolution (ref: XMLParser id/idref object store) --------
+    def deref(self, el: ET.Element) -> ET.Element:
+        r = el.get("idref")
+        if r is None:
+            return el
+        if r not in self._ids:
+            raise XmlError(f"unresolved idref {r!r} on <{el.tag}>")
+        return self._ids[r]
+
+    def build(self, el: ET.Element):
+        el = self.deref(el)
+        key = id(el)
+        if key in self._built:
+            return self._built[key]
+        builder = _BUILDERS.get(el.tag)
+        if builder is None:
+            raise Unsupported(f"<{el.tag}> has no registered builder")
+        obj = builder(self, el)
+        self._built[key] = obj
+        return obj
+
+    def _model_children(self, el) -> List[ET.Element]:
+        return [c for c in el if c.tag in _BUILDERS or c.get("idref")]
+
+    # -- parameters ---------------------------------------------------------
+    def param_from(self, el: ET.Element, default=None, dim=None,
+                   prefix="anon") -> str:
+        """Build/locate the <parameter> beneath (or at) el; returns name."""
+        el = self.deref(el)
+        if el.tag != "parameter":
+            p = el.find("parameter")
+            if p is None:
+                for c in el:
+                    cc = self.deref(c)
+                    if cc.tag == "parameter":
+                        p = cc
+                        break
+            if p is None:
+                raise XmlError(f"no <parameter> under <{el.tag}>")
+            el = self.deref(p)
+        obj = self.build(el)
+        if isinstance(obj, TreeAlias):
+            raise XmlError("tree-view parameter where real parameter expected")
+        return obj.name
+
+    def value_of(self, name: str) -> np.ndarray:
+        return self._params[name].value
+
+    # -- running ------------------------------------------------------------
+    def run(self, tolerance_se: float = 3.0, full_eval_steps: int = 100):
+        """Execute every <mcmc>, <report>, <traceAnalysis> in document
+        order. Returns the list of (file, column, mean, expected, se)
+        assertion tuples; raises AssertionError on a failed expectation."""
+        # build treeModels first so their rootHeight/nodeHeights/leafHeight
+        # <parameter> children register as tree-view aliases before any
+        # other element builds them as real parameters
+        for el in self.root.iter("treeModel"):
+            if el.get("id"):
+                self.build(el)
+        for el in self.root:
+            if el.tag == "mcmc":
+                self._run_mcmc(el, full_eval_steps)
+            elif el.tag == "traceAnalysis":
+                self._run_trace_analysis(el, tolerance_se)
+            elif el.tag in ("report", "treeTraceAnalysis", "CSVexport",
+                            "VDAnalysis", "marginalLikelihoodAnalysis"):
+                continue  # post-hoc reporting; not part of the assertions
+            else:
+                # model definitions are built lazily by the mcmc blocks
+                continue
+        return self.assertions
+
+    # -- mcmc ---------------------------------------------------------------
+    def _posterior_of(self, el) -> LikelihoodFn:
+        """The first child of <mcmc> that is a likelihood-like element."""
+        for c in el:
+            if c.tag in ("log", "logTree", "operators"):
+                continue
+            obj = self.build(c)
+            if isinstance(obj, LikelihoodFn):
+                return obj
+        raise XmlError("<mcmc> has no posterior/likelihood child")
+
+    def _run_mcmc(self, el, full_eval_steps):
+        from beast_mcmc_tpu.inference.mcmc import (
+            full_evaluation_check,
+            init_mcmc_state,
+            make_mcmc_step,
+            run_chain,
+        )
+        from beast_mcmc_tpu.inference.samplers import make_post_update
+
+        post = self._posterior_of(el)
+        ops_el = el.find("operators")
+        if ops_el is None:
+            raise XmlError("<mcmc> without <operators>")
+        operators, op_tree_ids = self.build(self.deref(ops_el))
+
+        tree_ids = {t for t in op_tree_ids if t} | (
+            {post.tree_id} if post.tree_id else set()
+        )
+        if len(tree_ids) > 1:
+            raise Unsupported(f"multiple trees in one mcmc: {tree_ids}")
+        tree_id = next(iter(tree_ids)) if tree_ids else None
+        if tree_id is None:
+            # params-only chain still needs a placeholder tree
+            tm = TreeModel("_dummy", ["A", "B"], np.zeros(2),
+                           np.array([2, 2, -1]),
+                           np.array([[-1, -1], [-1, -1], [0, 1]]),
+                           np.array([0.0, 0.0, 1.0]), 2)
+        else:
+            tm = self._trees[tree_id]
+
+        from beast_mcmc_tpu.tree.topology import make_tree_state
+
+        tree0 = make_tree_state(
+            tm.parent, tm.children, tm.heights, tm.root, self.dtype
+        )
+        params0 = {
+            p.name: jnp.asarray(
+                p.value, jnp.int32 if p.integer else self.dtype
+            )
+            for p in self._params.values()
+        }
+
+        chain_length = int(_attr(el, "chainLength", 10000, int) * self.scale)
+        chain_length = min(chain_length, self.max_states)
+
+        lp_fn = post.fn
+        step = make_mcmc_step(
+            lp_fn, operators, post_update=make_post_update(operators)
+        )
+        key = jax.random.PRNGKey(self.seed)
+        state = init_mcmc_state(
+            params0, tree0, key, operators, lp_fn, dtype=self.dtype
+        )
+        if not np.isfinite(float(state.log_posterior)):
+            raise XmlError(
+                f"initial posterior not finite: {float(state.log_posterior)}"
+            )
+
+        # the reference's in-chain sanitizer for the first steps
+        if full_eval_steps:
+            check = jax.jit(
+                lambda s: full_evaluation_check(
+                    step, lp_fn, s, full_eval_steps
+                )
+            )
+            state, dev = check(state)
+            dev = float(dev)
+            tol = 0.1 if self.dtype == jnp.float64 else 1e-4 * max(
+                1.0, abs(float(state.log_posterior))
+            )
+            if not dev <= tol:
+                raise AssertionError(
+                    f"full-evaluation self-check deviation {dev} > {tol}"
+                )
+
+        # collectors: one per <log fileName>; plus screen logs are skipped
+        logs = []
+        for lg in el.findall("log"):
+            fname = lg.get("fileName")
+            if fname is None:
+                continue
+            log_every = max(1, int(_attr(lg, "logEvery", 1000, int) * self.scale))
+            cols = self._log_columns(lg)
+            logs.append((fname, log_every, cols))
+
+        if logs:
+            base_every = min(le for _, le, _ in logs)
+        else:
+            base_every = max(1, chain_length // 1000)
+
+        def collector(s):
+            out = {}
+            for fname, _, cols in logs:
+                for cname, fn in cols:
+                    out[f"{fname}\x00{cname}"] = fn(s)
+            return out
+
+        n_blocks = max(1, chain_length // base_every)
+        state, trace = jax.jit(
+            lambda s: run_chain(
+                step, s, n_blocks * base_every, base_every, collector
+            )
+        )(state)
+        lp = float(state.log_posterior)
+        if not np.isfinite(lp):
+            raise AssertionError(f"chain ended with non-finite posterior {lp}")
+
+        for fname, log_every, cols in logs:
+            stride = max(1, log_every // base_every)
+            table = {}
+            for cname, _ in cols:
+                arr = np.asarray(trace[f"{fname}\x00{cname}"], np.float64)
+                table[cname] = arr[::stride]
+            table["_states_per_sample"] = np.array([log_every])
+            self.results[fname] = table
+        self._last_state = state
+        self._last_operators = operators
+
+    def _log_columns(self, lg) -> List[Tuple[str, Callable]]:
+        cols = []
+        for c in lg:
+            if c.tag == "column":
+                for cc in c:
+                    cols.extend(self._column_of(cc))
+            else:
+                cols.extend(self._column_of(c))
+        return cols
+
+    def _column_of(self, el) -> List[Tuple[str, Callable]]:
+        ref_name = el.get("idref")
+        el2 = self.deref(el)
+        if el2.tag == "parameter":
+            obj = self.build(el2)
+            if isinstance(obj, TreeAlias):
+                return [(ref_name or el2.get("id"), self._alias_reader(obj))]
+            name = obj.name
+
+            def read(s, name=name):
+                return jnp.ravel(s.params[name])[0] if True else None
+
+            # vector parameters: one column per element (reference logs
+            # param1, param2, ... — expectations only target scalars here)
+            val = obj.value
+            if val.size == 1:
+                return [(name, lambda s, n=name: jnp.reshape(s.params[n], ()))]
+            return [
+                (f"{name}{i+1}",
+                 lambda s, n=name, i=i: jnp.ravel(s.params[n])[i])
+                for i in range(val.size)
+            ]
+        obj = self.build(el2)
+        nm = ref_name or el2.get("id") or el2.tag
+        if isinstance(obj, LikelihoodFn):
+            return [(nm, lambda s, f=obj.fn: f(s.params, s.tree))]
+        if isinstance(obj, ClockModel):
+            # branch-rate models log their (zero) density, matching the
+            # reference's Loggable default for non-density rate models
+            return [(nm, lambda s: jnp.asarray(0.0, s.tree.heights.dtype))]
+        if isinstance(obj, CompoundParam):
+            cols = []
+            for n in obj.names:
+                cols.append((n, lambda s, n=n: jnp.reshape(s.params[n], ())))
+            return cols
+        if callable(obj):  # statistics
+            return [(nm, obj)]
+        raise Unsupported(f"cannot log <{el2.tag}>")
+
+    def _alias_reader(self, a: TreeAlias):
+        if a.kind == "root_height":
+            return lambda s: s.tree.heights[s.tree.root]
+        if a.kind == "leaf_height":
+            return lambda s, i=a.tip_index: s.tree.heights[i]
+        raise Unsupported(f"cannot log alias kind {a.kind}")
+
+    # -- traceAnalysis ------------------------------------------------------
+    def _run_trace_analysis(self, el, tolerance_se):
+        from beast_mcmc_tpu.inference.trace import analyze
+
+        fname = el.get("fileName")
+        if fname not in self.results:
+            raise XmlError(f"traceAnalysis of unknown log {fname!r}")
+        table = self.results[fname]
+        states_per_sample = int(table["_states_per_sample"][0])
+        burn_states = int(_attr(el, "burnIn", 0, int) * self.scale)
+        burn = burn_states // states_per_sample
+        for exp in el.findall("expectation"):
+            name = exp.get("name")
+            expected = float(exp.get("value"))
+            if name not in table:
+                raise XmlError(
+                    f"expectation names unknown column {name!r} in {fname}"
+                )
+            samples = table[name][burn:]
+            st = analyze(samples)
+            err = abs(st.mean - expected)
+            tol = tolerance_se * max(st.std_error_of_mean, 1e-12)
+            self.assertions.append((fname, name, st.mean, expected,
+                                    st.std_error_of_mean))
+            if not err <= tol:
+                raise AssertionError(
+                    f"{os.path.basename(self.path)}: E[{name}] = {st.mean:.6g}"
+                    f" vs expected {expected:.6g} (|diff| {err:.3g} >"
+                    f" {tolerance_se} SE = {tol:.3g}, n={samples.size})"
+                )
+
+
+# ---------------------------------------------------------------------------
+# builders (the parser registry)
+# ---------------------------------------------------------------------------
+
+_BUILDERS: Dict[str, Callable] = {}
+
+
+def register(*tags):
+    def deco(fn):
+        for t in tags:
+            _BUILDERS[t] = fn
+        return fn
+
+    return deco
+
+
+# -- data -------------------------------------------------------------------
+
+
+@register("taxa")
+def _taxa(ax: XmlAnalysis, el):
+    taxa = []
+    for t in el:
+        t = ax.deref(t)
+        if t.tag != "taxon":
+            continue
+        name = t.get("id")
+        height = 0.0
+        d = t.find("date")
+        if d is not None:
+            d = ax.deref(d)
+            v = float(d.get("value"))
+            direction = d.get("direction", "backwards")
+            height = v if direction == "backwards" else -v
+        taxa.append((name, height))
+    # heights are ages relative to the youngest tip
+    if taxa:
+        m = min(h for _, h in taxa)
+        taxa = [(n, h - m) for n, h in taxa]
+    return taxa
+
+
+@register("date")
+def _date(ax, el):
+    return el
+
+
+@register("alignment")
+def _alignment(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.data.alignment import Alignment
+    from beast_mcmc_tpu.data.datatype import AMINO_ACIDS, NUCLEOTIDES
+
+    dt = el.get("dataType", "nucleotide")
+    datatype = {"nucleotide": NUCLEOTIDES, "amino acid": AMINO_ACIDS}.get(dt)
+    if datatype is None:
+        raise Unsupported(f"alignment dataType {dt!r}")
+    taxa, seqs, dates = [], [], {}
+    for s in el.findall("sequence"):
+        tx = ax.deref(s.find("taxon"))
+        name = tx.get("id")
+        seq = "".join((s.text or "").split())
+        for sub in s:
+            if sub.tail:
+                seq += "".join(sub.tail.split())
+        taxa.append(name)
+        seqs.append(seq.upper())
+        d = tx.find("date")
+        if d is not None:
+            d = ax.deref(d)
+            v = float(d.get("value"))
+            if d.get("direction", "backwards") == "backwards":
+                dates[name] = -v
+            else:
+                dates[name] = v
+    return Alignment.from_sequences(taxa, seqs, datatype,
+                                    dates=dates or None)
+
+
+@register("patterns")
+def _patterns(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.data.alignment import SitePatterns
+
+    src = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "alignment":
+            src = ax.build(cc)
+    if src is None:
+        raise XmlError("<patterns> without <alignment>")
+    frm = _attr(el, "from", 1, int) - 1
+    to = _attr(el, "to", -1, int)
+    to = to - 1 if to and to > 0 else -1
+    every = _attr(el, "every", 1, int)
+    return SitePatterns.from_alignment(src, site_range=(frm, to), every=every)
+
+
+@register("mergePatterns")
+def _merge_patterns(ax: XmlAnalysis, el):
+    parts = [ax.build(c) for c in el if ax.deref(c).tag == "patterns"]
+    if not parts:
+        raise XmlError("<mergePatterns> without <patterns>")
+    import dataclasses as dc
+
+    from beast_mcmc_tpu.data.alignment import SitePatterns
+
+    base = parts[0]
+    states = np.concatenate([p.states for p in parts], axis=1)
+    weights = np.concatenate([p.weights for p in parts])
+    return SitePatterns(
+        taxa=base.taxa, states=states, weights=weights,
+        datatype=base.datatype, n_sites=sum(p.n_sites for p in parts),
+    )
+
+
+@register("parameter")
+def _parameter(ax: XmlAnalysis, el):
+    name = el.get("id")
+    if name is None:
+        name = f"param{len(ax._params)}"
+    if name in ax._aliases:
+        return ax._aliases[name]
+    if name in ax._params:
+        return ax._params[name]
+    vals = _text_values(el)
+    dim = _attr(el, "dimension", None, int)
+    if vals.size == 0:
+        vals = np.ones(dim or 1)
+    elif dim and vals.size == 1:
+        vals = np.full(dim, vals[0])
+    def bound(attr, default):
+        v = el.get(attr)
+        if v is None:
+            return default
+        return float(v.split()[0])  # per-dim bounds: use the first
+
+    p = Param(
+        name=name,
+        value=vals if vals.size > 1 else np.asarray(float(vals[0])),
+        lower=bound("lower", -np.inf),
+        upper=bound("upper", np.inf),
+    )
+    ax._params[name] = p
+    return p
+
+
+@dataclasses.dataclass
+class CompoundParam:
+    names: List[str]
+
+
+@register("compoundParameter")
+def _compound_parameter(ax, el):
+    names = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            obj = ax.build(cc)
+            names.append(obj.name)
+    return CompoundParam(names)
+
+
+# -- demographics -----------------------------------------------------------
+
+
+@register("constantSize")
+def _constant_size(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.coalescent import constant_coalescent_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+
+    def ll(heights, n_taxa, params):
+        return constant_coalescent_loglik(heights, n_taxa, params[pname])
+
+    return Demographic("constant", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("exponentialGrowth")
+def _exponential_growth(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.coalescent import exponential_growth_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    gr = el.find("growthRate")
+    dbl = el.find("doublingTime")
+    if gr is not None:
+        gname = ax.param_from(gr)
+
+        def ll(heights, n_taxa, params):
+            return exponential_growth_loglik(
+                heights, n_taxa, params[pname], params[gname]
+            )
+    elif dbl is not None:
+        dname = ax.param_from(dbl)
+
+        def ll(heights, n_taxa, params):
+            r = jnp.log(2.0) / params[dname]
+            return exponential_growth_loglik(
+                heights, n_taxa, params[pname], r
+            )
+    else:
+        raise XmlError("exponentialGrowth without growthRate/doublingTime")
+    return Demographic("exponential", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("expansion")
+def _expansion(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.coalescent import expansion_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    aname = ax.param_from(_child_of(el, "ancestralPopulationProportion"))
+    gr, dbl = el.find("growthRate"), el.find("doublingTime")
+    if gr is not None:
+        gname = ax.param_from(gr)
+
+        def rate_of(params):
+            return params[gname]
+    elif dbl is not None:
+        dname = ax.param_from(dbl)
+
+        def rate_of(params):
+            return jnp.log(2.0) / params[dname]
+    else:
+        raise XmlError("expansion without growthRate/doublingTime")
+
+    def ll(heights, n_taxa, params):
+        return expansion_loglik(
+            heights, n_taxa, params[pname], params[aname], rate_of(params)
+        )
+
+    return Demographic("expansion", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+
+
+@register("piecewisePopulation")
+def _piecewise_population(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.coalescent import piecewise_exponential_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    gr = el.find("growthRates")
+    if gr is None:
+        raise Unsupported("piecewisePopulation without growthRates")
+    gname = ax.param_from(gr)
+    widths = np.array([
+        float(x) for x in _child_of(el, "epochWidths").get("widths").split()
+    ])
+
+    def ll(heights, n_taxa, params):
+        return piecewise_exponential_loglik(
+            heights, n_taxa, params[pname], params[gname], widths
+        )
+
+    return Demographic("piecewise", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("cataclysm")
+def _cataclysm(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.coalescent import cataclysm_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    gname = ax.param_from(_child_of(el, "growthRate"))
+    sname = ax.param_from(_child_of(el, "spikeFactor"))
+    tname = ax.param_from(_child_of(el, "timeOfCataclysm"))
+
+    def ll(heights, n_taxa, params):
+        return cataclysm_loglik(
+            heights, n_taxa, params[pname], params[gname], params[sname],
+            params[tname],
+        )
+
+    return Demographic("cataclysm", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("constantPopulationSize")
+def _constant_pop_size_model(ax: XmlAnalysis, el):
+    """Log-space constant-size model (ref:
+    dr.evomodel.coalescent.demographicmodel ConstantPopulationSizeModel:
+    the parameter is log N)."""
+    from beast_mcmc_tpu.models.coalescent import constant_coalescent_loglik
+
+    pname = ax.param_from(_child_of(el, "logPopulationSize"))
+
+    def ll(heights, n_taxa, params):
+        return constant_coalescent_loglik(
+            heights, n_taxa, jnp.exp(params[pname])
+        )
+
+    return Demographic("constant_log", {"pop": pname}, ll,
+                       sim_pop=float(np.exp(np.ravel(ax.value_of(pname))[0])))
+
+
+@register("exponentialPopulationSize")
+def _exponential_pop_size_model(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.coalescent import exponential_growth_loglik
+
+    pname = ax.param_from(_child_of(el, "logPopulationSize"))
+    gname = ax.param_from(_child_of(el, "growthRate"))
+
+    def ll(heights, n_taxa, params):
+        return exponential_growth_loglik(
+            heights, n_taxa, jnp.exp(params[pname]), params[gname]
+        )
+
+    return Demographic("exponential_log", {"pop": pname}, ll,
+                       sim_pop=float(np.exp(np.ravel(ax.value_of(pname))[0])))
+
+def _child_of(el, tag):
+    c = el.find(tag)
+    if c is None:
+        raise XmlError(f"<{el.tag}> missing <{tag}>")
+    return c
+
+
+# -- trees --------------------------------------------------------------
+
+
+@register("coalescentTree", "coalescentSimulator")
+def _coalescent_tree(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.tree.topology import simulate_coalescent_tree
+
+    taxa, demo, subtrees = None, None, []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "taxa":
+            taxa = ax.build(cc)
+        elif cc.tag in ("constantSize", "exponentialGrowth", "expansion",
+                      "piecewisePopulation", "cataclysm",
+                      "constantPopulationSize",
+                      "exponentialPopulationSize"):
+            demo = ax.build(cc)
+        elif cc.tag in ("coalescentTree", "coalescentSimulator"):
+            subtrees.append(ax.build(cc))
+    if taxa is None and not subtrees:
+        raise XmlError(f"<{el.tag}> without <taxa>")
+    pop = demo.sim_pop if demo else 1.0
+    if not subtrees:
+        names = [n for n, _ in taxa]
+        tips = np.array([h for _, h in taxa])
+        parent, children, heights, root = simulate_coalescent_tree(
+            ax._rng, tips, pop_size=pop
+        )
+        return (names, tips, parent, children, heights, root)
+    # nested constrained simulation (monophyly construction, ref:
+    # CoalescentSimulator.java:simulateTree over subtree roots): simulate
+    # each nested clade, then coalesce clade roots + leftover taxa; the
+    # leftover process starts above the tallest clade root.
+    all_names = [n for n, _ in (taxa or [])]
+    sub_names = [n for s in subtrees for n in s[0]]
+    free = [(n, h) for n, h in (taxa or []) if n not in sub_names]
+    names = sub_names + [n for n, _ in free]
+    n_total = len(names)
+    m_total = 2 * n_total - 1
+    parent = np.full(m_total, -1, np.int32)
+    children = np.full((m_total, 2), -1, np.int32)
+    heights = np.zeros(m_total)
+    # place subtree tips/internals into the global arrays
+    name_to_idx = {n: i for i, n in enumerate(names)}
+    next_internal = n_total
+    unit_roots = []  # (global node id, height) of each coalescing unit
+    for s in subtrees:
+        snames, stips, sparent, schildren, sheights, sroot = s
+        n_s = len(snames)
+        mapping = {}
+        for li, n in enumerate(snames):
+            mapping[li] = name_to_idx[n]
+            heights[name_to_idx[n]] = sheights[li]
+        for li in range(n_s, 2 * n_s - 1):
+            mapping[li] = next_internal
+            heights[next_internal] = sheights[li]
+            next_internal += 1
+        for li in range(2 * n_s - 1):
+            gi = mapping[li]
+            if sparent[li] >= 0:
+                parent[gi] = mapping[int(sparent[li])]
+            for k in range(2):
+                if schildren[li, k] >= 0:
+                    children[gi, k] = mapping[int(schildren[li, k])]
+        unit_roots.append((mapping[int(sroot)], float(sheights[int(sroot)])))
+    for n, h in free:
+        heights[name_to_idx[n]] = h
+        unit_roots.append((name_to_idx[n], h))
+    # coalesce the units with the stock simulator, then splice
+    unit_tips = np.array([h for _, h in unit_roots])
+    up, uc, uh, ur = simulate_coalescent_tree(
+        ax._rng, unit_tips, pop_size=pop
+    )
+    n_u = len(unit_roots)
+    umap = {}
+    for ui in range(n_u):
+        umap[ui] = unit_roots[ui][0]
+    for ui in range(n_u, 2 * n_u - 1):
+        umap[ui] = next_internal
+        heights[next_internal] = uh[ui]
+        next_internal += 1
+    for ui in range(2 * n_u - 1):
+        gi = umap[ui]
+        if up[ui] >= 0:
+            parent[gi] = umap[int(up[ui])]
+        if ui >= n_u:
+            for k in range(2):
+                children[gi, k] = umap[int(uc[ui, k])]
+    root = umap[int(ur)]
+    tips = heights[:n_total].copy()
+    return (names, tips, parent, children, heights, root)
+
+
+@register("newick")
+def _newick(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.tree.topology import parse_newick
+
+    text = (el.text or "").strip()
+    for sub in el:
+        if sub.tail:
+            text += sub.tail.strip()
+    parent, children, heights, root, names = parse_newick(text)
+    m = parent.shape[0]
+    n_tips = (m + 1) // 2
+    tips = heights[:n_tips]
+    return (names, tips, parent, children, heights, root)
+
+
+@register("treeModel")
+def _tree_model(ax: XmlAnalysis, el):
+    tree_id = el.get("id") or f"tree{len(ax._trees)}"
+    src = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("coalescentTree", "coalescentSimulator", "newick",
+                      "tree"):
+            src = ax.build(cc)
+            break
+    if src is None:
+        raise XmlError("<treeModel> without a starting tree")
+    names, tips, parent, children, heights, root = src
+    tm = TreeModel(tree_id, names, tips, parent, children, heights, root)
+    ax._trees[tree_id] = tm
+    # register tree-view parameter aliases
+    for c in el:
+        if c.tag == "rootHeight":
+            p = ax.deref(_child_of(c, "parameter"))
+            ax._aliases[p.get("id")] = TreeAlias("root_height", tree_id)
+        elif c.tag == "nodeHeights":
+            p = ax.deref(_child_of(c, "parameter"))
+            rn = _attr(c, "rootNode", False, bool)
+            kind = "all_heights" if rn else "internal_heights"
+            ax._aliases[p.get("id")] = TreeAlias(kind, tree_id)
+        elif c.tag == "leafHeight":
+            taxon = c.get("taxon")
+            p = ax.deref(_child_of(c, "parameter"))
+            idx = names.index(taxon)
+            ax._aliases[p.get("id")] = TreeAlias("leaf_height", tree_id, idx)
+            tm.sampled_tips[taxon] = idx
+    return tm
+
+
+# -- substitution / site / clock models --------------------------------------
+
+
+@register("frequencyModel")
+def _frequency_model(ax: XmlAnalysis, el):
+    f = el.find("frequencies")
+    if f is None:
+        raise XmlError("frequencyModel without frequencies")
+    pname = ax.param_from(f)
+    return pname
+
+
+@register("HKYModel", "hkyModel")
+def _hky_model(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.substitution import hky_eigen
+
+    fq = _child_of(el, "frequencies")
+    fm = None
+    for c in fq:
+        cc = ax.deref(c)
+        if cc.tag == "frequencyModel":
+            fm = ax.build(cc)
+    if fm is None:
+        fm = ax.param_from(fq)
+    kname = ax.param_from(_child_of(el, "kappa"))
+
+    def freqs(params):
+        f = params[fm]
+        return f / jnp.sum(f)
+
+    def eigen(params):
+        return hky_eigen(params[kname], freqs(params))
+
+    return ("subst", eigen, freqs, 4)
+
+
+@register("gtrModel")
+def _gtr_model(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.substitution import gtr_eigen
+
+    fq = _child_of(el, "frequencies")
+    fm = None
+    for c in fq:
+        cc = ax.deref(c)
+        if cc.tag == "frequencyModel":
+            fm = ax.build(cc)
+    if fm is None:
+        fm = ax.param_from(fq)
+    names = {}
+    for role in ("rateAC", "rateAG", "rateAT", "rateCG", "rateCT", "rateGT"):
+        c = el.find(role)
+        if c is not None:
+            names[role] = ax.param_from(c)
+
+    def freqs(params):
+        f = params[fm]
+        return f / jnp.sum(f)
+
+    def eigen(params):
+        one = jnp.asarray(1.0, params[fm].dtype)
+        r = [
+            params[names[k]] if k in names else one
+            for k in ("rateAC", "rateAG", "rateAT", "rateCG", "rateCT",
+                      "rateGT")
+        ]
+        return gtr_eigen(jnp.stack([jnp.reshape(x, ()) for x in r]),
+                         freqs(params))
+
+    return ("subst", eigen, freqs, 4)
+
+
+@register("siteModel")
+def _site_model(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.sitemodel import (
+        discrete_gamma_rates,
+        single_rate,
+    )
+
+    sub = None
+    for c in _child_of(el, "substitutionModel"):
+        sub = ax.build(ax.deref(c))
+    if sub is None or sub[0] != "subst":
+        raise XmlError("siteModel without substitution model")
+    _, eigen, freqs_of, s = sub
+
+    gs = el.find("gammaShape")
+    mu = el.find("mutationRate") or el.find("relativeRate")
+    pinv = el.find("proportionInvariant")
+    n_cat = int(gs.get("gammaCategories", "4")) if gs is not None else 1
+    gname = ax.param_from(gs) if gs is not None else None
+    mname = ax.param_from(mu) if mu is not None else None
+    iname = ax.param_from(pinv) if pinv is not None else None
+
+    def rates_weights(params, dtype):
+        if gname is not None:
+            p_inv = params[iname] if iname else None
+            r, w = discrete_gamma_rates(
+                params[gname], n_cat, p_invariant=p_inv, dtype=dtype
+            )
+        elif iname is not None:
+            from beast_mcmc_tpu.models.sitemodel import invariant_only_rates
+
+            r, w = invariant_only_rates(params[iname], dtype=dtype)
+        else:
+            r, w = single_rate(dtype=dtype)
+        if mname is not None:
+            r = r * params[mname]
+        return r, w
+
+    return ("site", eigen, freqs_of, s, rates_weights)
+
+
+
+def _quantile_model(ax: XmlAnalysis, dist_el):
+    """Quantile function q -> rate of the relaxed-clock rate distribution
+    (logNormal / gamma / exponential distribution models, ref:
+    dr.inference.distribution.* as used by DiscretizedBranchRates)."""
+    from beast_mcmc_tpu.models.clock import lognormal_quantile
+
+    for c in dist_el:
+        cc = ax.deref(c)
+        if cc.tag == "logNormalDistributionModel":
+            mreal = _attr(cc, "meanInRealSpace", False, bool)
+            mname = ax.param_from(_child_of(cc, "mean"))
+            sname = ax.param_from(_child_of(cc, "stdev"))
+
+            def qf(params, q):
+                return lognormal_quantile(q, params[mname], params[sname],
+                                          mreal)
+
+            return qf
+        if cc.tag == "gammaDistributionModel":
+            from beast_mcmc_tpu.ops.special import gamma_quantile
+
+            sh_el = cc.find("shape")
+            mean_el = cc.find("mean")
+            scale_el = cc.find("scale")
+            shname = ax.param_from(sh_el)
+            if mean_el is not None:
+                mname = ax.param_from(mean_el)
+
+                def qf(params, q):
+                    scale = params[mname] / params[shname]
+                    return gamma_quantile(q, params[shname], scale)
+            else:
+                scname = ax.param_from(scale_el)
+
+                def qf(params, q):
+                    return gamma_quantile(q, params[shname], params[scname])
+
+            return qf
+        if cc.tag == "exponentialDistributionModel":
+            mname = ax.param_from(_child_of(cc, "mean"))
+
+            def qf(params, q):
+                return -params[mname] * jnp.log1p(-q)
+
+            return qf
+    raise Unsupported(
+        f"relaxed-clock distribution <{[ax.deref(c).tag for c in dist_el]}>"
+    )
+
+
+@register("strictClockBranchRates")
+def _strict_clock(ax: XmlAnalysis, el):
+    rname = ax.param_from(_child_of(el, "rate"))
+
+    def rates(params, tree):
+        return params[rname]
+
+    return ClockModel("strict", None, rates, rate_param=rname)
+
+
+@register("discretizedBranchRates")
+def _discretized_clock(ax: XmlAnalysis, el):
+    tm = ax.build(_child_of(el, "treeModel"))
+    qf = _quantile_model(ax, _child_of(el, "distribution"))
+    cats_el = ax.deref(_child_of(_child_of(el, "rateCategories"), "parameter"))
+    cname = cats_el.get("id")
+    m = tm.parent.shape[0]
+    n_cat = m - 1  # one category slot per branch (reference default)
+    p = Param(cname, np.arange(m) % n_cat, integer=True)
+    ax._params[cname] = p
+
+    def rates(params, tree):
+        q = (params[cname].astype(tree.heights.dtype) + 0.5) / n_cat
+        return qf(params, q)
+
+    return ClockModel("discretized", tm.tree_id, rates)
+
+
+@register("continuousBranchRates")
+def _continuous_clock(ax: XmlAnalysis, el):
+    tm = ax.build(_child_of(el, "treeModel"))
+    qf = _quantile_model(ax, _child_of(el, "distribution"))
+    q_el = ax.deref(_child_of(_child_of(el, "rateCategoryQuantiles"),
+                              "parameter"))
+    qname = q_el.get("id")
+    m = tm.parent.shape[0]
+    p = Param(qname, np.full(m, 0.5), lower=1e-9, upper=1 - 1e-9)
+    ax._params[qname] = p
+
+    def rates(params, tree):
+        return qf(params, params[qname])
+
+    return ClockModel("continuous_quantile", tm.tree_id, rates)
+
+
+
+
+@register("localClockModel")
+def _local_clock(ax: XmlAnalysis, el):
+    """Fixed local clocks on named clades (ref: LocalClockModel.java):
+    branches inside each clade (optionally the stem) get that clade's
+    rate; everything else the background rate. The clade membership is
+    recomputed from the CURRENT topology every evaluation (mrca +
+    descendant masks by pointer doubling) — topology moves stay valid."""
+    from beast_mcmc_tpu.models.clock import ancestor_or_self_mask
+    from beast_mcmc_tpu.models.speciation import mrca_node
+
+    tm = ax.build(_child_of(el, "treeModel"))
+    rname = ax.param_from(_child_of(el, "rate"))
+    m = tm.parent.shape[0]
+    clades = []
+    for c in el.findall("clade"):
+        crate = ax.param_from(c)
+        taxa = None
+        for t in c:
+            tt = ax.deref(t)
+            if tt.tag == "taxa":
+                taxa = ax.build(tt)
+        include_stem = _attr(c, "includeStem", False, bool)
+        tip_set = np.zeros(m, bool)
+        for n, _ in taxa:
+            tip_set[tm.taxa.index(n)] = True
+        clades.append((crate, jnp.asarray(tip_set), include_stem))
+
+    def rates(params, tree):
+        r = jnp.full((m,), 0.0, tree.heights.dtype) + params[rname]
+        for crate, tip_set, include_stem in clades:
+            node = mrca_node(tree.parent, tree.heights, tip_set)
+            mask = ancestor_or_self_mask(tree.parent, node)
+            # mask marks nodes having `node` as ancestor-or-self; the
+            # branch ABOVE node is the stem
+            if not include_stem:
+                mask = mask & (jnp.arange(m) != node)
+            r = jnp.where(mask, params[crate], r)
+        return r
+
+    return ClockModel("local", tm.tree_id, rates)
+
+
+@register("randomLocalClockModel")
+def _random_local_clock(ax: XmlAnalysis, el):
+    """Random local clocks (ref: RandomLocalClockModel.java): per-node
+    change indicators + rate multipliers; a branch's rate is the product
+    of multipliers on active ancestors (here: the nearest active ancestor
+    convention of the reference, implemented as cumulative products by
+    pointer doubling in models/clock.random_local_clock_rates)."""
+    from beast_mcmc_tpu.models.clock import random_local_clock_rates
+
+    tm = ax.build(_child_of(el, "treeModel"))
+    m = tm.parent.shape[0]
+    rates_el = ax.deref(_child_of(_child_of(el, "rates"), "parameter"))
+    ind_el = ax.deref(_child_of(_child_of(el, "rateIndicator"), "parameter"))
+    clock_el = el.find("clockRate")
+    cname = ax.param_from(clock_el) if clock_el is not None else None
+    rn, iname = rates_el.get("id"), ind_el.get("id")
+    ax._params[rn] = Param(rn, np.ones(m), lower=0.0)
+    ax._params[iname] = Param(iname, np.zeros(m), integer=True)
+
+    def rates(params, tree):
+        r = random_local_clock_rates(
+            tree.parent, tree.heights,
+            params[iname].astype(tree.heights.dtype),
+            params[rn].astype(tree.heights.dtype),
+        )
+        if cname:
+            r = r * params[cname]
+        return r
+
+    return ClockModel("random_local", tm.tree_id, rates)
+
+
+@register("monophylyStatistic")
+def _monophyly_statistic(ax: XmlAnalysis, el):
+    """bool statistic: is the clade monophyletic in the current tree
+    (ref: MonophylyStatistic.java)."""
+    from beast_mcmc_tpu.models.clock import ancestor_or_self_mask
+    from beast_mcmc_tpu.models.speciation import mrca_node
+
+    tm, taxa = None, None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+        elif cc.tag == "mrca":
+            for t in cc:
+                taxa = ax.build(ax.deref(t))
+        elif cc.tag == "taxa":
+            taxa = ax.build(cc)
+    m = tm.parent.shape[0]
+    n_taxa = len(tm.taxa)
+    tip_set = np.zeros(m, bool)
+    for n, _ in taxa:
+        tip_set[tm.taxa.index(n)] = True
+    size = int(tip_set.sum())
+    tip_set_j = jnp.asarray(tip_set)
+
+    def stat(s):
+        node = mrca_node(s.tree.parent, s.tree.heights, tip_set_j)
+        desc = ancestor_or_self_mask(s.tree.parent, node)
+        n_below = jnp.sum(desc[:n_taxa])
+        return (n_below == size).astype(s.tree.heights.dtype)
+
+    return stat
+
+
+@register("booleanLikelihood")
+def _boolean_likelihood(ax: XmlAnalysis, el):
+    """-inf unless every child boolean statistic is true (ref:
+    BooleanLikelihood.java)."""
+    stats = [ax.build(c) for c in el]
+
+    def fn(params, tree):
+        s = _StateShim(params, tree)
+        ok = 1.0
+        for st in stats:
+            ok = ok * st(s)
+        return jnp.where(ok > 0, 0.0, -jnp.inf)
+
+    return LikelihoodFn(fn, None, "booleanLikelihood")
+
+# -- likelihoods --------------------------------------------------------------
+
+
+@register("coalescentLikelihood")
+def _coalescent_likelihood(ax: XmlAnalysis, el):
+    demo, tm = None, None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "model":
+            for d in cc:
+                demo = ax.build(ax.deref(d))
+        elif cc.tag == "populationTree":
+            for t in cc:
+                tm = ax.build(ax.deref(t))
+        elif cc.tag in ("constantSize", "exponentialGrowth", "expansion",
+                      "piecewisePopulation", "cataclysm",
+                      "constantPopulationSize",
+                      "exponentialPopulationSize"):
+            demo = ax.build(cc)
+        elif cc.tag == "treeModel":
+            tm = ax.build(cc)
+    if demo is None or tm is None:
+        raise XmlError("coalescentLikelihood needs model + populationTree")
+    n_taxa = len(tm.taxa)
+
+    def fn(params, tree):
+        return demo.loglik(tree.heights, n_taxa, params)
+
+    return LikelihoodFn(fn, tm.tree_id, el.get("id") or "coalescent")
+
+
+@register("generalizedSkyLineLikelihood")
+def _bsp_likelihood(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.coalescent import bayesian_skyline_loglik
+
+    pops = ax.param_from(_child_of(el, "populationSizes"))
+    gs_el = ax.deref(_child_of(_child_of(el, "groupSizes"), "parameter"))
+    tm = None
+    pt = el.find("populationTree")
+    if pt is not None:
+        for t in pt:
+            tm = ax.build(ax.deref(t))
+    else:
+        tm = ax.build(_child_of(el, "treeModel"))
+    n_taxa = len(tm.taxa)
+    k = ax._params[pops].value.size if ax._params[pops].value.ndim else 1
+    gname = gs_el.get("id")
+    gvals = _text_values(gs_el)
+    if gvals.size == 0:
+        # default: distribute n-1 coalescent events over k groups
+        base = (n_taxa - 1) // k
+        g = np.full(k, base)
+        g[: (n_taxa - 1) - base * k] += 1
+        gvals = g
+    ax._params[gname] = Param(gname, gvals.astype(np.float64), integer=True)
+    linear = _attr(el, "linear", False, bool)
+    if linear:
+        raise Unsupported("linear skyline")
+
+    def fn(params, tree):
+        return bayesian_skyline_loglik(
+            tree.heights, n_taxa, params[pops],
+            params[gname].astype(jnp.int32),
+        )
+
+    return LikelihoodFn(fn, tm.tree_id, el.get("id") or "skyline")
+
+
+@register("gmrfSkyrideLikelihood", "gmrfSkylineLikelihood",
+          "gmrfSkyLineLikelihood")
+def _skyride_likelihood(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.coalescent import (
+        gmrf_skyride_loglik,
+        gmrf_skyride_time_aware_prior,
+        gmrf_skyride_uniform_prior,
+    )
+
+    if el.find("covariateMatrix") is not None or el.find("betaParameter") \
+            is not None:
+        raise Unsupported("skyride with covariates")
+    pops = ax.param_from(_child_of(el, "populationSizes"))
+    prec = ax.param_from(_child_of(el, "precisionParameter"))
+    tm = None
+    pt = el.find("populationTree")
+    if pt is not None:
+        for t in pt:
+            tm = ax.build(ax.deref(t))
+    n_taxa = len(tm.taxa)
+    # resize the field to n-1 (the reference sizes it from the tree)
+    p = ax._params[pops]
+    field = np.resize(np.atleast_1d(p.value), n_taxa - 1)
+    ax._params[pops] = Param(pops, field, p.lower, p.upper)
+    time_aware = _attr(el, "timeAwareSmoothing", True, bool)
+
+    def fn(params, tree):
+        ll = gmrf_skyride_loglik(tree.heights, n_taxa, params[pops])
+        if time_aware:
+            pr = gmrf_skyride_time_aware_prior(
+                tree.heights, n_taxa, params[pops], params[prec]
+            )
+        else:
+            pr = gmrf_skyride_uniform_prior(params[pops], params[prec])
+        return ll + pr
+
+    return LikelihoodFn(fn, tm.tree_id, el.get("id") or "skyride")
+
+
+@register("yuleModel")
+def _yule_model(ax: XmlAnalysis, el):
+    bname = ax.param_from(_child_of(el, "birthRate"))
+    return ("speciation", "yule", {"birth": bname})
+
+
+@register("birthDeathModel")
+def _birth_death_model(ax: XmlAnalysis, el):
+    names = {}
+    bmd = el.find("birthMinusDeathRate")
+    rel = el.find("relativeDeathRate")
+    if bmd is None:
+        raise Unsupported("birthDeathModel parameterization")
+    names["bmd"] = ax.param_from(bmd)
+    names["rel"] = ax.param_from(rel) if rel is not None else None
+    return ("speciation", "birth_death", names)
+
+
+@register("speciationLikelihood")
+def _speciation_likelihood(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.speciation import birth_death_loglik, yule_loglik
+
+    model, tm = None, None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "model":
+            for d in cc:
+                model = ax.build(ax.deref(d))
+        elif cc.tag == "speciesTree":
+            for t in cc:
+                tm = ax.build(ax.deref(t))
+    if model is None or tm is None:
+        raise XmlError("speciationLikelihood needs model + speciesTree")
+    kind, sub, names = model
+    n_taxa = len(tm.taxa)
+    root = tm.root
+
+    if sub == "yule":
+        def fn(params, tree):
+            return yule_loglik(tree.heights, n_taxa, tree.root,
+                               params[names["birth"]])
+    else:
+        def fn(params, tree):
+            bmd = params[names["bmd"]]
+            rel = params[names["rel"]] if names["rel"] else 0.0
+            return birth_death_loglik(tree.heights, n_taxa, tree.root,
+                                      bmd, rel)
+
+    return LikelihoodFn(fn, tm.tree_id, el.get("id") or "speciation")
+
+
+@register("treeLikelihood", "treeDataLikelihood")
+def _tree_likelihood(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.treelikelihood import tree_loglikelihood
+    from beast_mcmc_tpu.ops.peeling import pad_patterns
+
+    patterns, tm, site, clock = None, None, None, None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("patterns", "mergePatterns"):
+            patterns = ax.build(cc)
+        elif cc.tag == "treeModel":
+            tm = ax.build(cc)
+        elif cc.tag == "siteModel":
+            site = ax.build(cc)
+        elif cc.tag in ("strictClockBranchRates", "discretizedBranchRates",
+                        "continuousBranchRates", "localClockModel",
+                        "randomLocalClockModel"):
+            clock = ax.build(cc)
+        elif cc.tag == "partition":
+            raise Unsupported("<treeDataLikelihood><partition>")
+    if patterns is None or tm is None or site is None:
+        raise XmlError("treeLikelihood needs patterns+treeModel+siteModel")
+    if clock is None:
+        clock = ClockModel("strict_unit", tm.tree_id,
+                           lambda params, tree: 1.0)
+    _, eigen, freqs_of, s, rates_weights = site
+    # order tip rows by the tree's taxon order
+    idx = [patterns.taxa.index(t) for t in tm.taxa]
+    # tip_partials is [taxa, patterns, states]; peel wants [N, S, P]
+    tips = np.swapaxes(patterns.tip_partials(np.float64)[idx], 1, 2)
+    dtype = ax.dtype
+    tips_j, w_j = pad_patterns(
+        jnp.asarray(tips, dtype), jnp.asarray(patterns.weights, dtype), 128
+    )
+
+    def fn(params, tree):
+        eig = eigen(params)
+        r, w = rates_weights(params, dtype)
+        br = clock.rates(params, tree)
+        return tree_loglikelihood(
+            tips_j, w_j, tree.parent, tree.children, tree.heights,
+            tree.root, eig, freqs_of(params), r, w, br,
+        )
+
+    return LikelihoodFn(fn, tm.tree_id, el.get("id") or "treeLikelihood")
+
+
+# -- priors -------------------------------------------------------------------
+
+
+class _StateShim:
+    """Minimal state-like view (params, tree) for statistic callables."""
+
+    def __init__(self, params, tree):
+        self.params = params
+        self.tree = tree
+
+
+def _targets_of(ax, el) -> List:
+    """Return readers for the parameter(s)/statistic(s) a prior applies
+    to. An unrecognized or empty target raises — a silently dropped prior
+    changes the posterior (the unregistered-parser contract)."""
+    outs = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            obj = ax.build(cc)
+            if isinstance(obj, TreeAlias):
+                outs.append(_alias_value_reader(obj))
+            else:
+                outs.append(lambda params, tree, n=obj.name: params[n])
+        else:
+            obj = ax.build(cc)
+            if callable(obj) and not isinstance(obj, LikelihoodFn):
+                outs.append(
+                    lambda params, tree, f=obj: f(_StateShim(params, tree))
+                )
+            else:
+                raise Unsupported(f"prior target <{cc.tag}>")
+    if not outs:
+        raise XmlError(f"prior <{el.tag}> names no target")
+    return outs
+
+
+def _alias_value_reader(a: TreeAlias):
+    if a.kind == "root_height":
+        return lambda params, tree: tree.heights[tree.root]
+    if a.kind == "internal_heights":
+        n = None
+
+        def read(params, tree):
+            n_taxa = (tree.parent.shape[0] + 1) // 2
+            mask = jnp.arange(tree.parent.shape[0]) >= n_taxa
+            isroot = jnp.arange(tree.parent.shape[0]) == tree.root
+            return tree.heights, mask & ~isroot
+
+        return read
+    if a.kind == "leaf_height":
+        return lambda params, tree, i=a.tip_index: tree.heights[i]
+    if a.kind == "all_heights":
+        def read(params, tree):
+            n_taxa = (tree.parent.shape[0] + 1) // 2
+            mask = jnp.arange(tree.parent.shape[0]) >= n_taxa
+            return tree.heights, mask
+
+        return read
+    raise Unsupported(a.kind)
+
+
+def _masked_sum(val, pdf):
+    """Apply pdf elementwise; val may be (values, mask) for tree views."""
+    if isinstance(val, tuple):
+        v, mask = val
+        return jnp.sum(jnp.where(mask, pdf(v), 0.0))
+    return jnp.sum(pdf(val))
+
+
+def _simple_prior(pdf_factory):
+    def build(ax, el):
+        targets = _targets_of(ax, el)
+        pdf = pdf_factory(ax, el)
+
+        def fn(params, tree):
+            tot = 0.0
+            for t in targets:
+                tot = tot + _masked_sum(t(params, tree), pdf)
+            return tot
+
+        return LikelihoodFn(fn, None, el.tag)
+
+    return build
+
+
+@register("logNormalPrior")
+def _lognormal_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import lognormal_logpdf
+
+    mean = _attr(el, "mean", _attr(el, "mu", 0.0, float), float)
+    stdev = _attr(el, "stdev", _attr(el, "sigma", 1.0, float), float)
+    offset = _attr(el, "offset", 0.0, float)
+    mreal = _attr(el, "meanInRealSpace", False, bool)
+    if mreal:
+        import math
+
+        mu = math.log(mean) - 0.5 * stdev**2
+    else:
+        mu = mean
+    return _simple_prior(
+        lambda ax_, el_: lambda x: lognormal_logpdf(x - offset, mu, stdev)
+    )(ax, el)
+
+
+@register("normalPrior")
+def _normal_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import normal_logpdf
+
+    mean = _attr(el, "mean", 0.0, float)
+    stdev = _attr(el, "stdev", 1.0, float)
+    return _simple_prior(
+        lambda ax_, el_: lambda x: normal_logpdf(x, mean, stdev)
+    )(ax, el)
+
+
+@register("exponentialPrior")
+def _exponential_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import exponential_logpdf
+
+    mean = _attr(el, "mean", 1.0, float)
+    offset = _attr(el, "offset", 0.0, float)
+    return _simple_prior(
+        lambda ax_, el_: lambda x: exponential_logpdf(x - offset, mean)
+    )(ax, el)
+
+
+@register("gammaPrior")
+def _gamma_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import gamma_logpdf
+
+    shape = _attr(el, "shape", 1.0, float)
+    scale = _attr(el, "scale", 1.0, float)
+    offset = _attr(el, "offset", 0.0, float)
+    return _simple_prior(
+        lambda ax_, el_: lambda x: gamma_logpdf(x - offset, shape, scale)
+    )(ax, el)
+
+
+@register("inverseGammaPrior")
+def _inverse_gamma_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import inverse_gamma_logpdf
+
+    shape = _attr(el, "shape", 1.0, float)
+    scale = _attr(el, "scale", 1.0, float)
+    return _simple_prior(
+        lambda ax_, el_: lambda x: inverse_gamma_logpdf(x, shape, scale)
+    )(ax, el)
+
+
+@register("laplacePrior")
+def _laplace_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import laplace_logpdf
+
+    mean = _attr(el, "mean", 0.0, float)
+    scale = _attr(el, "scale", 1.0, float)
+    return _simple_prior(
+        lambda ax_, el_: lambda x: laplace_logpdf(x, mean, scale)
+    )(ax, el)
+
+
+@register("uniformPrior")
+def _uniform_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import uniform_logpdf
+
+    lower = _attr(el, "lower", 0.0, float)
+    upper = _attr(el, "upper", 1.0, float)
+    return _simple_prior(
+        lambda ax_, el_: lambda x: uniform_logpdf(x, lower, upper)
+    )(ax, el)
+
+
+@register("oneOnXPrior", "jeffreysPrior")
+def _one_on_x_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import one_on_x_logpdf
+
+    return _simple_prior(lambda ax_, el_: one_on_x_logpdf)(ax, el)
+
+
+@register("poissonPrior")
+def _poisson_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import poisson_logpmf
+
+    mean = _attr(el, "mean", 1.0, float)
+    return _simple_prior(
+        lambda ax_, el_: lambda x: poisson_logpmf(x, mean)
+    )(ax, el)
+
+
+@register("dirichletPrior")
+def _dirichlet_prior(ax, el):
+    from beast_mcmc_tpu.models.priors import dirichlet_logpdf
+
+    alpha = _attr(el, "alpha", 1.0, float)
+    counts = _attr(el, "counts", None, str)
+    targets = _targets_of(ax, el)
+
+    def fn(params, tree):
+        tot = 0.0
+        for t in targets:
+            v = t(params, tree)
+            a = jnp.full(v.shape, alpha)
+            tot = tot + dirichlet_logpdf(v / jnp.sum(v), a)
+        return tot
+
+    return LikelihoodFn(fn, None, "dirichletPrior")
+
+
+@register("ctmcScalePrior")
+def _ctmc_scale_prior(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.priors import ctmc_scale_logpdf
+
+    rate = ax.param_from(_child_of(el, "ctmcScale"))
+    tm = ax.build(_child_of(el, "treeModel"))
+
+    def fn(params, tree):
+        bl = tree.heights[tree.parent] - tree.heights
+        tl = jnp.sum(jnp.where(tree.parent >= 0, bl, 0.0))
+        return jnp.sum(ctmc_scale_logpdf(params[rate], tl))
+
+    return LikelihoodFn(fn, tm.tree_id, "ctmcScalePrior")
+
+
+@register("exponentialMarkovLikelihood")
+def _exp_markov(ax: XmlAnalysis, el):
+    """Exponential Markov chain prior on a vector parameter (ref:
+    ExponentialMarkovModel.java: x_k ~ Exp(mean = x_{k-1}); jeffreys
+    option puts 1/x on the first element)."""
+    cp = el.find("chainParameter")
+    pname = ax.param_from(cp if cp is not None else el)
+    jeffreys = _attr(el, "jeffreys", False, bool)
+
+    def fn(params, tree):
+        x = jnp.atleast_1d(params[pname])
+        rest = -jnp.log(x[:-1]) - x[1:] / x[:-1]
+        tot = jnp.sum(rest)
+        if jeffreys:
+            tot = tot - jnp.log(x[0])
+        return tot
+
+    return LikelihoodFn(fn, None, "exponentialMarkov")
+
+
+@register("posterior", "prior", "likelihood", "joint")
+def _compound_likelihood(ax: XmlAnalysis, el):
+    parts: List[LikelihoodFn] = []
+    tree_id = None
+    for c in el:
+        obj = ax.build(c)
+        if isinstance(obj, ClockModel):
+            # a branch-rate model inside <likelihood> contributes nothing
+            # itself (its density is in the rate construction)
+            continue
+        if not isinstance(obj, LikelihoodFn):
+            raise Unsupported(f"<{el.tag}> child <{ax.deref(c).tag}>")
+        parts.append(obj)
+        tree_id = tree_id or obj.tree_id
+
+    def fn(params, tree):
+        tot = 0.0
+        for p in parts:
+            tot = tot + p.fn(params, tree)
+        return tot
+
+    return LikelihoodFn(fn, tree_id, el.get("id") or el.tag)
+
+
+# -- statistics ---------------------------------------------------------------
+
+
+@register("treeLengthStatistic")
+def _tree_length_statistic(ax: XmlAnalysis, el):
+    ax.build(_child_of(el, "treeModel"))
+
+    def stat(s):
+        bl = s.tree.heights[s.tree.parent] - s.tree.heights
+        return jnp.sum(jnp.where(s.tree.parent >= 0, bl, 0.0))
+
+    return stat
+
+
+@register("tmrcaStatistic")
+def _tmrca_statistic(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.speciation import mrca_node
+
+    tm = None
+    taxa = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+        elif cc.tag == "mrca":
+            for t in cc:
+                taxa = ax.build(ax.deref(t))
+    if tm is None or taxa is None:
+        raise XmlError("tmrcaStatistic needs treeModel + mrca/taxa")
+    m = tm.parent.shape[0]
+    tip_set = np.zeros(m, bool)
+    for n, _ in taxa:
+        tip_set[tm.taxa.index(n)] = True
+
+    def stat(s):
+        node = mrca_node(s.tree.parent, s.tree.heights, jnp.asarray(tip_set))
+        return s.tree.heights[node]
+
+    return stat
+
+
+@register("rateStatistic")
+def _rate_statistic(ax: XmlAnalysis, el):
+    mode = _attr(el, "mode", "mean")
+    clock = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("strictClockBranchRates", "discretizedBranchRates",
+                      "continuousBranchRates", "localClockModel",
+                      "randomLocalClockModel"):
+            clock = ax.build(cc)
+    if clock is None:
+        raise XmlError("rateStatistic without a branch-rate model")
+
+    def stat(s):
+        r = jnp.broadcast_to(
+            clock.rates(s.params, s.tree), s.tree.parent.shape
+        )
+        mask = s.tree.parent >= 0
+        n = jnp.sum(mask)
+        mean = jnp.sum(jnp.where(mask, r, 0.0)) / n
+        if mode == "mean":
+            return mean
+        var = jnp.sum(jnp.where(mask, (r - mean) ** 2, 0.0)) / (n - 1)
+        return jnp.sqrt(var) / mean  # coefficientOfVariation
+
+    return stat
+
+
+@register("rateCovarianceStatistic")
+def _rate_covariance_statistic(ax: XmlAnalysis, el):
+    clock = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("discretizedBranchRates", "continuousBranchRates"):
+            clock = ax.build(cc)
+    if clock is None:
+        raise XmlError("rateCovarianceStatistic without clock")
+
+    def stat(s):
+        # correlation between parent and child branch rates
+        r = jnp.broadcast_to(
+            clock.rates(s.params, s.tree), s.tree.parent.shape
+        )
+        par = s.tree.parent
+        mask = (par >= 0) & (par != s.tree.root)[..., None][0] if False else (
+            (par >= 0) & (s.tree.parent[jnp.maximum(par, 0)] >= 0)
+        )
+        x = jnp.where(mask, r, 0.0)
+        y = jnp.where(mask, r[jnp.maximum(par, 0)], 0.0)
+        n = jnp.sum(mask)
+        mx = jnp.sum(x) / n
+        my = jnp.sum(y) / n
+        cov = jnp.sum(jnp.where(mask, (r - mx) * (r[jnp.maximum(par, 0)] - my),
+                                0.0)) / (n - 1)
+        sx = jnp.sqrt(jnp.sum(jnp.where(mask, (r - mx) ** 2, 0.0)) / (n - 1))
+        sy = jnp.sqrt(jnp.sum(
+            jnp.where(mask, (r[jnp.maximum(par, 0)] - my) ** 2, 0.0)
+        ) / (n - 1))
+        return cov / (sx * sy)
+
+    return stat
+
+
+
+
+@register("statistic")
+def _generic_statistic(ax: XmlAnalysis, el):
+    """<statistic> views: N0 of a log-space demographic model, or a plain
+    parameter pass-through (ref: dr.inference.model.Statistic parsers)."""
+    for c in el:
+        cc = ax.deref(c)
+        obj = ax.build(cc)
+        if isinstance(obj, Demographic):
+            pname = obj.params["pop"]
+            if obj.kind.endswith("_log"):
+                return lambda s, n=pname: jnp.exp(
+                    jnp.reshape(s.params[n], ())
+                )
+            return lambda s, n=pname: jnp.reshape(s.params[n], ())
+        if isinstance(obj, Param):
+            return lambda s, n=obj.name: jnp.reshape(s.params[n], ())
+    raise Unsupported("<statistic> contents")
+
+@register("sumStatistic")
+def _sum_statistic(ax: XmlAnalysis, el):
+    names = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            obj = ax.build(cc)
+            names.append(obj.name)
+
+    def stat(s):
+        return sum(jnp.sum(s.params[n]) for n in names)
+
+    return stat
+
+
+# -- operators ----------------------------------------------------------------
+
+
+@register("operators")
+def _operators(ax: XmlAnalysis, el):
+    ops = []
+    tree_ids = []
+    for c in el:
+        built = _build_operator(ax, c)
+        if built is None:
+            continue
+        op, tid = built
+        if isinstance(op, list):
+            ops.extend(op)
+        else:
+            ops.append(op)
+        tree_ids.append(tid)
+    if not ops:
+        raise XmlError("<operators> produced no operators")
+    return ops, tree_ids
+
+
+def _op_target(ax, el):
+    """(kind, payload, tree_id) of the parameter/tree an operator acts on."""
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+            return ("tree", None, tm.tree_id)
+        if cc.tag == "parameter":
+            obj = ax.build(cc)
+            if isinstance(obj, TreeAlias):
+                return ("alias", obj, obj.tree_id)
+            return ("param", obj, None)
+        if cc.tag == "compoundParameter":
+            return ("compound", ax.build(cc), None)
+    raise XmlError(f"operator <{el.tag}> has no target")
+
+
+def _build_operator(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.inference import operators as O
+    from beast_mcmc_tpu.inference import tree_operators as T
+
+    w = _attr(el, "weight", 1.0, float)
+    tag = el.tag
+
+    if tag in ("subtreeSlide",):
+        kind, _, tid = _op_target(ax, el)
+        size = _attr(el, "size", 1.0, float)
+        return T.SubtreeSlideOperator(
+            weight=w, size=size, gaussian=_attr(el, "gaussian", True, bool)
+        ), tid
+    if tag in ("subtreeLeap", "subtreeJump"):
+        kind, _, tid = _op_target(ax, el)
+        return T.SubtreeLeapOperator(
+            weight=w, size=_attr(el, "size", 1.0, float)
+        ), tid
+    if tag == "narrowExchange":
+        _, _, tid = _op_target(ax, el)
+        return O.NarrowExchangeOperator(weight=w), tid
+    if tag == "wideExchange":
+        _, _, tid = _op_target(ax, el)
+        return O.WideExchangeOperator(weight=w), tid
+    if tag == "wilsonBalding":
+        _, _, tid = _op_target(ax, el)
+        return O.WilsonBaldingOperator(weight=w), tid
+
+    if tag == "scaleOperator":
+        sf = _attr(el, "scaleFactor", 0.75, float)
+        kind, obj, tid = _op_target(ax, el)
+        if kind == "alias":
+            if obj.kind == "root_height":
+                return O.RootHeightScaleOperator(weight=w, scale_factor=sf), tid
+            if obj.kind in ("internal_heights", "all_heights"):
+                return T.ScaleNodeHeightOperator(weight=w, scale_factor=sf), tid
+            if obj.kind == "leaf_height":
+                return T.TipHeightScaleOperator(
+                    weight=w, scale_factor=sf, tip=obj.tip_index
+                ), tid
+            raise Unsupported(f"scaleOperator on {obj.kind}")
+        scale_all = _attr(el, "scaleAll", False, bool)
+        return O.ScaleOperator(
+            parameter=obj.name, weight=w, scale_factor=sf,
+            mode="all" if scale_all else "random",
+            lower=max(obj.lower, 0.0), upper=obj.upper,
+        ), tid
+
+    if tag == "randomWalkOperator":
+        kind, obj, tid = _op_target(ax, el)
+        window = _attr(el, "windowSize", 1.0, float)
+        if kind == "alias":
+            if obj.kind == "leaf_height":
+                return T.TipHeightRandomWalkOperator(
+                    weight=w, window=window, tip=obj.tip_index
+                ), tid
+            raise Unsupported(f"randomWalk on {obj.kind}")
+        lower, upper = obj.lower, obj.upper
+        refl = _attr(el, "boundaryCondition", "") == "reflecting"
+        return O.RandomWalkOperator(
+            parameter=obj.name, weight=w, window=window,
+            lower=lower, upper=upper, reflect=refl,
+        ), tid
+
+    if tag == "randomWalkIntegerOperator":
+        kind, obj, tid = _op_target(ax, el)
+        window = int(_attr(el, "windowSize", 1, float))
+        lo = 0 if not np.isfinite(obj.lower) else int(obj.lower)
+        hi = obj.value.size if not np.isfinite(obj.upper) else int(obj.upper)
+        return O.UniformIntegerOperator(
+            parameter=obj.name, weight=w, lower=lo, upper=hi
+        ), tid
+
+    if tag == "uniformOperator":
+        kind, obj, tid = _op_target(ax, el)
+        if kind == "alias" and obj.kind in ("internal_heights",
+                                            "all_heights"):
+            return O.UniformNodeHeightOperator(weight=w), tid
+        if kind == "alias" and obj.kind == "leaf_height":
+            return T.TipHeightUniformOperator(weight=w, tip=obj.tip_index), tid
+        if kind == "param":
+            lo = obj.lower if np.isfinite(obj.lower) else 0.0
+            hi = obj.upper if np.isfinite(obj.upper) else 1.0
+            return O.UniformRealOperator(
+                parameter=obj.name, weight=w, lower=lo, upper=hi
+            ), tid
+        raise Unsupported(f"uniformOperator on {kind}")
+
+    if tag == "uniformIntegerOperator":
+        kind, obj, tid = _op_target(ax, el)
+        lo = int(_attr(el, "lower", 0, float))
+        n_cat = obj.value.size - 1
+        hi = int(_attr(el, "upper", n_cat, float))
+        return O.UniformIntegerOperator(
+            parameter=obj.name, weight=w, lower=lo, upper=hi
+        ), tid
+
+    if tag == "swapOperator":
+        kind, obj, tid = _op_target(ax, el)
+        return O.SwapOperator(parameter=obj.name, weight=w), tid
+
+    if tag == "deltaExchange":
+        kind, obj, tid = _op_target(ax, el)
+        delta = _attr(el, "delta", 0.02, float)
+        if kind == "compound":
+            pw = [float(x) for x in
+                  (el.get("parameterWeights") or "").split()] or None
+            return O.CompoundWeightedDeltaOperator(
+                parameters=tuple(obj.names),
+                parameter_weights=tuple(pw) if pw else (),
+                delta=delta, weight=w,
+            ), tid
+        return O.DeltaExchangeOperator(
+            parameter=obj.name, weight=w, delta=delta,
+        ), tid
+
+    if tag == "upDownOperator":
+        up, down = [], []
+        tid = None
+        for c in el:
+            if c.tag not in ("up", "down"):
+                continue
+            for cc in c:
+                cc = ax.deref(cc)
+                obj = ax.build(cc)
+                if isinstance(obj, TreeAlias):
+                    tid = obj.tree_id
+                    name = O.TREE_HEIGHTS
+                else:
+                    name = obj.name
+                (up if c.tag == "up" else down).append(name)
+        return O.UpDownOperator(
+            up=tuple(up), down=tuple(down), weight=w,
+            scale_factor=_attr(el, "scaleFactor", 0.75, float),
+        ), tid
+
+    if tag == "bitFlipOperator":
+        kind, obj, tid = _op_target(ax, el)
+        return O.BitFlipOperator(parameter=obj.name, weight=w), tid
+
+    if tag == "gmrfBlockUpdateOperator":
+        # posterior-preserving substitution (see module docstring)
+        pops = prec = None
+        for c in el:
+            cc = ax.deref(c)
+            if cc.tag in ("gmrfSkyrideLikelihood", "gmrfSkylineLikelihood"):
+                for sub in cc:
+                    if sub.tag == "populationSizes":
+                        pops = ax.param_from(sub)
+                    elif sub.tag == "precisionParameter":
+                        prec = ax.param_from(sub)
+        if pops is None:
+            raise Unsupported("gmrfBlockUpdateOperator structure")
+        from beast_mcmc_tpu.inference import operators as O2
+
+        return [
+            O2.ScaleOperator(parameter=prec, weight=w / 2, scale_factor=0.75),
+            O2.RandomWalkOperator(parameter=pops, weight=w / 2, window=0.5),
+        ], None
+
+    if tag in ("sampleNonActiveOperator", "gmrfFixedEffectsGibbsOperator"):
+        raise Unsupported(f"<{tag}>")
+
+    raise Unsupported(f"operator <{tag}>")
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def run_testxml(path: str, scale: float = 1.0, seed: int = 666,
+                tolerance_se: float = 3.0, max_states: int = 200_000,
+                full_eval_steps: int = 100):
+    """Execute one reference TestXML file; returns the assertion tuples.
+    Raises AssertionError on failed expectations, Unsupported for
+    vocabulary outside the registry."""
+    ax = XmlAnalysis(path, scale=scale, seed=seed, max_states=max_states)
+    return ax.run(tolerance_se=tolerance_se, full_eval_steps=full_eval_steps)

@@ -590,3 +590,71 @@ class NormalNormalMeanGibbsOperator(Operator):
         mu = post_mean + jax.random.normal(key, dtype=x.dtype) / jnp.sqrt(post_prec)
         new = {**params, self.mean_parameter: mu}
         return new, tree, jnp.asarray(jnp.inf, tree.heights.dtype), jnp.asarray(1.0, tree.heights.dtype)
+
+
+@dataclasses.dataclass
+class UniformRealOperator(Operator):
+    """ref: UniformOperator.java on a bounded real parameter — set one
+    random dimension to U(lower, upper); symmetric."""
+
+    parameter: str = ""
+    lower: float = 0.0
+    upper: float = 1.0
+
+    def propose(self, params, tree, key, tuning):
+        x = jnp.atleast_1d(params[self.parameter])
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (), 0, x.shape[0])
+        v = jax.random.uniform(k2, (), x.dtype, self.lower, self.upper)
+        x1 = x.at[idx].set(v).reshape(jnp.shape(params[self.parameter]))
+        return (
+            {**params, self.parameter: x1},
+            tree,
+            jnp.asarray(0.0, tree.heights.dtype),
+        )
+
+
+@dataclasses.dataclass
+class CompoundWeightedDeltaOperator(Operator):
+    """Weighted delta exchange across SEPARATE scalar parameters (the
+    reference's <deltaExchange parameterWeights> on a compoundParameter,
+    DeltaExchangeOperator.java weighted branch): picks two members i != j
+    and moves x_i += d/w_i, x_j -= d/w_j, keeping sum w x constant;
+    symmetric, rejected at the bound."""
+
+    parameters: Sequence[str] = ()
+    parameter_weights: Sequence[float] = ()
+    delta: float = 0.02
+    lower: float = 0.0
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return math.log(self.delta)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        n = len(self.parameters)
+        dt = tree.heights.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        i = jax.random.randint(k1, (), 0, n)
+        j_raw = jax.random.randint(k2, (), 0, n - 1)
+        j = jnp.where(j_raw >= i, j_raw + 1, j_raw)
+        d = jax.random.uniform(k3, (), dt, 0.0, tuning)
+        w = jnp.asarray(self.parameter_weights or [1.0] * n, dt)
+        vals = jnp.stack(
+            [jnp.reshape(params[p], ()).astype(dt) for p in self.parameters]
+        )
+        delta_vec = (
+            jnp.zeros(n, dt).at[i].add(d / w[i]).at[j].add(-d / w[j])
+        )
+        new_vals = vals + delta_vec
+        ok = jnp.all(new_vals > self.lower)
+        new_vals = jnp.where(ok, new_vals, vals)
+        out = dict(params)
+        for k_, p in enumerate(self.parameters):
+            out[p] = new_vals[k_].astype(params[p].dtype).reshape(
+                jnp.shape(params[p])
+            )
+        return out, tree, jnp.where(ok, 0.0, NEG_INF).astype(dt)

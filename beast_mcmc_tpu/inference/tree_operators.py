@@ -488,3 +488,82 @@ class RandomWalkNodeHeightOperator(Operator):
         ok = (new_h > lo) & (new_h < hi)
         tree = tree.replace(heights=tree.heights.at[node].set(new_h))
         return params, tree, jnp.where(ok, 0.0, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# tip-date sampling operators (ref: <leafHeight> parameters of
+# TreeModelParser.java; the reference moves sampled tip heights with the
+# generic scale/random-walk/uniform operators bound to those parameters)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TipHeightRandomWalkOperator(Operator):
+    """Symmetric window move on one sampled tip's height; invalid when the
+    tip would rise above its parent (or below zero)."""
+
+    tip: int = 0
+    window: float = 1.0
+    adaptable: bool = True
+    modifies_params = ()
+
+    def initial_adapt(self) -> float:
+        return float(np.log(self.window))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        h = tree.heights[self.tip]
+        delta = jax.random.uniform(key, (), tree.heights.dtype,
+                                   -tuning, tuning)
+        h1 = h + delta
+        parent_h = tree.heights[tree.parent[self.tip]]
+        ok = (h1 >= 0.0) & (h1 < parent_h)
+        logh = jnp.where(ok, 0.0, -jnp.inf)
+        heights = tree.heights.at[self.tip].set(jnp.where(ok, h1, h))
+        return params, tree.replace(heights=heights), logh
+
+
+@dataclasses.dataclass
+class TipHeightUniformOperator(Operator):
+    """Uniform draw of one sampled tip's height on [0, parentHeight).
+    The range depends only on the (unchanged) parent height -> symmetric."""
+
+    tip: int = 0
+    modifies_params = ()
+
+    def propose(self, params, tree, key, tuning):
+        parent_h = tree.heights[tree.parent[self.tip]]
+        h1 = jax.random.uniform(key, (), tree.heights.dtype) * parent_h
+        heights = tree.heights.at[self.tip].set(h1)
+        return params, tree.replace(heights=heights), jnp.asarray(
+            0.0, tree.heights.dtype)
+
+
+@dataclasses.dataclass
+class TipHeightScaleOperator(Operator):
+    """BEAST scale draw on one sampled tip's height; log-Hastings -log s
+    (ScaleOperator.java single-dimension case)."""
+
+    tip: int = 0
+    scale_factor: float = 0.75
+    adaptable: bool = True
+    modifies_params = ()
+
+    def initial_adapt(self) -> float:
+        return float(np.log(1.0 / self.scale_factor - 1.0))
+
+    def tuning(self, adapt_value):
+        return 1.0 / (jnp.exp(adapt_value) + 1.0)
+
+    def propose(self, params, tree, key, tuning):
+        u = jax.random.uniform(key, (), tree.heights.dtype)
+        s = tuning + u * (1.0 / tuning - tuning)
+        h = tree.heights[self.tip]
+        h1 = h * s
+        parent_h = tree.heights[tree.parent[self.tip]]
+        ok = h1 < parent_h
+        logh = jnp.where(ok, -jnp.log(s), -jnp.inf)
+        heights = tree.heights.at[self.tip].set(jnp.where(ok, h1, h))
+        return params, tree.replace(heights=heights), logh

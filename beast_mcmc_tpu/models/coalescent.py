@@ -338,3 +338,156 @@ def multilocus_skygrid_loglik(
         )
         total = total + skygrid_loglik(heights, n_taxa, gamma_eff, cut_points)
     return total
+
+
+# ---------------------------------------------------------------------------
+# GMRF skyride (time-aware) — ref: GMRFSkyrideLikelihood.java:57
+# ---------------------------------------------------------------------------
+
+
+def gmrf_skyride_loglik(
+    heights: jnp.ndarray,
+    n_taxa: int,
+    log_pops: jnp.ndarray,  # [n_taxa - 1] one field value per coal event
+) -> jnp.ndarray:
+    """Skyride coalescent density: piecewise-log-constant N(t) with ONE
+    field element per coalescent interval — the population size governing
+    an inter-event interval is that of the next coalescent event looking
+    back in time (ref: GMRFSkyrideLikelihood.java:57
+    calculateLogCoalescentLikelihood: per-interval
+    -gamma_k - C(k,2) dt exp(-gamma_k), the event term only at
+    coalescences)."""
+    dt = heights.dtype
+    times, lineages, is_coal = coalescent_intervals(heights, n_taxa)
+    coal_before = jnp.cumsum(is_coal.astype(jnp.int32))
+    next_event = jnp.minimum(coal_before[:-1], n_taxa - 2)
+    gamma = log_pops[next_event]
+    k = lineages[:-1]
+    choose2 = (k * (k - 1) / 2.0).astype(dt)
+    interval_term = -jnp.sum(choose2 * jnp.diff(times) * jnp.exp(-gamma))
+    event_idx = jnp.maximum(coal_before - 1, 0)
+    event_term = -jnp.sum(jnp.where(is_coal, log_pops[event_idx], 0.0))
+    return interval_term + event_term
+
+
+def skyride_coalescent_midpoints(heights: jnp.ndarray, n_taxa: int):
+    """Coalescent event times [n_taxa-1], sorted ascending — the knots of
+    the skyride field (used for the time-aware GMRF weights)."""
+    internal = jnp.sort(heights[n_taxa:])
+    return internal
+
+
+def gmrf_skyride_time_aware_prior(
+    heights: jnp.ndarray,
+    n_taxa: int,
+    log_pops: jnp.ndarray,
+    precision,
+) -> jnp.ndarray:
+    """Time-aware GMRF smoothing prior on the skyride field (ref:
+    GMRFSkyrideLikelihood.java setupGMRFWeights — off-diagonal weights
+    2/(delta_i + delta_{i+1}) where delta_i is the i-th coalescent
+    interval duration):
+      log p = (n-1)/2 log tau - tau/2 * sum_i (g_{i+1}-g_i)^2 * w_i
+    up to the field's improper flat level (the reference uses the
+    degenerate GMRF with rank n-2)."""
+    dt = heights.dtype
+    tau = jnp.asarray(precision, dt)
+    knots = skyride_coalescent_midpoints(heights, n_taxa)
+    t0 = jnp.max(heights[:n_taxa] * 0.0)  # field starts at first event
+    starts = jnp.concatenate([t0[None], knots[:-1]])
+    delta = knots - starts  # coalescent interval durations
+    w = 2.0 / (delta[:-1] + delta[1:] + 1e-300)
+    diff = log_pops[1:] - log_pops[:-1]
+    quad = jnp.sum(diff * diff * w)
+    n_field = log_pops.shape[0]
+    return 0.5 * (n_field - 1) * jnp.log(tau) - 0.5 * tau * quad
+
+
+def gmrf_skyride_uniform_prior(log_pops: jnp.ndarray, precision) -> jnp.ndarray:
+    """Uniform-weight (non-time-aware) GMRF variant (timeAwareSmoothing
+    off): first-difference penalty with unit weights."""
+    dt = log_pops.dtype
+    tau = jnp.asarray(precision, dt)
+    diff = log_pops[1:] - log_pops[:-1]
+    n_field = log_pops.shape[0]
+    return 0.5 * (n_field - 1) * jnp.log(tau) - 0.5 * tau * jnp.sum(diff * diff)
+
+
+def piecewise_exponential_loglik(
+    heights,
+    n_taxa: int,
+    thetas: jnp.ndarray,  # [K] epoch-start sizes, or [1] (N0 only)
+    lambdas: jnp.ndarray,  # [1] shared rate, or [K] per-epoch rates
+    widths: jnp.ndarray,  # [K-1] epoch durations (last epoch infinite)
+) -> jnp.ndarray:
+    """Piecewise-exponential demographic (ref:
+    PiecewiseExponentialPopulation.java:83-118 getDemographic: with a
+    theta vector, epoch e restarts at N=theta_e and decays at the shared
+    lambda within the epoch; with a single theta, the rates chain)."""
+    dt = heights.dtype
+    thetas = jnp.atleast_1d(jnp.asarray(thetas, dt))
+    lambdas = jnp.atleast_1d(jnp.asarray(lambdas, dt))
+    widths = jnp.asarray(widths, dt)
+    k = max(thetas.shape[0], lambdas.shape[0])
+    starts = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(widths)])
+    lam = jnp.broadcast_to(lambdas, (k,))
+    if thetas.shape[0] == 1:
+        # chained: N at epoch start = N0 * exp(-sum lam_j w_j)
+        decay = jnp.concatenate([jnp.zeros(1, dt),
+                                 jnp.cumsum(lam[:-1] * widths)])
+        th = thetas[0] * jnp.exp(-decay)
+    else:
+        th = jnp.broadcast_to(thetas, (k,))
+
+    def safe_expm1_over(lam_, x):
+        return jnp.where(jnp.abs(lam_) < 1e-12, x, jnp.expm1(lam_ * x) / lam_)
+
+    # full-epoch intensities for epochs 0..K-2
+    full = safe_expm1_over(lam[:-1], widths) / th[:-1]
+    cum_full = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(full)])
+
+    def epoch_of(t):
+        return jnp.clip(
+            jnp.searchsorted(starts[1:], t, side="right"), 0, k - 1
+        )
+
+    def log_pop(t):
+        e = epoch_of(t)
+        return jnp.log(th[e]) - lam[e] * (t - starts[e])
+
+    def intensity(t):
+        e = epoch_of(t)
+        return cum_full[e] + safe_expm1_over(lam[e], t - starts[e]) / th[e]
+
+    return coalescent_loglik(heights, n_taxa, log_pop, intensity)
+
+
+def cataclysm_loglik(
+    heights, n_taxa: int, pop_size, growth_rate, spike_factor, cat_time
+) -> jnp.ndarray:
+    """Cataclysmic demographic (ref: CataclysmicDemographic.java:
+    getDemographic/getIntensity): backwards in time the population GROWS
+    at decline-rate d = log(spikeFactor)/catTime up to the cataclysm,
+    then declines at growth_rate; spike height = N0 * spikeFactor."""
+    dt = heights.dtype
+    n0 = jnp.asarray(pop_size, dt)
+    r = jnp.asarray(growth_rate, dt)
+    tc = jnp.asarray(cat_time, dt)
+    d = jnp.log(jnp.asarray(spike_factor, dt)) / tc
+    spike = n0 * jnp.exp(tc * d)
+    i_spike = (jnp.exp(-d * tc) - 1.0) / n0 / (-d)
+
+    def log_pop(t):
+        before = jnp.log(n0) + t * d
+        after = jnp.log(spike) - (t - tc) * r
+        return jnp.where(t < tc, before, after)
+
+    def intensity(t):
+        before = (jnp.exp(-d * t) - 1.0) / n0 / (-d)
+        u = jnp.maximum(t - tc, 0.0)
+        after = i_spike + jnp.where(
+            jnp.abs(r) < 1e-12, u / spike, jnp.expm1(r * u) / (spike * r)
+        )
+        return jnp.where(t < tc, before, after)
+
+    return coalescent_loglik(heights, n_taxa, log_pop, intensity)

@@ -218,3 +218,30 @@ def tree_loglikelihood_pmats(
         tip_partials, children, order, root, p_mats, freqs,
         category_weights, pattern_weights,
     )
+
+
+# ---------------------------------------------------------------------------
+# ascertainment correction (ref: AscertainedSitePatterns.java:47;
+# AbstractTreeLikelihood getAscertainmentCorrectedLogLikelihood)
+# ---------------------------------------------------------------------------
+
+
+def ascertainment_correction(site_logl_excluded: jnp.ndarray) -> jnp.ndarray:
+    """log(1 - sum_e P(excluded pattern e)) — the per-site normalizer when
+    the excluded patterns can never be observed (e.g. constant sites
+    removed from a SNP alignment)."""
+    return jnp.log1p(-jnp.sum(jnp.exp(site_logl_excluded)))
+
+
+def ascertained_loglik(
+    site_logl_data: jnp.ndarray,  # [P] data-pattern log-likelihoods
+    pattern_weights: jnp.ndarray,  # [P]
+    site_logl_excluded: jnp.ndarray,  # [E] excluded-pattern logL
+) -> jnp.ndarray:
+    """Total ascertainment-corrected logL: each observed site is
+    renormalized by the probability of being ascertainable
+    (logP - log(1 - sum P_excluded); ref: AscertainedSitePatterns.java:47
+    getAscertainmentCorrection)."""
+    corr = ascertainment_correction(site_logl_excluded)
+    return jnp.dot(pattern_weights, site_logl_data - corr,
+                   preferred_element_type=site_logl_data.dtype)

@@ -114,6 +114,57 @@ def peeling_flops(n_taxa, c, s, p, partitions=1):
     return partitions * (n_int * node + pmat)
 
 
+def measure_thorney(n_tips, n_steps) -> float:
+    """Thorney chain: Poisson branch-length likelihood + node-height
+    operators on a huge tree (ref: thorney/ConstrainedTreeModel.java:45;
+    VERDICT r2 target >100 states/s at 10^4 tips)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beast_mcmc_tpu.inference.mcmc import (
+        init_mcmc_state, make_mcmc_step, run_chain,
+    )
+    from beast_mcmc_tpu.inference.operators import (
+        RootHeightScaleOperator, ScaleOperator, UniformNodeHeightOperator,
+    )
+    from beast_mcmc_tpu.models.thorney import poisson_branch_length_loglik
+    from beast_mcmc_tpu.tree.topology import (
+        make_tree_state, simulate_coalescent_tree,
+    )
+
+    rng = np.random.default_rng(0)
+    parent, children, heights, root = simulate_coalescent_tree(
+        rng, np.zeros(n_tips), 1.0
+    )
+    tree0 = make_tree_state(parent, children, heights, root, jnp.float32)
+    t = np.where(parent >= 0, heights[np.maximum(parent, 0)] - heights, 0.0)
+    muts = jnp.asarray(rng.poisson(t * 50.0), jnp.float32)
+
+    def log_post(params, tree):
+        return poisson_branch_length_loglik(
+            muts, tree.parent, tree.heights, params["clock.rate"], 50.0
+        )
+
+    ops = [
+        UniformNodeHeightOperator(weight=10.0),
+        RootHeightScaleOperator(weight=1.0),
+        ScaleOperator(parameter="clock.rate", weight=1.0),
+    ]
+    step = make_mcmc_step(log_post, ops)
+    state = init_mcmc_state(
+        {"clock.rate": jnp.asarray(1.0, jnp.float32)}, tree0,
+        jax.random.PRNGKey(0), ops, log_post, dtype=jnp.float32,
+    )
+    run = jax.jit(lambda s, n: run_chain(step, s, n)[0], static_argnums=1)
+    state = run(state, n_steps)
+    jax.block_until_ready(state.log_posterior)
+    t0 = time.perf_counter()
+    state = run(state, n_steps)
+    jax.block_until_ready(state.log_posterior)
+    return n_steps / (time.perf_counter() - t0)
+
+
 def measure_f32_deviation(n_steps=256) -> float:
     """On-chip f32 full-evaluation self-check: carried posterior vs fresh
     recompute (ref tolerance 0.1, MarkovChain.java:55)."""
@@ -184,6 +235,11 @@ def main():
         )
     extras["multichain_states_per_sec"] = mc
     extras["multichain_aggregate_speedup_32x"] = round(mc["32"] / b2, 2)
+
+    # --- thorney: node-height sampling on a 10^4-tip constrained tree
+    extras["thorney_10k_tips_states_per_sec"] = round(
+        measure_thorney(10_000, 512), 2
+    )
 
     # --- f32 on-chip deviation (self-check; ref tolerance 0.1)
     extras["f32_full_eval_max_deviation"] = measure_f32_deviation()

@@ -1,0 +1,116 @@
+"""GMRF skyride oracles (VERDICT r1 item 9; ref:
+GMRFSkyrideLikelihood.java:57).
+
+  - constant field == constant coalescent (analytic equivalence)
+  - hand-computed 3-taxon skyride density
+  - time-aware GMRF weights against the hand formula
+  - piecewise-exponential and cataclysm demographics vs numerical
+    integration of the generic coalescent density
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from beast_mcmc_tpu.models.coalescent import (
+    cataclysm_loglik,
+    constant_coalescent_loglik,
+    gmrf_skyride_loglik,
+    gmrf_skyride_time_aware_prior,
+    gmrf_skyride_uniform_prior,
+    piecewise_exponential_loglik,
+)
+
+
+def _tree3():
+    # 3 contemporaneous tips; coalescences at 1.0 and 2.5
+    heights = jnp.asarray([0.0, 0.0, 0.0, 1.0, 2.5])
+    return heights, 3
+
+
+def test_skyride_constant_field_equals_constant_coalescent():
+    heights, n = _tree3()
+    pop = 7.3
+    lp = gmrf_skyride_loglik(heights, n, jnp.full((n - 1,), np.log(pop)))
+    ref = constant_coalescent_loglik(heights, n, pop)
+    np.testing.assert_allclose(float(lp), float(ref), rtol=1e-12)
+
+
+def test_skyride_hand_computed():
+    heights, n = _tree3()
+    g = np.array([0.4, -0.3])  # log N on (0,1.0] and (1.0,2.5]
+    lp = gmrf_skyride_loglik(heights, n, jnp.asarray(g))
+    # intervals: k=3 over (0,1) with N=e^g0; k=2 over (1,2.5) with N=e^g1
+    want = (
+        -3.0 * 1.0 * np.exp(-g[0]) - g[0]
+        - 1.0 * 1.5 * np.exp(-g[1]) - g[1]
+    )
+    np.testing.assert_allclose(float(lp), want, rtol=1e-10)
+
+
+def test_time_aware_prior_hand_computed():
+    heights, n = _tree3()
+    g = np.array([0.4, -0.3])
+    tau = 2.0
+    lp = gmrf_skyride_time_aware_prior(heights, n, jnp.asarray(g), tau)
+    # coalescent interval durations: delta = [1.0, 1.5]; w = 2/(1+1.5)
+    w = 2.0 / 2.5
+    want = 0.5 * (2 - 1) * np.log(tau) - 0.5 * tau * (g[1] - g[0]) ** 2 * w
+    np.testing.assert_allclose(float(lp), want, rtol=1e-10)
+    lp_u = gmrf_skyride_uniform_prior(jnp.asarray(g), tau)
+    want_u = 0.5 * np.log(tau) - 0.5 * tau * (g[1] - g[0]) ** 2
+    np.testing.assert_allclose(float(lp_u), want_u, rtol=1e-10)
+
+
+def _numeric_coalescent(heights, n_taxa, pop_fn):
+    """Numerical-integration reference for any N(t)."""
+    hs = np.asarray(heights)
+    events = np.sort(hs)  # all tips zero here
+    coal = np.sort(hs[n_taxa:])
+    logl = -np.sum(np.log(pop_fn(coal)))
+    # integrate C(k,2)/N over time by fine quadrature
+    grid_end = coal[-1]
+    ts = np.linspace(0, grid_end, 400001)
+    k = np.array([n_taxa - np.searchsorted(coal, t, side="right")
+                  for t in ts]) + 0  # lineages after passing coal events
+    kk = np.maximum(k, 1)
+    integrand = kk * (kk - 1) / 2.0 / pop_fn(ts)
+    logl -= np.trapezoid(integrand, ts)
+    return logl
+
+
+def test_piecewise_exponential_vs_numeric():
+    heights = jnp.asarray([0.0, 0.0, 0.0, 0.0, 3.0, 11.0, 26.0])
+    n = 4
+    thetas = np.array([5.0, 9.0, 4.0])
+    lam = 0.05
+    widths = np.array([8.0, 10.0])
+
+    def pop_fn(t):
+        t = np.asarray(t, float)
+        starts = np.array([0.0, 8.0, 18.0])
+        e = np.clip(np.searchsorted(starts[1:], t, side="right"), 0, 2)
+        return thetas[e] * np.exp(-lam * (t - starts[e]))
+
+    lp = piecewise_exponential_loglik(
+        heights, n, jnp.asarray(thetas), jnp.asarray([lam]),
+        jnp.asarray(widths),
+    )
+    want = _numeric_coalescent(heights, n, pop_fn)
+    np.testing.assert_allclose(float(lp), want, rtol=1e-5)
+
+
+def test_cataclysm_vs_numeric():
+    heights = jnp.asarray([0.0, 0.0, 0.0, 0.0, 2.0, 6.0, 14.0])
+    n = 4
+    n0, r, spike, tc = 10.0, 0.15, 3.0, 5.0
+    d = np.log(spike) / tc
+
+    def pop_fn(t):
+        t = np.asarray(t, float)
+        before = n0 * np.exp(t * d)
+        after = (n0 * spike) * np.exp(-(t - tc) * r)
+        return np.where(t < tc, before, after)
+
+    lp = cataclysm_loglik(heights, n, n0, r, spike, tc)
+    want = _numeric_coalescent(heights, n, pop_fn)
+    np.testing.assert_allclose(float(lp), want, rtol=1e-5)
