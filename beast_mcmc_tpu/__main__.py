@@ -1,0 +1,146 @@
+"""The `beast`-equivalent CLI entry point (VERDICT r1 item 10).
+
+    python -m beast_mcmc_tpu run analysis.xml [-seed N] [-chain_length N]
+        [-save_state FILE] [-load_state FILE] [-particles DIR]
+        [-log FILE] [-trees FILE] [-testxml] [-scale F] [-overwrite]
+
+Mirrors the reference's BeastMain flag surface (ref:
+src/dr/app/beast/BeastMain.java:370-460: -seed, -save_state/-load_state,
+-particles, -overwrite; the XML file is the analysis). Two execution
+modes:
+
+  - default: the declarative importer (config/xml_import.py ->
+    AnalysisSpec -> apps/runner.run_analysis) for BEAUti-style
+    single-analysis files — writes Tracer-compatible tab logs + NEXUS
+    tree logs;
+  - -testxml: the TestXML interpreter (config/interpreter.py) for
+    reference test files with multiple <mcmc> blocks and embedded
+    <traceAnalysis><expectation> assertions.
+
+Sub-tools keep the reference's app names:
+    python -m beast_mcmc_tpu loganalyser|logcombiner|treeannotator ...
+(ref: LogAnalyser.java, LogCombiner.java, treeannotator/TreeAnnotator.java)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _cmd_run(argv):
+    p = argparse.ArgumentParser(
+        prog="beast_mcmc_tpu run",
+        description="Run a BEAST XML analysis (BeastMain role)",
+    )
+    p.add_argument("xml", help="BEAST XML analysis file")
+    p.add_argument("-seed", type=int, default=None)
+    p.add_argument("-chain_length", type=int, default=None,
+                   help="override <mcmc chainLength>")
+    p.add_argument("-save_state", default=None, metavar="FILE")
+    p.add_argument("-load_state", default=None, metavar="FILE")
+    p.add_argument("-particles", default=None, metavar="DIR",
+                   help="folder of particle checkpoints (SMC restart; "
+                        "ref BeastMain.java:434)")
+    p.add_argument("-log", default=None, help="parameter log file")
+    p.add_argument("-trees", default=None, help="NEXUS tree log file")
+    p.add_argument("-overwrite", action="store_true")
+    p.add_argument("-testxml", action="store_true",
+                   help="run through the TestXML interpreter "
+                        "(multi-mcmc blocks + embedded assertions)")
+    p.add_argument("-scale", type=float, default=1.0,
+                   help="chain-length scale factor (testxml mode)")
+    args = p.parse_args(argv)
+
+    for f in (args.log, args.trees):
+        if f and os.path.exists(f) and not args.overwrite:
+            p.error(f"{f} exists (use -overwrite)")
+
+    if args.testxml:
+        from beast_mcmc_tpu.config.interpreter import run_testxml
+
+        res = run_testxml(
+            args.xml, scale=args.scale, seed=args.seed or 666,
+            max_states=args.chain_length or 10**9,
+        )
+        for fname, name, mean, exp, se in res:
+            print(f"E[{name}] = {mean:.6g} (expected {exp:.6g}, "
+                  f"SE {se:.3g}) OK")
+        print(f"{args.xml}: all embedded checks passed")
+        return 0
+
+    from beast_mcmc_tpu.config.xml_import import parse_beast_xml
+    from beast_mcmc_tpu.apps.runner import run_analysis
+
+    spec = parse_beast_xml(open(args.xml).read())
+    if args.seed is not None:
+        spec.mcmc.seed = args.seed
+    if args.chain_length is not None:
+        spec.mcmc.chain_length = args.chain_length
+
+    base = os.path.splitext(os.path.basename(args.xml))[0]
+    log_file = args.log or f"{base}.log"
+    tree_file = args.trees or f"{base}.trees"
+
+    if args.particles:
+        from beast_mcmc_tpu.config.builder import build
+        from beast_mcmc_tpu.inference.mcmc import (
+            init_mcmc_state,
+            make_mcmc_step,
+        )
+        from beast_mcmc_tpu.inference.smc import load_particles, run_particles
+        import jax
+
+        analysis = build(spec)
+        step = make_mcmc_step(analysis.log_posterior, analysis.operators)
+        template = init_mcmc_state(
+            analysis.params0, analysis.tree0,
+            jax.random.PRNGKey(spec.mcmc.seed), analysis.operators,
+            analysis.log_posterior,
+        )
+        particles = load_particles(args.particles, template)
+        out = run_particles(step, particles, spec.mcmc.chain_length,
+                            out_folder=args.particles + ".out")
+        print(f"advanced {jax.tree_util.tree_leaves(out)[0].shape[0]} "
+              f"particles by {spec.mcmc.chain_length} states "
+              f"-> {args.particles}.out")
+        return 0
+
+    result = run_analysis(
+        spec, log_file=log_file, tree_file=tree_file,
+        checkpoint_file=args.save_state, load_state=args.load_state,
+    )
+    print(result.report)
+    print(f"{result.states_per_sec:.1f} states/sec; logs: {log_file}, "
+          f"{tree_file}")
+    return 0
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "run":
+        return _cmd_run(rest)
+    if cmd == "loganalyser":
+        from beast_mcmc_tpu.apps.loganalyser import main as m
+
+        return m(rest)
+    if cmd == "logcombiner":
+        from beast_mcmc_tpu.apps.logcombiner import main as m
+
+        return m(rest)
+    if cmd == "treeannotator":
+        from beast_mcmc_tpu.apps.treeannotator import main as m
+
+        return m(rest)
+    print(f"unknown command {cmd!r}; try: run, loganalyser, logcombiner, "
+          f"treeannotator", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

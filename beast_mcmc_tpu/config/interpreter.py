@@ -142,7 +142,8 @@ class XmlAnalysis:
     """Parse + execute one reference TestXML file."""
 
     def __init__(self, path: str, scale: float = 1.0, workdir: str = ".",
-                 seed: int = 666, dtype=None, max_states: int = 200_000):
+                 seed: int = 666, dtype=None, max_states: int = 200_000,
+                 strict_expectations: bool = True):
         import beast_mcmc_tpu.utils.dtypes as dtypes
 
         self.path = path
@@ -150,6 +151,7 @@ class XmlAnalysis:
         self.workdir = workdir
         self.seed = seed
         self.max_states = max_states
+        self.strict_expectations = strict_expectations
         self.dtype = dtype or dtypes.default_float()
         self.root = ET.parse(path).getroot()
         if self.root.tag != "beast":
@@ -432,8 +434,14 @@ class XmlAnalysis:
             raise XmlError(f"traceAnalysis of unknown log {fname!r}")
         table = self.results[fname]
         states_per_sample = int(table["_states_per_sample"][0])
-        burn_states = int(_attr(el, "burnIn", 0, int) * self.scale)
-        burn = burn_states // states_per_sample
+        burn_states = int(_attr(el, "burnIn", -1, int) * self.scale)
+        if burn_states < 0:
+            # reference default: 10% of the chain (TraceAnalysis.report
+            # with burnin=-1)
+            n0 = len(next(v for k, v in table.items() if k[0] != "_"))
+            burn = n0 // 10
+        else:
+            burn = burn_states // states_per_sample
         for exp in el.findall("expectation"):
             name = exp.get("name")
             expected = float(exp.get("value"))
@@ -448,11 +456,16 @@ class XmlAnalysis:
             self.assertions.append((fname, name, st.mean, expected,
                                     st.std_error_of_mean))
             if not err <= tol:
-                raise AssertionError(
+                msg = (
                     f"{os.path.basename(self.path)}: E[{name}] = {st.mean:.6g}"
                     f" vs expected {expected:.6g} (|diff| {err:.3g} >"
                     f" {tolerance_se} SE = {tol:.3g}, n={samples.size})"
                 )
+                if self.strict_expectations:
+                    raise AssertionError(msg)
+                import warnings
+
+                warnings.warn("WARNING (reference semantics): " + msg)
 
 
 # ---------------------------------------------------------------------------
@@ -1329,6 +1342,13 @@ def _skyride_likelihood(ax: XmlAnalysis, el):
         raise Unsupported("skyride with covariates")
     pops = ax.param_from(_child_of(el, "populationSizes"))
     prec = ax.param_from(_child_of(el, "precisionParameter"))
+    gs = el.find("groupSizes")
+    if gs is not None:
+        gel = ax.deref(_child_of(gs, "parameter"))
+        gname = gel.get("id")
+        gdim = int(gel.get("dimension", "1"))
+        if gname and gname not in ax._params:
+            ax._params[gname] = Param(gname, np.ones(gdim))
     tm = None
     pt = el.find("populationTree")
     if pt is not None:
@@ -1411,6 +1431,7 @@ def _tree_likelihood(ax: XmlAnalysis, el):
     from beast_mcmc_tpu.ops.peeling import pad_patterns
 
     patterns, tm, site, clock = None, None, None, None
+    partitions = []
     for c in el:
         cc = ax.deref(c)
         if cc.tag in ("patterns", "mergePatterns"):
@@ -1424,7 +1445,21 @@ def _tree_likelihood(ax: XmlAnalysis, el):
                         "randomLocalClockModel"):
             clock = ax.build(cc)
         elif cc.tag == "partition":
-            raise Unsupported("<treeDataLikelihood><partition>")
+            pp, ps = None, None
+            for d in cc:
+                dd = ax.deref(d)
+                if dd.tag in ("patterns", "mergePatterns"):
+                    pp = ax.build(dd)
+                elif dd.tag == "siteModel":
+                    ps = ax.build(dd)
+            if pp is None or ps is None:
+                raise XmlError("<partition> needs patterns + siteModel")
+            partitions.append((pp, ps))
+    if partitions and patterns is None:
+        patterns, site = partitions[0]
+        extra_partitions = partitions[1:]
+    else:
+        extra_partitions = []
     if patterns is None or tm is None or site is None:
         raise XmlError("treeLikelihood needs patterns+treeModel+siteModel")
     if clock is None:
@@ -1440,14 +1475,35 @@ def _tree_likelihood(ax: XmlAnalysis, el):
         jnp.asarray(tips, dtype), jnp.asarray(patterns.weights, dtype), 128
     )
 
+    # additional <partition>s share the tree + clock (ref:
+    # MultiPartitionDataLikelihoodDelegate.java:64 — the vmapped batching
+    # of models/treelikelihood.multipartition_loglikelihood is the hot
+    # path; here partitions sum as independent peels)
+    extra = []
+    for pp, ps in extra_partitions:
+        _, eig_k, fr_k, s_k, rw_k = ps
+        idx_k = [pp.taxa.index(t) for t in tm.taxa]
+        tk = np.swapaxes(pp.tip_partials(np.float64)[idx_k], 1, 2)
+        tk_j, wk_j = pad_patterns(
+            jnp.asarray(tk, dtype), jnp.asarray(pp.weights, dtype), 128
+        )
+        extra.append((eig_k, fr_k, rw_k, tk_j, wk_j))
+
     def fn(params, tree):
         eig = eigen(params)
         r, w = rates_weights(params, dtype)
         br = clock.rates(params, tree)
-        return tree_loglikelihood(
+        tot = tree_loglikelihood(
             tips_j, w_j, tree.parent, tree.children, tree.heights,
             tree.root, eig, freqs_of(params), r, w, br,
         )
+        for eig_k, fr_k, rw_k, tk_j, wk_j in extra:
+            rk, wk = rw_k(params, dtype)
+            tot = tot + tree_loglikelihood(
+                tk_j, wk_j, tree.parent, tree.children, tree.heights,
+                tree.root, eig_k(params), fr_k(params), rk, wk, br,
+            )
+        return tot
 
     return LikelihoodFn(fn, tm.tree_id, el.get("id") or "treeLikelihood")
 
@@ -1746,8 +1802,11 @@ def _tmrca_statistic(ax: XmlAnalysis, el):
         elif cc.tag == "mrca":
             for t in cc:
                 taxa = ax.build(ax.deref(t))
-    if tm is None or taxa is None:
-        raise XmlError("tmrcaStatistic needs treeModel + mrca/taxa")
+    if tm is None:
+        raise XmlError("tmrcaStatistic needs treeModel")
+    if taxa is None:
+        # no mrca clade -> age of the root (absolute tmrca of all taxa)
+        return lambda s: s.tree.heights[s.tree.root]
     m = tm.parent.shape[0]
     tip_set = np.zeros(m, bool)
     for n, _ in taxa:
@@ -1793,7 +1852,9 @@ def _rate_covariance_statistic(ax: XmlAnalysis, el):
     clock = None
     for c in el:
         cc = ax.deref(c)
-        if cc.tag in ("discretizedBranchRates", "continuousBranchRates"):
+        if cc.tag in ("discretizedBranchRates", "continuousBranchRates",
+                      "localClockModel", "randomLocalClockModel",
+                      "strictClockBranchRates"):
             clock = ax.build(cc)
     if clock is None:
         raise XmlError("rateCovarianceStatistic without clock")
@@ -1836,9 +1897,9 @@ def _generic_statistic(ax: XmlAnalysis, el):
             pname = obj.params["pop"]
             if obj.kind.endswith("_log"):
                 return lambda s, n=pname: jnp.exp(
-                    jnp.reshape(s.params[n], ())
+                    jnp.mean(s.params[n])
                 )
-            return lambda s, n=pname: jnp.reshape(s.params[n], ())
+            return lambda s, n=pname: jnp.mean(s.params[n])
         if isinstance(obj, Param):
             return lambda s, n=obj.name: jnp.reshape(s.params[n], ())
     raise Unsupported("<statistic> contents")
@@ -2011,6 +2072,8 @@ def _build_operator(ax: XmlAnalysis, el):
             ), tid
         return O.DeltaExchangeOperator(
             parameter=obj.name, weight=w, delta=delta,
+            integer=_attr(el, "integer", False, bool),
+            adaptable=_attr(el, "autoOptimize", True, bool),
         ), tid
 
     if tag == "upDownOperator":
@@ -2070,9 +2133,12 @@ def _build_operator(ax: XmlAnalysis, el):
 
 def run_testxml(path: str, scale: float = 1.0, seed: int = 666,
                 tolerance_se: float = 3.0, max_states: int = 200_000,
-                full_eval_steps: int = 100):
+                full_eval_steps: int = 100, strict_expectations: bool = True):
     """Execute one reference TestXML file; returns the assertion tuples.
-    Raises AssertionError on failed expectations, Unsupported for
-    vocabulary outside the registry."""
-    ax = XmlAnalysis(path, scale=scale, seed=seed, max_states=max_states)
+    Raises AssertionError on failed expectations (unless
+    strict_expectations=False — the reference itself only WARNS,
+    TraceAnalysisParser.java:108-112), Unsupported for vocabulary outside
+    the registry."""
+    ax = XmlAnalysis(path, scale=scale, seed=seed, max_states=max_states,
+                     strict_expectations=strict_expectations)
     return ax.run(tolerance_se=tolerance_se, full_eval_steps=full_eval_steps)

