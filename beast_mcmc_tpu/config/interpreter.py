@@ -932,10 +932,29 @@ def _tree_model(ax: XmlAnalysis, el):
 
 @register("frequencyModel")
 def _frequency_model(ax: XmlAnalysis, el):
+    """With an <alignment> child and a value-less parameter, the
+    frequencies initialize to the alignment's EMPIRICAL base composition
+    (ref: FrequencyModelParser.java — getEmpiricalStateFrequencies)."""
     f = el.find("frequencies")
     if f is None:
         raise XmlError("frequencyModel without frequencies")
+    aln = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "alignment":
+            aln = ax.build(cc)
+    pel = ax.deref(_child_of(f, "parameter"))
+    explicit = pel.get("value") is not None
     pname = ax.param_from(f)
+    if aln is not None and not explicit:
+        states = aln.states
+        k = aln.datatype.state_count
+        counts = np.zeros(k)
+        for s in range(k):
+            counts[s] = np.sum(states == s)
+        ax._params[pname] = Param(
+            pname, counts / counts.sum(), lower=0.0, upper=1.0
+        )
     return pname
 
 

@@ -68,29 +68,81 @@ def read_nexus(text: str) -> Tuple[Optional[Alignment], Dict[str, str]]:
 
 
 def _parse_matrix_block(content: str) -> Alignment:
+    """DATA/CHARACTERS block with the FORMAT vocabulary of
+    NexusImporter.java: DATATYPE, GAP=, MISSING=, MATCHCHAR=,
+    INTERLEAVE, quoted taxon names; validates against NTAX/NCHAR when
+    declared (ref: src/dr/evolution/io/NexusImporter.java readDataBlock/
+    readCharactersBlock)."""
     dt = NUCLEOTIDES
-    m = re.search(r"DATATYPE\s*=\s*(\w+)", content, re.I)
-    if m:
-        dt = _NEXUS_DT.get(m.group(1).upper(), NUCLEOTIDES)
+    fmt = re.search(r"FORMAT([^;]*);", content, re.S | re.I)
+    gap_char = missing_char = match_char = None
+    if fmt is not None:
+        f = fmt.group(1)
+        m = re.search(r"DATATYPE\s*=\s*(\w+)", f, re.I)
+        if m:
+            key = m.group(1).upper()
+            if key not in _NEXUS_DT:
+                raise ValueError(f"unsupported NEXUS DATATYPE {key!r}")
+            dt = _NEXUS_DT[key]
+        m = re.search(r"GAP\s*=\s*(\S)", f, re.I)
+        gap_char = m.group(1) if m else None
+        m = re.search(r"MISSING\s*=\s*(\S)", f, re.I)
+        missing_char = m.group(1) if m else None
+        m = re.search(r"MATCHCHAR\s*=\s*(\S)", f, re.I)
+        match_char = m.group(1) if m else None
+    dims = re.search(r"DIMENSIONS([^;]*);", content, re.S | re.I)
+    ntax = nchar = None
+    if dims is not None:
+        m = re.search(r"NTAX\s*=\s*(\d+)", dims.group(1), re.I)
+        ntax = int(m.group(1)) if m else None
+        m = re.search(r"NCHAR\s*=\s*(\d+)", dims.group(1), re.I)
+        nchar = int(m.group(1)) if m else None
+
     mm = re.search(r"MATRIX(.*?);", content, re.S | re.I)
     if not mm:
         raise ValueError("NEXUS DATA block without MATRIX")
     taxa: List[str] = []
     seqs: Dict[str, List[str]] = {}
+    # quoted names may contain spaces; token = 'quoted' | "quoted" | bare
+    row_re = re.compile(
+        r"""^\s*(?:'([^']+)'|"([^"]+)"|(\S+))\s+(.+)$"""
+    )
     for line in mm.group(1).splitlines():
         line = line.strip()
         if not line:
             continue
-        parts = line.split(None, 1)
-        if len(parts) != 2:
+        m = row_re.match(line)
+        if not m:
             continue
-        name, seq = parts
-        name = name.strip("'\"")
+        name = (m.group(1) or m.group(2) or m.group(3)).replace(" ", "_")
+        seq = re.sub(r"\s", "", m.group(4))
         if name not in seqs:
             taxa.append(name)
             seqs[name] = []
-        seqs[name].append(re.sub(r"\s", "", seq))
-    return Alignment.from_sequences(taxa, ["".join(seqs[t]) for t in taxa], dt)
+        seqs[name].append(seq)  # interleaved blocks concatenate
+    out = []
+    first = "".join(seqs[taxa[0]]) if taxa else ""
+    for t in taxa:
+        s = "".join(seqs[t])
+        # normalize declared gap/missing/matchchar into the datatype's
+        # own codes ('-' and '?')
+        if gap_char and gap_char not in "-":
+            s = s.replace(gap_char, "-").replace(gap_char.lower(), "-")
+        if missing_char and missing_char not in "?":
+            s = s.replace(missing_char, "?").replace(missing_char.lower(), "?")
+        if match_char:
+            s = "".join(
+                first[i] if c in (match_char, match_char.lower()) else c
+                for i, c in enumerate(s)
+            )
+        out.append(s)
+    if ntax is not None and len(taxa) != ntax:
+        raise ValueError(f"NEXUS NTAX={ntax} but matrix has {len(taxa)} taxa")
+    if nchar is not None and out and len(out[0]) != nchar:
+        raise ValueError(
+            f"NEXUS NCHAR={nchar} but sequences have {len(out[0])} sites"
+        )
+    return Alignment.from_sequences(taxa, out, dt)
 
 
 def _parse_trees_block(content: str) -> Dict[str, str]:
@@ -98,9 +150,12 @@ def _parse_trees_block(content: str) -> Dict[str, str]:
     tm = re.search(r"TRANSLATE(.*?);", content, re.S | re.I)
     if tm:
         for entry in tm.group(1).split(","):
-            parts = entry.split()
-            if len(parts) >= 2:
-                translate[parts[0]] = parts[1].strip("'\",")
+            m = re.match(
+                r"""\s*(\S+)\s+(?:'([^']+)'|"([^"]+)"|(\S+))""", entry
+            )
+            if m:
+                name = (m.group(2) or m.group(3) or m.group(4)).strip("'\",")
+                translate[m.group(1)] = name.replace(" ", "_")
     trees: Dict[str, str] = {}
     for m in re.finditer(r"TREE\s+\*?\s*(\S+)\s*=\s*(?:\[&[A-Za-z]\])?\s*([^;]+);",
                          content, re.I):

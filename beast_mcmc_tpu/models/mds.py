@@ -56,3 +56,104 @@ def mds_location_gradient(observed, mask, locations, precision,
     return jax.grad(
         lambda x: mds_loglikelihood(observed, mask, x, precision, truncated)
     )(locations)
+
+
+# ---------------------------------------------------------------------------
+# full antigenic likelihood — serum/virus effects + drift + measurement
+# types (ref: src/dr/evomodel/antigenic/AntigenicLikelihood.java:520-545,
+# 578-660; NewAntigenicLikelihood.java:53 is the mds_jni-accelerated
+# refactor of the same density)
+# ---------------------------------------------------------------------------
+
+MEASUREMENT_POINT = 0
+MEASUREMENT_LOWER_THRESHOLD = 1
+MEASUREMENT_UPPER_THRESHOLD = 2
+MEASUREMENT_INTERVAL = 3
+
+
+def antigenic_distance(
+    virus_locations: jnp.ndarray,  # [V, D]
+    serum_locations: jnp.ndarray,  # [S, D]
+    virus_idx: jnp.ndarray,  # int[M]
+    serum_idx: jnp.ndarray,  # int[M]
+    location_drift=None,
+    virus_offsets=None,  # [V] (dates)
+    serum_offsets=None,  # [S]
+) -> jnp.ndarray:
+    """Per-measurement antigenic distance; the FIRST map dimension is
+    drift-shifted by offset*drift (ref: AntigenicLikelihood.java:578-600
+    computeDistance)."""
+    v = virus_locations[virus_idx]
+    s = serum_locations[serum_idx]
+    if location_drift is not None:
+        v = v.at[:, 0].add(location_drift * virus_offsets[virus_idx])
+        s = s.at[:, 0].add(location_drift * serum_offsets[serum_idx])
+    d = v - s
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+
+def antigenic_loglikelihood(
+    log2_titres: jnp.ndarray,  # [M]
+    measurement_types: jnp.ndarray,  # int[M] (constants above)
+    virus_idx: jnp.ndarray,
+    serum_idx: jnp.ndarray,
+    virus_locations: jnp.ndarray,
+    serum_locations: jnp.ndarray,
+    serum_potencies: jnp.ndarray,  # [S]
+    mds_precision,
+    virus_avidities=None,  # [V] or None
+    location_drift=None,
+    virus_offsets=None,
+    serum_offsets=None,
+    interval_width: float = 1.0,
+) -> jnp.ndarray:
+    """The full HI-assay likelihood (ref: AntigenicLikelihood.java:
+    520-545): expectation = potency[serum] (+ avidity[virus]) - distance;
+    POINT -> Normal pdf, LOWER/UPPER THRESHOLD -> Normal cdf tails,
+    INTERVAL -> cdf(max)-cdf(min); branchless via type masks."""
+    from jax.scipy.stats import norm
+
+    dt = virus_locations.dtype
+    sd = 1.0 / jnp.sqrt(jnp.asarray(mds_precision, dt))
+    dist = antigenic_distance(
+        virus_locations, serum_locations, virus_idx, serum_idx,
+        location_drift, virus_offsets, serum_offsets,
+    )
+    baseline = serum_potencies[serum_idx]
+    if virus_avidities is not None:
+        baseline = baseline + virus_avidities[virus_idx]
+    expect = baseline - dist
+
+    y = log2_titres
+    point = norm.logpdf(y, expect, sd)
+    lower = norm.logcdf(y, expect, sd)
+    upper = norm.logsf(y, expect, sd)
+    hi = norm.cdf(y + interval_width, expect, sd)
+    lo = norm.cdf(y, expect, sd)
+    interval = jnp.log(jnp.maximum(hi - lo, 1e-300))
+
+    t = measurement_types
+    ll = jnp.where(
+        t == MEASUREMENT_POINT, point,
+        jnp.where(t == MEASUREMENT_LOWER_THRESHOLD, lower,
+                  jnp.where(t == MEASUREMENT_UPPER_THRESHOLD, upper,
+                            interval)),
+    )
+    return jnp.sum(ll)
+
+
+def antigenic_drift_prior(
+    locations: jnp.ndarray,  # [N, D]
+    offsets: jnp.ndarray,  # [N] dates
+    drift_rate,
+    precision,
+) -> jnp.ndarray:
+    """Diffusion prior tying locations to a drifting mean along dim 0
+    (ref: the antigenic drift prior of Bedford et al. 2014 as used by
+    the antigenic XMLs: x_i ~ N(drift*offset_i e_1, 1/prec I))."""
+    dt = locations.dtype
+    prec = jnp.asarray(precision, dt)
+    mean = jnp.zeros_like(locations).at[:, 0].set(drift_rate * offsets)
+    d = locations - mean
+    n = locations.size
+    return 0.5 * n * (jnp.log(prec) - jnp.log(2 * jnp.pi)) - 0.5 * prec * jnp.sum(d * d)

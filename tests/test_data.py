@@ -145,3 +145,55 @@ def test_tip_states_and_partials():
     gap_cols = pats.states > 3
     assert (ts[gap_cols] == 4).all()
     assert (ts[~gap_cols] < 4).all()
+
+
+def test_nexus_format_vocabulary():
+    """FORMAT gap/missing/matchchar, interleave, quoted names, NTAX/NCHAR
+    validation (VERDICT r1 weak #7; ref: NexusImporter.java)."""
+    from beast_mcmc_tpu.data.io import read_nexus
+
+    nex = """#NEXUS
+BEGIN DATA;
+  DIMENSIONS NTAX=3 NCHAR=8;
+  FORMAT DATATYPE=DNA GAP=~ MISSING=x MATCHCHAR=. INTERLEAVE;
+  MATRIX
+  'taxon one'  ACGT
+  taxon2       AC~T
+  taxon3       ..xT
+  'taxon one'  TTAA
+  taxon2       TTAA
+  taxon3       .CAA
+  ;
+END;
+BEGIN TREES;
+  TRANSLATE 1 'taxon one', 2 taxon2, 3 taxon3;
+  TREE t1 = ((1:1,2:1):1,3:2);
+END;
+"""
+    aln, trees = read_nexus(nex)
+    assert aln.taxa == ["taxon_one", "taxon2", "taxon3"]
+    assert aln.n_sites == 8
+    assert aln.datatype.decode(aln.states[1]) == "AC-TTTAA"
+    # matchchar copies the first row; missing becomes ?
+    assert aln.datatype.decode(aln.states[2]) == "AC?TTCAA"
+    assert "t1" in trees and "taxon_one" in trees["t1"]
+
+
+def test_nexus_ntax_mismatch_raises():
+    from beast_mcmc_tpu.data.io import read_nexus
+
+    bad = """#NEXUS
+BEGIN DATA;
+  DIMENSIONS NTAX=5 NCHAR=4;
+  FORMAT DATATYPE=DNA;
+  MATRIX
+  a ACGT
+  b ACGT
+  ;
+END;
+"""
+    try:
+        read_nexus(bad)
+        assert False, "expected NTAX mismatch error"
+    except ValueError as e:
+        assert "NTAX" in str(e)
