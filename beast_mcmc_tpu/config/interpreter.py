@@ -161,12 +161,34 @@ class XmlAnalysis:
             if el.get("id"):
                 self._ids[el.get("id")] = el
         self._built: Dict[int, object] = {}
+        self._tree_binding: Dict[str, str] = {}  # tid -> "state"|"params"
         self._params: Dict[str, Param] = {}
         self._aliases: Dict[str, TreeAlias] = {}
         self._trees: Dict[str, TreeModel] = {}
         self._rng = np.random.default_rng(seed)
         self.results: Dict[str, Dict[str, np.ndarray]] = {}
         self.assertions: List[Tuple[str, str, float, float, float]] = []
+
+    # -- multi-tree support: ONE tree rides MCMCState.tree; additional
+    # gene trees (multilocus/EBSP analyses) live INSIDE the params pytree
+    # under __tree__<id>__* keys, moved by wrapped operators, and every
+    # tree-bound closure resolves its tree through this binding at trace
+    # time (the reference simply holds many TreeModel objects) ----------
+    @staticmethod
+    def tree_key(tid: str, field: str) -> str:
+        return f"__tree__{tid}__{field}"
+
+    def resolve_tree(self, tid, params, tree):
+        if self._tree_binding.get(tid, "state") == "state":
+            return tree
+        from beast_mcmc_tpu.tree.topology import TreeState
+
+        return TreeState(
+            parent=params[self.tree_key(tid, "parent")],
+            children=params[self.tree_key(tid, "children")],
+            heights=params[self.tree_key(tid, "heights")],
+            root=params[self.tree_key(tid, "root")],
+        )
 
     # -- id/idref resolution (ref: XMLParser id/idref object store) --------
     def deref(self, el: ET.Element) -> ET.Element:
@@ -186,6 +208,20 @@ class XmlAnalysis:
         if builder is None:
             raise Unsupported(f"<{el.tag}> has no registered builder")
         obj = builder(self, el)
+        if (
+            isinstance(obj, LikelihoodFn)
+            and obj.tree_id
+            and el.tag not in ("posterior", "prior", "likelihood", "joint",
+                               "booleanLikelihood")
+        ):
+            inner, tid = obj.fn, obj.tree_id
+            obj = LikelihoodFn(
+                lambda p, t, _f=inner, _tid=tid: _f(
+                    p, self.resolve_tree(_tid, p, t)
+                ),
+                obj.tree_id,
+                obj.name,
+            )
         self._built[key] = obj
         return obj
 
@@ -264,22 +300,26 @@ class XmlAnalysis:
         ops_el = el.find("operators")
         if ops_el is None:
             raise XmlError("<mcmc> without <operators>")
-        operators, op_tree_ids = self.build(self.deref(ops_el))
+        built_ops = self.build(self.deref(ops_el))
+        operators, op_tree_ids = built_ops
 
-        tree_ids = {t for t in op_tree_ids if t} | (
-            {post.tree_id} if post.tree_id else set()
+        tree_ids = sorted(
+            {t for t in op_tree_ids if t}
+            | ({post.tree_id} if post.tree_id else set())
         )
-        if len(tree_ids) > 1:
-            raise Unsupported(f"multiple trees in one mcmc: {tree_ids}")
-        tree_id = next(iter(tree_ids)) if tree_ids else None
-        if tree_id is None:
-            # params-only chain still needs a placeholder tree
+        # first tree rides MCMCState.tree; the rest live in params and
+        # their operators are lifted (multilocus/EBSP analyses)
+        primary = tree_ids[0] if tree_ids else None
+        self._tree_binding = {t: "params" for t in tree_ids[1:]}
+        if primary is not None:
+            self._tree_binding[primary] = "state"
+        if primary is None:
             tm = TreeModel("_dummy", ["A", "B"], np.zeros(2),
                            np.array([2, 2, -1]),
                            np.array([[-1, -1], [-1, -1], [0, 1]]),
                            np.array([0.0, 0.0, 1.0]), 2)
         else:
-            tm = self._trees[tree_id]
+            tm = self._trees[primary]
 
         from beast_mcmc_tpu.tree.topology import make_tree_state
 
@@ -292,6 +332,29 @@ class XmlAnalysis:
             )
             for p in self._params.values()
         }
+        for tid in tree_ids[1:]:
+            t = self._trees[tid]
+            params0[self.tree_key(tid, "parent")] = jnp.asarray(
+                t.parent, jnp.int32)
+            params0[self.tree_key(tid, "children")] = jnp.asarray(
+                t.children, jnp.int32)
+            params0[self.tree_key(tid, "heights")] = jnp.asarray(
+                t.heights, self.dtype)
+            params0[self.tree_key(tid, "root")] = jnp.asarray(
+                t.root, jnp.int32)
+        operators = [
+            op if (tid is None or tid == primary)
+            else ParamsTreeOperator(
+                inner=op,
+                keys=tuple(self.tree_key(tid, f)
+                           for f in ("parent", "children", "heights",
+                                     "root")),
+                weight=op.weight,
+                target_acceptance=op.target_acceptance,
+                adaptable=op.adaptable,
+            )
+            for op, tid in zip(operators, op_tree_ids)
+        ]
 
         chain_length = int(_attr(el, "chainLength", 10000, int) * self.scale)
         chain_length = min(chain_length, self.max_states)
@@ -392,8 +455,9 @@ class XmlAnalysis:
                 return jnp.ravel(s.params[name])[0] if True else None
 
             # vector parameters: one column per element (reference logs
-            # param1, param2, ... — expectations only target scalars here)
-            val = obj.value
+            # param1, param2, ...). Read the CURRENT registration — some
+            # builders (skyride/EBSP) resize params after first build.
+            val = self._params[name].value
             if val.size == 1:
                 return [(name, lambda s, n=name: jnp.reshape(s.params[n], ()))]
             return [
@@ -419,10 +483,11 @@ class XmlAnalysis:
         raise Unsupported(f"cannot log <{el2.tag}>")
 
     def _alias_reader(self, a: TreeAlias):
+        R = lambda s: self.resolve_tree(a.tree_id, s.params, s.tree)
         if a.kind == "root_height":
-            return lambda s: s.tree.heights[s.tree.root]
+            return lambda s: R(s).heights[R(s).root]
         if a.kind == "leaf_height":
-            return lambda s, i=a.tip_index: s.tree.heights[i]
+            return lambda s, i=a.tip_index: R(s).heights[i]
         raise Unsupported(f"cannot log alias kind {a.kind}")
 
     # -- traceAnalysis ------------------------------------------------------
@@ -466,6 +531,51 @@ class XmlAnalysis:
                 import warnings
 
                 warnings.warn("WARNING (reference semantics): " + msg)
+
+
+# ---------------------------------------------------------------------------
+# lifted operators for params-resident trees
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ParamsTreeOperator:
+    """Lift a tree operator to act on a params-resident tree (a secondary
+    gene tree of a multilocus analysis): reconstruct the TreeState from
+    params, run the inner proposal, write the fields back. The inner
+    operator's adaptation surface is delegated."""
+
+    inner: object = None
+    keys: tuple = ()  # (parent, children, heights, root) params keys
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = False
+
+    def modified_params(self):
+        base = self.inner.modified_params()
+        return tuple(base or ()) + self.keys
+
+    def initial_adapt(self):
+        return self.inner.initial_adapt()
+
+    def tuning(self, adapt_value):
+        return self.inner.tuning(adapt_value)
+
+    def bind_log_posterior(self, lp):
+        if hasattr(self.inner, "bind_log_posterior"):
+            self.inner.bind_log_posterior(lp)
+
+    def propose(self, params, tree, key, tuning):
+        from beast_mcmc_tpu.tree.topology import TreeState
+
+        kp, kc, kh, kr = self.keys
+        t2 = TreeState(parent=params[kp], children=params[kc],
+                       heights=params[kh], root=params[kr])
+        out = self.inner.propose(params, t2, key, tuning)
+        p2, t2n, logh = out[0], out[1], out[2]
+        p2 = {**p2, kp: t2n.parent, kc: t2n.children, kh: t2n.heights,
+              kr: t2n.root}
+        return (p2, tree, logh) + tuple(out[3:])
 
 
 # ---------------------------------------------------------------------------
@@ -618,6 +728,51 @@ class CompoundParam:
     names: List[str]
 
 
+@register("matrixParameter")
+def _matrix_parameter(ax: XmlAnalysis, el):
+    """Constant design matrix from row <parameter> values (ref:
+    MatrixParameter; covariate matrices are fixed data here)."""
+    rows = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            rows.append(_text_values(cc))
+    return np.stack(rows, axis=1)  # [n_field, P] — rows are covariates
+
+
+@register("multivariateNormalPrior")
+def _mvn_prior(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.models.priors import multivariate_normal_logpdf
+
+    mean = _text_values(ax.deref(_child_of(_child_of(el, "meanParameter"),
+                                           "parameter")))
+    prec_el = el.find("precisionMatrix")
+    if prec_el is None:
+        prec_el = el.find("precisionParameter")
+    prec = None
+    if prec_el is not None:
+        for c in prec_el:
+            cc = ax.deref(c)
+            if cc.tag == "matrixParameter":
+                prec = ax.build(cc).T
+    if prec is None:
+        prec = np.eye(mean.size)
+    data_el = el.find("data")
+    targets = _targets_of(ax, data_el if data_el is not None else el)
+
+    def fn(params, tree):
+        tot = 0.0
+        for t in targets:
+            v = t(params, tree)
+            tot = tot + multivariate_normal_logpdf(
+                jnp.ravel(v), jnp.asarray(mean, v.dtype),
+                precision=jnp.asarray(prec, v.dtype),
+            )
+        return tot
+
+    return LikelihoodFn(fn, None, "multivariateNormalPrior")
+
+
 @register("compoundParameter")
 def _compound_parameter(ax, el):
     names = []
@@ -745,6 +900,34 @@ def _cataclysm(ax: XmlAnalysis, el):
                        sim_pop=float(np.ravel(ax.value_of(pname))[0]))
 
 
+@register("piecewisePopulationSize")
+def _piecewise_pop_size_model(ax: XmlAnalysis, el):
+    """Log-space piecewise model: N(0)=exp(logN0); chained exponential
+    epochs with given durations (ref: demographicmodel
+    PiecewisePopulationSizeModel / MultiEpochExponentialModel — epoch k
+    continues from epoch k-1's end size at its own growth rate)."""
+    from beast_mcmc_tpu.models.coalescent import piecewise_exponential_loglik
+
+    pname = ax.param_from(_child_of(el, "logPopulationSize"))
+    rate_names = []
+    for ep in _child_of(el, "epochs"):
+        epc = ax.deref(ep)
+        if epc.tag == "exponentialPopulationSize":
+            rate_names.append(ax.param_from(_child_of(epc, "growthRate")))
+    dname = ax.param_from(_child_of(el, "epochDurations"))
+    k = len(rate_names)
+
+    def ll(heights, n_taxa, params):
+        lams = jnp.stack([jnp.reshape(params[r], ()) for r in rate_names])
+        widths = jnp.broadcast_to(jnp.ravel(params[dname]), (k - 1,))
+        return piecewise_exponential_loglik(
+            heights, n_taxa, jnp.exp(params[pname])[None], lams, widths
+        )
+
+    return Demographic("piecewise_log", {"pop": pname}, ll,
+                       sim_pop=float(np.exp(np.ravel(ax.value_of(pname))[0])))
+
+
 @register("constantPopulationSize")
 def _constant_pop_size_model(ax: XmlAnalysis, el):
     """Log-space constant-size model (ref:
@@ -800,7 +983,7 @@ def _coalescent_tree(ax: XmlAnalysis, el):
         elif cc.tag in ("constantSize", "exponentialGrowth", "expansion",
                       "piecewisePopulation", "cataclysm",
                       "constantPopulationSize",
-                      "exponentialPopulationSize"):
+                      "exponentialPopulationSize", "piecewisePopulationSize"):
             demo = ax.build(cc)
         elif cc.tag in ("coalescentTree", "coalescentSimulator"):
             subtrees.append(ax.build(cc))
@@ -1255,11 +1438,12 @@ def _monophyly_statistic(ax: XmlAnalysis, el):
     size = int(tip_set.sum())
     tip_set_j = jnp.asarray(tip_set)
 
-    def stat(s):
-        node = mrca_node(s.tree.parent, s.tree.heights, tip_set_j)
-        desc = ancestor_or_self_mask(s.tree.parent, node)
+    def stat(s, tid=tm.tree_id):
+        t = ax.resolve_tree(tid, s.params, s.tree)
+        node = mrca_node(t.parent, t.heights, tip_set_j)
+        desc = ancestor_or_self_mask(t.parent, node)
         n_below = jnp.sum(desc[:n_taxa])
-        return (n_below == size).astype(s.tree.heights.dtype)
+        return (n_below == size).astype(t.heights.dtype)
 
     return stat
 
@@ -1296,10 +1480,28 @@ def _coalescent_likelihood(ax: XmlAnalysis, el):
         elif cc.tag in ("constantSize", "exponentialGrowth", "expansion",
                       "piecewisePopulation", "cataclysm",
                       "constantPopulationSize",
-                      "exponentialPopulationSize"):
+                      "exponentialPopulationSize", "piecewisePopulationSize"):
             demo = ax.build(cc)
         elif cc.tag == "treeModel":
             tm = ax.build(cc)
+    if isinstance(demo, VariableDemographic):
+        from beast_mcmc_tpu.models.coalescent import ebsp_coalescent_loglik
+
+        vd = demo
+        n_taxas = [len(ax._trees[t].taxa) for t in vd.tree_ids]
+
+        def fn(params, tree):
+            hs = [
+                ax.resolve_tree(t, params, tree).heights
+                for t in vd.tree_ids
+            ]
+            return ebsp_coalescent_loglik(
+                hs, n_taxas, vd.ploidies, params[vd.pop_param],
+                params[vd.ind_param], vd.use_midpoints,
+            )
+
+        # tree_id None: trees resolve internally (multi-tree likelihood)
+        return LikelihoodFn(fn, None, el.get("id") or "coalescent")
     if demo is None or tm is None:
         raise XmlError("coalescentLikelihood needs model + populationTree")
     n_taxa = len(tm.taxa)
@@ -1325,9 +1527,13 @@ def _bsp_likelihood(ax: XmlAnalysis, el):
         tm = ax.build(_child_of(el, "treeModel"))
     n_taxa = len(tm.taxa)
     k = ax._params[pops].value.size if ax._params[pops].value.ndim else 1
+    if _attr(el, "linear", False, bool):
+        k = k - 1  # linear skyline: K+1 boundary sizes, K groups
     gname = gs_el.get("id")
     gvals = _text_values(gs_el)
     if gvals.size == 0:
+        gdim = int(gs_el.get("dimension", str(k)))
+        k = min(k, gdim) if gdim else k
         # default: distribute n-1 coalescent events over k groups
         base = (n_taxa - 1) // k
         g = np.full(k, base)
@@ -1336,13 +1542,21 @@ def _bsp_likelihood(ax: XmlAnalysis, el):
     ax._params[gname] = Param(gname, gvals.astype(np.float64), integer=True)
     linear = _attr(el, "linear", False, bool)
     if linear:
-        raise Unsupported("linear skyline")
-
-    def fn(params, tree):
-        return bayesian_skyline_loglik(
-            tree.heights, n_taxa, params[pops],
-            params[gname].astype(jnp.int32),
+        from beast_mcmc_tpu.models.coalescent import (
+            bayesian_skyline_linear_loglik,
         )
+
+        def fn(params, tree):
+            return bayesian_skyline_linear_loglik(
+                tree.heights, n_taxa, params[pops],
+                params[gname].astype(jnp.int32),
+            )
+    else:
+        def fn(params, tree):
+            return bayesian_skyline_loglik(
+                tree.heights, n_taxa, params[pops],
+                params[gname].astype(jnp.int32),
+            )
 
     return LikelihoodFn(fn, tm.tree_id, el.get("id") or "skyline")
 
@@ -1356,29 +1570,75 @@ def _skyride_likelihood(ax: XmlAnalysis, el):
         gmrf_skyride_uniform_prior,
     )
 
-    if el.find("covariateMatrix") is not None or el.find("betaParameter") \
-            is not None:
-        raise Unsupported("skyride with covariates")
     pops = ax.param_from(_child_of(el, "populationSizes"))
     prec = ax.param_from(_child_of(el, "precisionParameter"))
-    gs = el.find("groupSizes")
-    if gs is not None:
-        gel = ax.deref(_child_of(gs, "parameter"))
-        gname = gel.get("id")
-        gdim = int(gel.get("dimension", "1"))
-        if gname and gname not in ax._params:
-            ax._params[gname] = Param(gname, np.ones(gdim))
     tm = None
     pt = el.find("populationTree")
     if pt is not None:
         for t in pt:
             tm = ax.build(ax.deref(t))
     n_taxa = len(tm.taxa)
-    # resize the field to n-1 (the reference sizes it from the tree)
+    time_aware = _attr(el, "timeAwareSmoothing", True, bool)
+
+    # optional fixed effects (covariate matrix + beta + lambda mixing)
+    cov = beta = lname = None
+    cm = el.find("covariateMatrix")
+    if cm is not None:
+        for c in cm:
+            cc = ax.deref(c)
+            if cc.tag == "matrixParameter":
+                cov = ax.build(cc)
+        beta = ax.param_from(_child_of(el, "betaParameter"))
+    lam_el = el.find("lambdaParameter")
+    if lam_el is not None:
+        lname = ax.param_from(lam_el)
+
+    gs = el.find("groupSizes")
+    gel = ax.deref(_child_of(gs, "parameter")) if gs is not None else None
+    gdim = int(gel.get("dimension", "0")) if gel is not None else 0
     p = ax._params[pops]
+    n_field = np.atleast_1d(p.value).size
+    grouped = gdim and gdim == n_field and gdim <= n_taxa - 1
+
+    if grouped:
+        # grouped field: distribute n-1 events over the declared groups
+        from beast_mcmc_tpu.models.coalescent import (
+            grouped_skyride_gmrf_prior,
+            grouped_skyride_loglik,
+        )
+
+        gname = gel.get("id")
+        base = (n_taxa - 1) // gdim
+        g = np.full(gdim, base)
+        g[: (n_taxa - 1) - base * gdim] += 1
+        ax._params[gname] = Param(gname, g.astype(np.float64), integer=True)
+
+        def fn(params, tree):
+            gg = params[gname].astype(jnp.int32)
+            ll = grouped_skyride_loglik(tree.heights, n_taxa,
+                                        params[pops], gg)
+            lam = params[lname] if lname else (1.0 if time_aware else 0.0)
+            pr = grouped_skyride_gmrf_prior(
+                tree.heights, n_taxa, params[pops], gg, params[prec],
+                covariates=(jnp.asarray(cov, tree.heights.dtype)
+                            if cov is not None else None),
+                beta=(params[beta] if beta else None),
+                lam=lam,
+            )
+            return ll + pr
+
+        return LikelihoodFn(fn, tm.tree_id, el.get("id") or "skyride")
+
+    if gel is not None:
+        gname = gel.get("id")
+        if gname and gname not in ax._params:
+            ax._params[gname] = Param(gname, np.ones(max(gdim, 1)))
+    if cov is not None:
+        raise Unsupported("covariates on an ungrouped skyride")
+    # ungrouped: resize the field to n-1 (the reference sizes it from
+    # the tree)
     field = np.resize(np.atleast_1d(p.value), n_taxa - 1)
     ax._params[pops] = Param(pops, field, p.lower, p.upper)
-    time_aware = _attr(el, "timeAwareSmoothing", True, bool)
 
     def fn(params, tree):
         ll = gmrf_skyride_loglik(tree.heights, n_taxa, params[pops])
@@ -1548,7 +1808,7 @@ def _targets_of(ax, el) -> List:
         if cc.tag == "parameter":
             obj = ax.build(cc)
             if isinstance(obj, TreeAlias):
-                outs.append(_alias_value_reader(obj))
+                outs.append(_alias_value_reader(ax, obj))
             else:
                 outs.append(lambda params, tree, n=obj.name: params[n])
         else:
@@ -1564,26 +1824,28 @@ def _targets_of(ax, el) -> List:
     return outs
 
 
-def _alias_value_reader(a: TreeAlias):
+def _alias_value_reader(ax, a: TreeAlias):
+    RT = lambda params, tree: ax.resolve_tree(a.tree_id, params, tree)
     if a.kind == "root_height":
-        return lambda params, tree: tree.heights[tree.root]
+        return lambda params, tree: RT(params, tree).heights[
+            RT(params, tree).root]
     if a.kind == "internal_heights":
-        n = None
-
         def read(params, tree):
-            n_taxa = (tree.parent.shape[0] + 1) // 2
-            mask = jnp.arange(tree.parent.shape[0]) >= n_taxa
-            isroot = jnp.arange(tree.parent.shape[0]) == tree.root
-            return tree.heights, mask & ~isroot
+            t = RT(params, tree)
+            n_taxa = (t.parent.shape[0] + 1) // 2
+            mask = jnp.arange(t.parent.shape[0]) >= n_taxa
+            isroot = jnp.arange(t.parent.shape[0]) == t.root
+            return t.heights, mask & ~isroot
 
         return read
     if a.kind == "leaf_height":
-        return lambda params, tree, i=a.tip_index: tree.heights[i]
+        return lambda params, tree, i=a.tip_index: RT(params, tree).heights[i]
     if a.kind == "all_heights":
         def read(params, tree):
-            n_taxa = (tree.parent.shape[0] + 1) // 2
-            mask = jnp.arange(tree.parent.shape[0]) >= n_taxa
-            return tree.heights, mask
+            t = RT(params, tree)
+            n_taxa = (t.parent.shape[0] + 1) // 2
+            mask = jnp.arange(t.parent.shape[0]) >= n_taxa
+            return t.heights, mask
 
         return read
     raise Unsupported(a.kind)
@@ -1770,6 +2032,237 @@ def _exp_markov(ax: XmlAnalysis, el):
     return LikelihoodFn(fn, None, "exponentialMarkov")
 
 
+
+
+@register("exponentialDistributionModel")
+def _exp_dist_model(ax: XmlAnalysis, el):
+    mname = ax.param_from(_child_of(el, "mean"))
+    return ("dist", "exponential", mname)
+
+
+@dataclasses.dataclass
+class VariableDemographic:
+    tree_ids: List[str]
+    ploidies: List[float]
+    pop_param: str
+    ind_param: str
+    use_midpoints: bool
+
+
+@register("variableDemographic")
+def _variable_demographic(ax: XmlAnalysis, el):
+    """EBSP field over multiple gene trees (ref:
+    VariableDemographicModel.java; coalescent density in
+    models/coalescent.ebsp_coalescent_loglik)."""
+    pop_el = ax.deref(_child_of(_child_of(el, "populationSizes"),
+                                "parameter"))
+    ind_el = ax.deref(_child_of(_child_of(el, "indicators"), "parameter"))
+    tree_ids, ploidies = [], []
+    for pt in _child_of(el, "trees"):
+        ptc = ax.deref(pt)
+        if ptc.tag != "ptree":
+            continue
+        tm = ax.build(_child_of(ptc, "treeModel"))
+        tree_ids.append(tm.tree_id)
+        ploidies.append(_attr(ptc, "ploidy", 1.0, float))
+    n_events = sum(len(ax._trees[t].taxa) - 1 for t in tree_ids)
+    pname, iname = pop_el.get("id"), ind_el.get("id")
+    pop0 = _text_values(pop_el)
+    fill = float(pop0[0]) if pop0.size else 1.0
+    ax._params[pname] = Param(pname, np.full(n_events, fill), lower=0.0)
+    ax._params[iname] = Param(iname, np.zeros(n_events - 1))
+    return VariableDemographic(
+        tree_ids, ploidies, pname, iname,
+        _attr(el, "useMidpoints", False, bool),
+    )
+
+
+@register("mixedDistributionLikelihood")
+def _mixed_distribution(ax: XmlAnalysis, el):
+    """Indicator-switched density over a data vector (ref:
+    MixedDistributionLikelihood.java): element i scored under dist0 when
+    indicator_i == 0, dist1 otherwise. The EBSP prior on (in)active
+    population sizes. Indicators have one fewer element than the data
+    (knot 0 is always active -> scored under dist1)."""
+    d0 = ax.build(ax.deref(next(iter(_child_of(el, "distribution0")))))
+    d1 = ax.build(ax.deref(next(iter(_child_of(el, "distribution1")))))
+    data = ax.param_from(_child_of(el, "data"))
+    inds = ax.param_from(_child_of(el, "indicators"))
+
+    def pdf_of(d):
+        if d[1] != "exponential":
+            raise Unsupported(f"mixedDistribution over {d[1]}")
+        mname = d[2]
+
+        def lp(params, x):
+            from beast_mcmc_tpu.models.priors import exponential_logpdf
+
+            return exponential_logpdf(x, params[mname])
+
+        return lp
+
+    lp0, lp1 = pdf_of(d0), pdf_of(d1)
+
+    def fn(params, tree):
+        x = params[data]
+        ind = params[inds]
+        full_ind = jnp.concatenate(
+            [jnp.ones((1,), ind.dtype), ind]
+        )
+        return jnp.sum(
+            jnp.where(full_ind > 0.5, lp1(params, x), lp0(params, x))
+        )
+
+    return LikelihoodFn(fn, None, "mixedDistribution")
+
+
+@dataclasses.dataclass
+class SampleNonActiveOperator:
+    """Gibbs-resample the INACTIVE EBSP population sizes from their prior
+    (their full conditional — inactive knots do not enter Ne(t); ref:
+    SampleNonActiveGibbsOperator.java). Always accepted."""
+
+    mean_param: str = ""
+    data_param: str = ""
+    ind_param: str = ""
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = False
+
+    def modified_params(self):
+        return (self.data_param,)
+
+    def initial_adapt(self):
+        return 0.0
+
+    def tuning(self, adapt_value):
+        return None
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.data_param]
+        ind = params[self.ind_param]
+        full_ind = jnp.concatenate([jnp.ones((1,), ind.dtype), ind])
+        draw = jax.random.exponential(key, x.shape, x.dtype) * params[
+            self.mean_param]
+        new = jnp.where(full_ind > 0.5, x, draw)
+        dt = tree.heights.dtype
+        return ({**params, self.data_param: new}, tree,
+                jnp.asarray(jnp.inf, dt), jnp.asarray(1.0, dt))
+
+
+@dataclasses.dataclass
+class ActiveEntryScaleOperator:
+    """Scale ONE population-size entry chosen uniformly among the ACTIVE
+    knots (the reference's <scaleOperator><indicators pickoneprob="1">
+    mode, ScaleOperator.java pickoneprob branch); -log s Hastings."""
+
+    data_param: str = ""
+    ind_param: str = ""
+    scale_factor: float = 0.5
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = True
+
+    def modified_params(self):
+        return (self.data_param,)
+
+    def initial_adapt(self):
+        import math as _m
+
+        return _m.log(1.0 / self.scale_factor - 1.0)
+
+    def tuning(self, adapt_value):
+        return 1.0 / (jnp.exp(adapt_value) + 1.0)
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.data_param]
+        ind = params[self.ind_param]
+        active = jnp.concatenate([jnp.ones((1,), bool), ind > 0.5])
+        k1, k2 = jax.random.split(key)
+        g = jax.random.gumbel(k1, active.shape)
+        i = jnp.argmax(jnp.where(active, g, -jnp.inf))
+        u = jax.random.uniform(k2, (), x.dtype)
+        s = tuning + u * (1.0 / tuning - tuning)
+        new = x.at[i].multiply(s)
+        dt = tree.heights.dtype
+        return ({**params, self.data_param: new}, tree,
+                (-jnp.log(s)).astype(dt))
+
+@dataclasses.dataclass
+class MultiTreeUpDownOperator:
+    """upDown over parameters AND the internal heights of SEVERAL trees
+    (state-resident or params-resident) — the EBSP/multilocus form of
+    UpDownOperator.java; log-Hastings (nUp - nDown - 2) log s."""
+
+    ax: object = None
+    up_params: tuple = ()
+    down_params: tuple = ()
+    up_trees: tuple = ()
+    down_trees: tuple = ()
+    scale_factor: float = 0.75
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = True
+    modifies_params = None
+
+    def modified_params(self):
+        keys = list(self.up_params) + list(self.down_params)
+        for tid in tuple(self.up_trees) + tuple(self.down_trees):
+            keys.append(self.ax.tree_key(tid, "heights"))
+        return tuple(keys)
+
+    def initial_adapt(self):
+        import math as _m
+
+        return _m.log(1.0 / self.scale_factor - 1.0)
+
+    def tuning(self, adapt_value):
+        return 1.0 / (jnp.exp(adapt_value) + 1.0)
+
+    def _scale_tree(self, params, tree, tid, s):
+        t = self.ax.resolve_tree(tid, params, tree)
+        m = t.parent.shape[0]
+        n_taxa = (m + 1) // 2
+        internal = jnp.arange(m) >= n_taxa
+        heights = jnp.where(internal, t.heights * s, t.heights)
+        pidx = jnp.maximum(t.parent, 0)
+        ok = jnp.all(
+            jnp.where(t.parent >= 0, heights[pidx] > heights, True)
+        )
+        if self.ax._tree_binding.get(tid, "state") == "state":
+            tree = tree.replace(heights=heights)
+        else:
+            params = {**params,
+                      self.ax.tree_key(tid, "heights"): heights}
+        return params, tree, n_taxa - 1, ok
+
+    def propose(self, params, tree, key, tuning):
+        u = jax.random.uniform(key, (), tree.heights.dtype)
+        s = tuning + u * (1.0 / tuning - tuning)
+        n_up = n_down = 0
+        ok = jnp.asarray(True)
+        for name in self.up_params:
+            params = {**params, name: params[name] * s}
+            n_up += int(np.prod(np.shape(params[name])) or 1)
+            ok &= jnp.all(params[name] > 0)
+        for name in self.down_params:
+            params = {**params, name: params[name] / s}
+            n_down += int(np.prod(np.shape(params[name])) or 1)
+            ok &= jnp.all(params[name] > 0)
+        for tid in self.up_trees:
+            params, tree, n, o = self._scale_tree(params, tree, tid, s)
+            n_up += n
+            ok &= o
+        for tid in self.down_trees:
+            params, tree, n, o = self._scale_tree(params, tree, tid,
+                                                  1.0 / s)
+            n_down += n
+            ok &= o
+        logh = (n_up - n_down - 2) * jnp.log(s)
+        return params, tree, jnp.where(ok, logh,
+                                       -jnp.inf).astype(tree.heights.dtype)
+
+
 @register("posterior", "prior", "likelihood", "joint")
 def _compound_likelihood(ax: XmlAnalysis, el):
     parts: List[LikelihoodFn] = []
@@ -1799,11 +2292,12 @@ def _compound_likelihood(ax: XmlAnalysis, el):
 
 @register("treeLengthStatistic")
 def _tree_length_statistic(ax: XmlAnalysis, el):
-    ax.build(_child_of(el, "treeModel"))
+    tm = ax.build(_child_of(el, "treeModel"))
 
-    def stat(s):
-        bl = s.tree.heights[s.tree.parent] - s.tree.heights
-        return jnp.sum(jnp.where(s.tree.parent >= 0, bl, 0.0))
+    def stat(s, tid=tm.tree_id):
+        t = ax.resolve_tree(tid, s.params, s.tree)
+        bl = t.heights[t.parent] - t.heights
+        return jnp.sum(jnp.where(t.parent >= 0, bl, 0.0))
 
     return stat
 
@@ -1831,9 +2325,10 @@ def _tmrca_statistic(ax: XmlAnalysis, el):
     for n, _ in taxa:
         tip_set[tm.taxa.index(n)] = True
 
-    def stat(s):
-        node = mrca_node(s.tree.parent, s.tree.heights, jnp.asarray(tip_set))
-        return s.tree.heights[node]
+    def stat(s, tid=tm.tree_id):
+        t = ax.resolve_tree(tid, s.params, s.tree)
+        node = mrca_node(t.parent, t.heights, jnp.asarray(tip_set))
+        return t.heights[node]
 
     return stat
 
@@ -1852,10 +2347,10 @@ def _rate_statistic(ax: XmlAnalysis, el):
         raise XmlError("rateStatistic without a branch-rate model")
 
     def stat(s):
-        r = jnp.broadcast_to(
-            clock.rates(s.params, s.tree), s.tree.parent.shape
-        )
-        mask = s.tree.parent >= 0
+        t = ax.resolve_tree(clock.tree_id, s.params, s.tree) \
+            if clock.tree_id else s.tree
+        r = jnp.broadcast_to(clock.rates(s.params, t), t.parent.shape)
+        mask = t.parent >= 0
         n = jnp.sum(mask)
         mean = jnp.sum(jnp.where(mask, r, 0.0)) / n
         if mode == "mean":
@@ -1880,13 +2375,11 @@ def _rate_covariance_statistic(ax: XmlAnalysis, el):
 
     def stat(s):
         # correlation between parent and child branch rates
-        r = jnp.broadcast_to(
-            clock.rates(s.params, s.tree), s.tree.parent.shape
-        )
-        par = s.tree.parent
-        mask = (par >= 0) & (par != s.tree.root)[..., None][0] if False else (
-            (par >= 0) & (s.tree.parent[jnp.maximum(par, 0)] >= 0)
-        )
+        t = ax.resolve_tree(clock.tree_id, s.params, s.tree) \
+            if clock.tree_id else s.tree
+        r = jnp.broadcast_to(clock.rates(s.params, t), t.parent.shape)
+        par = t.parent
+        mask = (par >= 0) & (t.parent[jnp.maximum(par, 0)] >= 0)
         x = jnp.where(mask, r, 0.0)
         y = jnp.where(mask, r[jnp.maximum(par, 0)], 0.0)
         n = jnp.sum(mask)
@@ -2007,6 +2500,14 @@ def _build_operator(ax: XmlAnalysis, el):
 
     if tag == "scaleOperator":
         sf = _attr(el, "scaleFactor", 0.75, float)
+        ind_el = el.find("indicators")
+        if ind_el is not None:
+            data = ax.param_from(el)  # the first plain parameter child
+            inds = ax.param_from(ind_el)
+            return ActiveEntryScaleOperator(
+                data_param=data, ind_param=inds, scale_factor=sf,
+                weight=w,
+            ), None
         kind, obj, tid = _op_target(ax, el)
         if kind == "alias":
             if obj.kind == "root_height":
@@ -2096,7 +2597,7 @@ def _build_operator(ax: XmlAnalysis, el):
         ), tid
 
     if tag == "upDownOperator":
-        up, down = [], []
+        up, down, up_trees, down_trees = [], [], [], []
         tid = None
         for c in el:
             if c.tag not in ("up", "down"):
@@ -2106,12 +2607,21 @@ def _build_operator(ax: XmlAnalysis, el):
                 obj = ax.build(cc)
                 if isinstance(obj, TreeAlias):
                     tid = obj.tree_id
-                    name = O.TREE_HEIGHTS
+                    (up_trees if c.tag == "up" else down_trees).append(
+                        obj.tree_id)
                 else:
-                    name = obj.name
-                (up if c.tag == "up" else down).append(name)
+                    (up if c.tag == "up" else down).append(obj.name)
+        if len(set(up_trees + down_trees)) > 1:
+            return MultiTreeUpDownOperator(
+                ax=ax, up_params=tuple(up), down_params=tuple(down),
+                up_trees=tuple(dict.fromkeys(up_trees)),
+                down_trees=tuple(dict.fromkeys(down_trees)), weight=w,
+                scale_factor=_attr(el, "scaleFactor", 0.75, float),
+            ), None
         return O.UpDownOperator(
-            up=tuple(up), down=tuple(down), weight=w,
+            up=tuple(up + [O.TREE_HEIGHTS] * len(up_trees)),
+            down=tuple(down + [O.TREE_HEIGHTS] * len(down_trees)),
+            weight=w,
             scale_factor=_attr(el, "scaleFactor", 0.75, float),
         ), tid
 
@@ -2139,8 +2649,34 @@ def _build_operator(ax: XmlAnalysis, el):
             O2.RandomWalkOperator(parameter=pops, weight=w / 2, window=0.5),
         ], None
 
-    if tag in ("sampleNonActiveOperator", "gmrfFixedEffectsGibbsOperator"):
-        raise Unsupported(f"<{tag}>")
+    if tag == "sampleNonActiveOperator":
+        dist = None
+        for c in _child_of(el, "distribution"):
+            dist = ax.build(ax.deref(c))
+        if not (isinstance(dist, tuple) and dist[0] == "dist"
+                and dist[1] == "exponential"):
+            raise Unsupported("sampleNonActiveOperator distribution")
+        data = ax.param_from(_child_of(el, "data"))
+        inds = ax.param_from(_child_of(el, "indicators"))
+        return SampleNonActiveOperator(
+            mean_param=dist[2], data_param=data, ind_param=inds, weight=w,
+        ), None
+
+    if tag == "gmrfFixedEffectsGibbsOperator":
+        # posterior-preserving substitution: random walk on the fixed
+        # effects instead of the conjugate Gibbs draw (same posterior)
+        bname = None
+        for c in el.iter("parameter"):
+            r = c.get("idref")
+            if r:
+                obj = ax.build(ax.deref(c))
+                if isinstance(obj, Param):
+                    bname = obj.name
+                    break
+        if bname is None:
+            raise Unsupported("gmrfFixedEffectsGibbsOperator target")
+        return O.RandomWalkOperator(parameter=bname, weight=w,
+                                    window=0.3), None
 
     raise Unsupported(f"operator <{tag}>")
 

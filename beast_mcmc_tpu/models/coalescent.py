@@ -491,3 +491,207 @@ def cataclysm_loglik(
         return jnp.where(t < tc, before, after)
 
     return coalescent_loglik(heights, n_taxa, log_pop, intensity)
+
+
+def bayesian_skyline_linear_loglik(
+    heights: jnp.ndarray,
+    n_taxa: int,
+    pop_sizes: jnp.ndarray,  # [K+1] sizes at group boundaries
+    group_sizes: jnp.ndarray,  # int[K]
+) -> jnp.ndarray:
+    """Piecewise-LINEAR Bayesian skyline (ref:
+    BayesianSkylineLikelihood.java LINEAR_TYPE:87,187-210): group k spans
+    the coalescent events (cum_{k-1}, cum_k]; N(t) interpolates linearly
+    from pop_sizes[k] at the group's start time to pop_sizes[k+1] at its
+    end time (group boundaries are coalescent events; group 0 starts at
+    the first sampling time). Per-interval intensity for linear N:
+    dt * log(N_end/N_start) / (N_end - N_start)."""
+    dt_ = heights.dtype
+    times, lineages, is_coal = coalescent_intervals(heights, n_taxa)
+    n_events = n_taxa - 1
+    coal_times = jnp.sort(heights[n_taxa:])
+    cum = jnp.cumsum(group_sizes)  # [K]
+    k_groups = group_sizes.shape[0]
+    t0 = jnp.min(heights[:n_taxa])
+    # group boundary times: starts[k] (k=0 -> t0), ends[k] = coal time of
+    # event cum[k]-1
+    ends = coal_times[jnp.clip(cum - 1, 0, n_events - 1)]
+    starts = jnp.concatenate([jnp.asarray([t0], dt_), ends[:-1]])
+
+    def n_of(t):
+        # group of time t: first k with ends[k] >= t
+        g = jnp.clip(jnp.searchsorted(ends, t, side="left"), 0, k_groups - 1)
+        span = jnp.maximum(ends[g] - starts[g], 1e-300)
+        frac = jnp.clip((t - starts[g]) / span, 0.0, 1.0)
+        return pop_sizes[g] * (1.0 - frac) + pop_sizes[g + 1] * frac
+
+    ta = times[:-1]
+    tb = times[1:]
+    ns = n_of(ta)
+    ne = n_of(tb)
+    d = tb - ta
+    # intensity over the interval; stable when ns ~ ne
+    diff = ne - ns
+    near = jnp.abs(diff) < 1e-9 * jnp.maximum(ns, 1e-300)
+    safe_diff = jnp.where(near, 1.0, diff)  # avoid where-NaN grads
+    intensity = jnp.where(
+        near,
+        d / ns,
+        d * (jnp.log(jnp.maximum(ne, 1e-300))
+             - jnp.log(jnp.maximum(ns, 1e-300))) / safe_diff,
+    )
+    k = lineages[:-1]
+    choose2 = (k * (k - 1) / 2.0).astype(dt_)
+    interval_term = -jnp.sum(choose2 * intensity)
+    event_term = -jnp.sum(
+        jnp.where(is_coal, jnp.log(jnp.maximum(n_of(times), 1e-300)), 0.0)
+    )
+    return interval_term + event_term
+
+
+# ---------------------------------------------------------------------------
+# extended Bayesian skyline (EBSP) — ref: VariableDemographicModel.java /
+# VDdemographicFunction (dr.evomodel.coalescent); multilocus
+# indicator-selected change points over the merged coalescent event grid
+# ---------------------------------------------------------------------------
+
+
+def _ebsp_pop_at(t, knot_times, values, active):
+    """Ne(t) for the EBSP field: linear interpolation between ACTIVE
+    knots (active[0] is always on); constant beyond the last active knot.
+    Vectorized over t with dynamic active sets (jit-safe)."""
+    j = jnp.arange(knot_times.shape[0])
+    # prev_active[k] = last active index <= k ; next_active[k] = first
+    # active index >= k (or last index when none)
+    prev_active = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(active, j, -1)
+    )
+    next_active = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(active, j, knot_times.shape[0]), reverse=True
+    )
+    idx = jnp.clip(
+        jnp.searchsorted(knot_times, t, side="right") - 1,
+        0, knot_times.shape[0] - 1,
+    )
+    lo = jnp.maximum(prev_active[idx], 0)
+    hi_raw = next_active[jnp.minimum(idx + 1, knot_times.shape[0] - 1)]
+    has_hi = (hi_raw < knot_times.shape[0]) & (idx + 1 < knot_times.shape[0])
+    hi = jnp.where(has_hi, jnp.minimum(hi_raw, knot_times.shape[0] - 1), lo)
+    t_lo = knot_times[lo]
+    t_hi = knot_times[hi]
+    span_raw = t_hi - t_lo
+    degenerate = (hi == lo) | (span_raw <= 0)
+    safe_span = jnp.where(degenerate, 1.0, span_raw)
+    frac = jnp.clip((t - t_lo) / safe_span, 0.0, 1.0)
+    frac = jnp.where(degenerate, 0.0, frac)
+    return values[lo] * (1.0 - frac) + values[hi] * frac
+
+
+def ebsp_knots(all_coal_times: jnp.ndarray, use_midpoints: bool = True):
+    """Knot times of the EBSP field over the merged, sorted coalescent
+    event times of all loci (ref: VDdemographicFunction — with
+    useMidpoints the change points sit between events)."""
+    e = jnp.sort(all_coal_times)
+    if use_midpoints:
+        mids = 0.5 * (e[:-1] + e[1:])
+        return jnp.concatenate([jnp.zeros((1,), e.dtype), mids])
+    return jnp.concatenate([jnp.zeros((1,), e.dtype), e[:-1]])
+
+
+def ebsp_coalescent_loglik(
+    trees_heights,  # list of [M_i] height arrays
+    trees_n_taxa,  # list of ints
+    ploidies,  # list of floats
+    pop_values: jnp.ndarray,  # [K] sizes at knots
+    indicators: jnp.ndarray,  # [K-1] 0/1 change-point selectors
+    use_midpoints: bool = True,
+) -> jnp.ndarray:
+    """Sum over loci of the coalescent density under the shared
+    indicator-selected piecewise-linear Ne(t) (scaled by each locus'
+    ploidy). Each locus integrates over its own inter-event intervals
+    split at every knot time, where Ne is exactly linear (the
+    log-ratio closed form applies)."""
+    all_coal = jnp.concatenate(
+        [h[n:] for h, n in zip(trees_heights, trees_n_taxa)]
+    )
+    dt = all_coal.dtype
+    knots = ebsp_knots(all_coal, use_midpoints)
+    active = jnp.concatenate(
+        [jnp.ones((1,), bool), indicators > 0.5]
+    )
+
+    def pop(t):
+        return _ebsp_pop_at(t, knots, pop_values, active)
+
+    total = jnp.asarray(0.0, dt)
+    for heights, n_taxa, ploidy in zip(trees_heights, trees_n_taxa,
+                                       ploidies):
+        times, lineages, is_coal = coalescent_intervals(heights, n_taxa)
+        # subgrid: this locus' event times + every knot, sorted
+        grid = jnp.sort(jnp.concatenate([times, knots]))
+        k_at = lineages[
+            jnp.clip(jnp.searchsorted(times, grid[:-1], side="right") - 1,
+                     0, times.shape[0] - 1)
+        ]
+        # clamp outside the locus' observation window
+        inside = (grid[:-1] >= times[0]) & (grid[1:] <= times[-1])
+        ta, tb = grid[:-1], grid[1:]
+        ns = ploidy * pop(ta)
+        ne = ploidy * pop(tb)
+        d = tb - ta
+        diff = ne - ns
+        near = jnp.abs(diff) < 1e-9 * jnp.maximum(ns, 1e-300)
+        safe_diff = jnp.where(near, 1.0, diff)  # avoid where-NaN grads
+        lin = d * (jnp.log(jnp.maximum(ne, 1e-300))
+                   - jnp.log(jnp.maximum(ns, 1e-300))) / safe_diff
+        intensity = jnp.where(near, d / jnp.maximum(ns, 1e-300), lin)
+        choose2 = (k_at * (k_at - 1) / 2.0).astype(dt)
+        total = total - jnp.sum(
+            jnp.where(inside, choose2 * intensity, 0.0)
+        )
+        total = total - jnp.sum(
+            jnp.where(is_coal, jnp.log(ploidy * pop(times)), 0.0)
+        )
+    return total
+
+
+def grouped_skyride_loglik(
+    heights, n_taxa: int, log_pops: jnp.ndarray, group_sizes: jnp.ndarray
+) -> jnp.ndarray:
+    """Grouped skyride coalescent density: log-space field with one value
+    per GROUP of coalescent events (ref: GMRFSkyrideLikelihood.java with
+    groupSizes — the BSP group mapping over an exp-field)."""
+    return bayesian_skyline_loglik(
+        heights, n_taxa, jnp.exp(log_pops), group_sizes
+    )
+
+
+def grouped_skyride_gmrf_prior(
+    heights, n_taxa: int, log_pops: jnp.ndarray, group_sizes: jnp.ndarray,
+    precision, covariates=None, beta=None, lam=1.0,
+) -> jnp.ndarray:
+    """GMRF smoothing prior over the grouped field with optional fixed
+    effects (ref: GMRFSkyrideLikelihood.java setupGMRFWeights +
+    skygridWithCovariates of Gill et al.): the penalized residual is
+    gamma - Z beta; off-diagonal weights 2/(delta_i + delta_{i+1}) from
+    the group interval durations, mixed with uniform weights by lambda."""
+    dt = heights.dtype
+    tau = jnp.asarray(precision, dt)
+    resid = log_pops
+    if covariates is not None:
+        resid = resid - covariates @ beta
+    coal = jnp.sort(heights[n_taxa:])
+    cum = jnp.cumsum(group_sizes)
+    n_events = n_taxa - 1
+    ends = coal[jnp.clip(cum - 1, 0, n_events - 1)]
+    t0 = jnp.min(heights[:n_taxa])
+    starts = jnp.concatenate([jnp.asarray([t0], dt), ends[:-1]])
+    delta = jnp.maximum(ends - starts, 1e-300)
+    w_time = 2.0 / (delta[:-1] + delta[1:])
+    lam = jnp.asarray(lam, dt)
+    w = lam * w_time + (1.0 - lam)
+    diff = resid[1:] - resid[:-1]
+    n_field = log_pops.shape[0]
+    return 0.5 * (n_field - 1) * jnp.log(tau) - 0.5 * tau * jnp.sum(
+        diff * diff * w
+    )

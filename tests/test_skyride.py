@@ -114,3 +114,63 @@ def test_cataclysm_vs_numeric():
     lp = cataclysm_loglik(heights, n, n0, r, spike, tc)
     want = _numeric_coalescent(heights, n, pop_fn)
     np.testing.assert_allclose(float(lp), want, rtol=1e-5)
+
+
+def test_linear_skyline_vs_numeric():
+    """Piecewise-linear BSP against numerical integration (ref:
+    BayesianSkylineLikelihood.java LINEAR_TYPE)."""
+    from beast_mcmc_tpu.models.coalescent import (
+        bayesian_skyline_linear_loglik,
+    )
+
+    heights = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 2.0, 5.0, 9.0, 14.0])
+    n = 5
+    pops = np.array([4.0, 9.0, 6.0])  # K=2 groups -> K+1 sizes
+    groups = np.array([2, 2])
+    # group 0 spans events (0, 5]; group 1 spans (5, 14]
+    starts = np.array([0.0, 5.0])
+    ends = np.array([5.0, 14.0])
+
+    def pop_fn(t):
+        t = np.atleast_1d(np.asarray(t, float))
+        g = np.clip(np.searchsorted(ends, t, side="left"), 0, 1)
+        frac = np.clip((t - starts[g]) / (ends[g] - starts[g]), 0, 1)
+        return pops[g] * (1 - frac) + pops[g + 1] * frac
+
+    lp = bayesian_skyline_linear_loglik(
+        heights, n, jnp.asarray(pops), jnp.asarray(groups)
+    )
+    want = _numeric_coalescent(heights, n, pop_fn)
+    np.testing.assert_allclose(float(lp), want, rtol=1e-5)
+
+
+def test_ebsp_constant_equivalence_and_gradient():
+    """EBSP field oracles (ref: VariableDemographicModel.java): all
+    indicators off + equal knot values == independent constant
+    coalescents; ploidy scales Ne; gradients finite."""
+    import jax
+
+    from beast_mcmc_tpu.models.coalescent import ebsp_coalescent_loglik
+
+    h1 = jnp.asarray([0.0, 0.0, 0.0, 1.0, 2.5])
+    h2 = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.7, 1.9, 4.0])
+    pop = 6.0
+    vals = jnp.full((5,), pop)
+    ind = jnp.zeros((4,))
+    got = float(ebsp_coalescent_loglik([h1, h2], [3, 4], [1.0, 1.0],
+                                       vals, ind))
+    want = float(
+        constant_coalescent_loglik(h1, 3, pop)
+        + constant_coalescent_loglik(h2, 4, pop)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    got2 = float(ebsp_coalescent_loglik([h1], [3], [2.0],
+                                        jnp.full((2,), pop), jnp.zeros(1)))
+    want2 = float(constant_coalescent_loglik(h1, 3, 2 * pop))
+    np.testing.assert_allclose(got2, want2, rtol=1e-10)
+    # indicator-selected linear segment changes the density smoothly
+    g = jax.grad(
+        lambda v: ebsp_coalescent_loglik([h1, h2], [3, 4], [1.0, 1.0],
+                                         v, jnp.asarray([1.0, 0, 0, 1.0]))
+    )(vals * jnp.asarray([1.0, 2.0, 1.0, 0.5, 1.0]))
+    assert np.all(np.isfinite(np.asarray(g)))

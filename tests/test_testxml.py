@@ -51,6 +51,7 @@ SLOW = [
     ("TreePriors/testBSP1.xml", 0.05, True),
     ("TreePriors/testCataclysmCoalescent.xml", 0.05, False),
     ("TreePriors/testPiecewiseExponential.xml", 0.05, True),
+    ("TreePriors/testLinearBSP.xml", 0.05, True),
     ("TreePriors/testConstantSize.xml", 0.03, True),
     ("ClockModels/testStrictClock.xml", 0.05, True),
     ("ClockModels/testStrictClockNoDate2.xml", 0.05, True),
@@ -70,6 +71,9 @@ SLOW = [
     ("TreePriors+ClockModels/constant+uncorrelatedExp.xml", 0.02, True),
     ("TreePriors+ClockModels/expansionDoubling+strict.xml.xml", 0.02, True),
     ("TreePriors+ClockModels/exponentialDoubling+strict.xml", 0.02, True),
+    ("TreePriors/testEBSP.xml", 0.005, True),
+    ("TreePriors+ClockModels/extendedBayesianSkyline+uncorrelatedLn.xml",
+     0.01, True),
 ]
 
 
