@@ -2483,11 +2483,22 @@ def _build_operator(ax: XmlAnalysis, el):
         return T.SubtreeSlideOperator(
             weight=w, size=size, gaussian=_attr(el, "gaussian", True, bool)
         ), tid
-    if tag in ("subtreeLeap", "subtreeJump"):
+    if tag == "subtreeLeap":
         kind, _, tid = _op_target(ax, el)
         return T.SubtreeLeapOperator(
             weight=w, size=_attr(el, "size", 1.0, float)
         ), tid
+    if tag == "subtreeJump":
+        # ref: SubtreeJumpOperatorParser (SUBTREE_JUMP), size/uniform attrs
+        kind, _, tid = _op_target(ax, el)
+        return T.SubtreeJumpOperator(
+            weight=w, size=_attr(el, "size", 1.0, float),
+            uniform=_attr(el, "uniform", False, bool),
+        ), tid
+    if tag in ("GibbsPruneAndRegraft", "gibbsPruneAndRegraft"):
+        # ref: GibbsPruneAndRegraftParser (GIBBS_PRUNE_AND_REGRAFT)
+        kind, _, tid = _op_target(ax, el)
+        return T.GibbsPruneAndRegraftOperator(weight=w), tid
     if tag == "narrowExchange":
         _, _, tid = _op_target(ax, el)
         return O.NarrowExchangeOperator(weight=w), tid

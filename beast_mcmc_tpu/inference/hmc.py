@@ -41,6 +41,10 @@ class HmcOperator(Operator):
     mass: float = 1.0  # scalar, or a [dim] vector for diagonal mass
     precondition: str = "none"  # "none" | "diag" (Hessian-diagonal mass)
     log_transform: bool = True
+    # General constrained->unconstrained bijection applied to the packed
+    # vector (utils.transforms.Transform; ref: Transform.java:48 — the
+    # reference's transformed-HMC path). Overrides log_transform.
+    transform: Optional[object] = None
     adaptable: bool = True
     target_acceptance: float = 0.8
     _log_posterior: Optional[Callable] = dataclasses.field(
@@ -58,10 +62,24 @@ class HmcOperator(Operator):
     def _pack(self, params):
         vals = [jnp.atleast_1d(params[n]) for n in self.parameters]
         flat = jnp.concatenate(vals)
+        if self.transform is not None:
+            return self.transform.forward(flat)
         return jnp.log(flat) if self.log_transform else flat
 
+    def _ldj(self, y):
+        """log |d constrained / d unconstrained| at y (the density and
+        Hastings correction for sampling in unconstrained space)."""
+        if self.transform is not None:
+            return self.transform.log_det_jacobian_inverse(y)
+        if self.log_transform:
+            return jnp.sum(y)
+        return jnp.asarray(0.0, jnp.result_type(y))
+
     def _unpack(self, params, y):
-        x = jnp.exp(y) if self.log_transform else y
+        if self.transform is not None:
+            x = self.transform.inverse(y)
+        else:
+            x = jnp.exp(y) if self.log_transform else y
         out = dict(params)
         i = 0
         for n in self.parameters:
@@ -82,9 +100,7 @@ class HmcOperator(Operator):
         def neg_log_py(y):
             prms = self._unpack(params, y)
             lp = lp_fn(prms, tree)
-            if self.log_transform:
-                lp = lp + jnp.sum(y)
-            return -lp
+            return -(lp + self._ldj(y))
 
         grad_fn = jax.grad(neg_log_py)
 
@@ -112,9 +128,7 @@ class HmcOperator(Operator):
 
         k_old = 0.5 * jnp.sum(p0 * p0 / mass)
         k_new = 0.5 * jnp.sum(p1 * p1 / mass)
-        logh = (k_old - k_new)
-        if self.log_transform:
-            logh = logh + jnp.sum(y1) - jnp.sum(y0)
+        logh = (k_old - k_new) + self._ldj(y1) - self._ldj(y0)
         ok = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(logh)
         logh = jnp.where(ok, logh, NEG_INF)
         y1 = jnp.where(ok, y1, y0)

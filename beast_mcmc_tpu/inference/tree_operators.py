@@ -567,3 +567,191 @@ class TipHeightScaleOperator(Operator):
         logh = jnp.where(ok, -jnp.log(s), -jnp.inf)
         heights = tree.heights.at[self.tip].set(jnp.where(ok, h1, h))
         return params, tree.replace(heights=heights), logh
+
+
+def mrca_heights_from(parent: jnp.ndarray, heights: jnp.ndarray,
+                      a) -> jnp.ndarray:
+    """heights[MRCA(a, x)] for every node x, in O(M log M).
+
+    Binary lifting: build parent jump tables up[k][x] = 2^k-th ancestor,
+    mark a's ancestor-or-self chain (up-closed along any node's path to
+    the root), then lift each x to its highest ancestor NOT on the chain;
+    its parent is the MRCA. (Role of TreeUtils.getCommonAncestor in ref:
+    src/dr/evomodel/operators/SubtreeJumpOperator.java:219-236, done for
+    all x at once instead of one pointer chase per destination.)
+    """
+    m = parent.shape[0]
+    idx = jnp.arange(m)
+    safe = jnp.where(parent < 0, idx, parent)  # root self-loop
+
+    # a's ancestor-or-self mask via the parent chain (O(depth) loop)
+    def chain_body(c):
+        cur, mask = c
+        nxt = safe[cur]
+        return nxt, mask.at[nxt].set(True)
+
+    def chain_cond(c):
+        cur, _ = c
+        return parent[cur] >= 0
+
+    _, anc_a = jax.lax.while_loop(
+        chain_cond, chain_body,
+        (jnp.asarray(a, safe.dtype), jnp.zeros((m,), bool).at[a].set(True)))
+
+    # jump tables
+    ups = [safe]
+    steps = max(int(np.ceil(np.log2(max(m, 2)))), 1)
+    for _ in range(steps):
+        ups.append(ups[-1][ups[-1]])
+
+    # lift every x to the highest ancestor still below the chain
+    cur = idx
+    for up in reversed(ups):
+        nxt = up[cur]
+        cur = jnp.where(anc_a[nxt], cur, nxt)
+    mrca = jnp.where(anc_a[idx], idx, safe[cur])
+    return heights[mrca]
+
+
+@dataclasses.dataclass
+class SubtreeJumpOperator(Operator):
+    """Adaptive fixed-height SPR with distance-weighted destinations
+    (ref: src/dr/evomodel/operators/SubtreeJumpOperator.java:82-175).
+
+    Prune the parent edge of node i (root and root children excluded)
+    and regraft at its unchanged height onto an intersecting edge chosen
+    with probability ∝ Cauchy(h_MRCA(iP, j) − h_iP; scale=size) — bolder
+    moves for larger `size`, which is the adapted tuning parameter.
+    Hastings = log P(reverse pick = old sibling) − log P(forward pick).
+
+    Note: the reference's getNormalizedProbabilities computes the Cauchy
+    log-pdfs into `lpdfs` but normalizes the zero-filled `weights` array
+    (SubtreeJumpOperator.java:218-243), silently degrading to uniform
+    weights; here the intended Cauchy weighting is implemented (any
+    self-consistent forward/reverse weighting is a valid MH proposal).
+    """
+
+    size: float = 1.0
+    uniform: bool = False
+    adaptable: bool = True
+    modifies_params = ()
+
+    def initial_adapt(self) -> float:
+        return math.log(self.size)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def _log_weights(self, parent, heights, ip, height, cand, size):
+        fdt = heights.dtype
+        if self.uniform:
+            return jnp.where(cand, 0.0, NEG_INF).astype(fdt)
+        d = mrca_heights_from(parent, heights, ip) - height
+        logw = -jnp.log1p(jnp.square(d / size))  # Cauchy kernel (scale s)
+        return jnp.where(cand, logw, NEG_INF).astype(fdt)
+
+    def propose(self, params, tree, key, tuning):
+        m = tree.parent.shape[0]
+        fdt = tree.heights.dtype
+        root = tree.root
+        h = tree.heights
+        size = tuning if self.adaptable else jnp.asarray(self.size, fdt)
+        k1, k2 = jax.random.split(key)
+        ex = jnp.stack([root, tree.children[root, 0], tree.children[root, 1]])
+        i = sample_excluding(k1, m, ex)
+        ip = tree.parent[i]
+        cip = other_child(tree.children, ip, i)
+        pip = tree.parent[ip]
+        height = h[ip]
+        allmask = jnp.ones((m,), bool)
+        cand = intersecting_edges(tree.parent, h, allmask, height)
+        cand = cand.at[i].set(False).at[cip].set(False)
+        count = jnp.sum(cand)
+        logw = self._log_weights(tree.parent, h, ip, height, cand, size)
+        norm = jax.nn.log_softmax(logw)
+        j = jax.random.categorical(k2, logw).astype(jnp.int32)
+        log_forward = norm[j]
+        jp = tree.parent[j]
+        # detach iP (bridge CiP to PiP), splice iP into <jP, j>
+        children = replace_child(tree.children, pip, ip, cip)
+        children = replace_child(children, jp, j, ip)
+        children = replace_child(children, ip, cip, j)
+        parent = tree.parent.at[cip].set(pip).at[ip].set(jp).at[j].set(ip)
+        # reverse: same height, destinations in the NEW tree, pick = CiP
+        cand2 = intersecting_edges(parent, h, allmask, height)
+        cand2 = cand2.at[i].set(False).at[j].set(False)
+        logw2 = self._log_weights(parent, h, ip, height, cand2, size)
+        log_reverse = jax.nn.log_softmax(logw2)[cip]
+        tree = tree.replace(parent=parent, children=children)
+        logq = jnp.where(count > 0, log_reverse - log_forward, NEG_INF)
+        return params, tree, logq.astype(fdt)
+
+
+@dataclasses.dataclass
+class GibbsPruneAndRegraftOperator(Operator):
+    """Gibbs-weighted fixed-height prune-and-regraft (ref:
+    src/dr/evomodel/operators/GibbsPruneAndRegraft.java:81-158).
+
+    Prune node i's parent edge and regraft onto an intersecting edge j
+    chosen with probability ∝ the POSTERIOR of the regrafted tree. The
+    reference evaluates each candidate tree serially through BEAGLE;
+    here the candidate surgeries are vmapped and scored in ONE batched
+    posterior evaluation — the peeling einsums batch over candidates on
+    the MXU, so the cost is one [M, patterns, states] batch instead of M
+    round trips. Hastings (GibbsPruneAndRegraft.java:148-155):
+      log( (back/(sum − fwd + back)) / (fwd/sum) ).
+    Expensive per call (M posterior evaluations' FLOPs) — intended for
+    small/medium trees or low schedule weight, exactly like the ref.
+    """
+
+    modifies_params = ()
+    _log_posterior = None
+
+    def bind_log_posterior(self, log_posterior):
+        self._log_posterior = log_posterior
+
+    def propose(self, params, tree, key, tuning):
+        assert self._log_posterior is not None, (
+            "GibbsPruneAndRegraftOperator requires make_mcmc_step binding")
+        m = tree.parent.shape[0]
+        fdt = tree.heights.dtype
+        root = tree.root
+        h = tree.heights
+        k1, k2 = jax.random.split(key)
+        ex = jnp.stack([root, tree.children[root, 0], tree.children[root, 1]])
+        i = sample_excluding(k1, m, ex)
+        ip = tree.parent[i]
+        cip = other_child(tree.children, ip, i)
+        pip = tree.parent[ip]
+        height = h[ip]
+        allmask = jnp.ones((m,), bool)
+        cand = intersecting_edges(tree.parent, h, allmask, height)
+        cand = cand.at[i].set(False).at[cip].set(False)
+        count = jnp.sum(cand)
+
+        def regraft(j):
+            jp = tree.parent[j]
+            children = replace_child(tree.children, pip, ip, cip)
+            children = replace_child(children, jp, j, ip)
+            children = replace_child(children, ip, cip, j)
+            parent = tree.parent.at[cip].set(pip).at[ip].set(jp).at[j].set(ip)
+            return tree.replace(parent=parent, children=children)
+
+        def score(j):
+            return self._log_posterior(params, regraft(j))
+
+        idx = jnp.arange(m, dtype=jnp.int32)
+        # masked-out candidates still trace but are -inf weighted
+        scores = jax.vmap(score)(idx)
+        scores = jnp.where(cand, scores, NEG_INF)
+        offset = jnp.max(scores)
+        probs = jnp.exp(scores - offset)
+        total = jnp.sum(probs)
+        j = jax.random.categorical(k2, scores).astype(jnp.int32)
+        forward = probs[j]
+        back_ll = self._log_posterior(params, tree)
+        back = jnp.exp(back_ll - offset)
+        log_fwd_prob = jnp.log(forward) - jnp.log(total)
+        log_back_prob = jnp.log(back) - jnp.log(total - forward + back)
+        logq = jnp.where(count > 0, log_back_prob - log_fwd_prob, NEG_INF)
+        return params, regraft(j), logq.astype(fdt)

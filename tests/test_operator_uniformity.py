@@ -33,7 +33,9 @@ from beast_mcmc_tpu.inference.operators import (
 from beast_mcmc_tpu.inference.tree_operators import (
     FixedHeightSPROperator,
     FNPROperator,
+    GibbsPruneAndRegraftOperator,
     NNIOperator,
+    SubtreeJumpOperator,
     SubtreeLeapOperator,
     SubtreeSlideOperator,
 )
@@ -116,6 +118,11 @@ OPERATORS = {
     "fnpr": FNPROperator(weight=10.0),
     "nni": NNIOperator(weight=10.0),
     "fixed_height_spr": FixedHeightSPROperator(weight=10.0),
+    "subtree_jump": SubtreeJumpOperator(weight=10.0, size=1.0),
+    "subtree_jump_uniform": SubtreeJumpOperator(
+        weight=10.0, uniform=True, adaptable=False
+    ),
+    "gibbs_prune_regraft": GibbsPruneAndRegraftOperator(weight=10.0),
 }
 
 
