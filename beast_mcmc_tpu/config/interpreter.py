@@ -900,6 +900,184 @@ def _cataclysm(ax: XmlAnalysis, el):
                        sim_pop=float(np.ravel(ax.value_of(pname))[0]))
 
 
+@register("constantExponential")
+def _constant_exponential(ax: XmlAnalysis, el):
+    """ref: ConstantExponentialModelParser + ConstantExponentialModel
+    .java:93-104 — N1 derived as N0 exp(-time * r)."""
+    from beast_mcmc_tpu.models.coalescent import const_exponential_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    tname = ax.param_from(_child_of(el, "growthPhaseStartTime"))
+    gr, dbl = el.find("growthRate"), el.find("doublingTime")
+    if gr is not None:
+        gname = ax.param_from(gr)
+        rate_of = lambda params: params[gname]
+    elif dbl is not None:
+        dname = ax.param_from(dbl)
+        rate_of = lambda params: jnp.log(2.0) / params[dname]
+    else:
+        raise XmlError("constantExponential without growthRate/doublingTime")
+
+    def ll(heights, n_taxa, params):
+        r = rate_of(params)
+        n0 = params[pname]
+        n1 = n0 * jnp.exp(-params[tname] * r)
+        return const_exponential_loglik(heights, n_taxa, n0, n1, r)
+
+    return Demographic("constantExponential", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("exponentialConstant")
+def _exponential_constant(ax: XmlAnalysis, el):
+    """ref: ExponentialConstantModelParser + ExpConstant.java."""
+    from beast_mcmc_tpu.models.coalescent import exp_constant_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    gname = ax.param_from(_child_of(el, "growthRate"))
+    tname = ax.param_from(_child_of(el, "transitionTime"))
+
+    def ll(heights, n_taxa, params):
+        return exp_constant_loglik(
+            heights, n_taxa, params[pname], params[gname], params[tname])
+
+    return Demographic("exponentialConstant", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("constantLogistic")
+def _constant_logistic(ax: XmlAnalysis, el):
+    """ref: ConstantLogisticModelParser + ConstLogistic.java."""
+    from beast_mcmc_tpu.models.coalescent import const_logistic_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    aname = ax.param_from(_child_of(el, "ancestralPopulationSize"))
+    gname = ax.param_from(_child_of(el, "growthRate"))
+    sname = ax.param_from(_child_of(el, "shape"))
+
+    def ll(heights, n_taxa, params):
+        return const_logistic_loglik(
+            heights, n_taxa, params[pname], params[aname], params[gname],
+            params[sname])
+
+    return Demographic("constantLogistic", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("exponentialExponential")
+def _exponential_exponential(ax: XmlAnalysis, el):
+    """ref: ExponentialExponentialModelParser — two growth phases with a
+    transition time (MultiEpochExponential with K=2)."""
+    from beast_mcmc_tpu.models.coalescent import (
+        multi_epoch_exponential_loglik)
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    gname = ax.param_from(_child_of(el, "growthRate"))
+    aname = ax.param_from(_child_of(el, "ancestralGrowthRate"))
+    tname = ax.param_from(_child_of(el, "transitionTime"))
+
+    def ll(heights, n_taxa, params):
+        rates = jnp.stack([jnp.ravel(params[gname])[0],
+                           jnp.ravel(params[aname])[0]])
+        tts = jnp.ravel(params[tname])[:1]
+        return multi_epoch_exponential_loglik(
+            heights, n_taxa, params[pname], rates, tts)
+
+    return Demographic("exponentialExponential", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("multiEpochExponential")
+def _multi_epoch_exponential(ax: XmlAnalysis, el):
+    """ref: MultiEpochExponentialModelParser + MultiEpochExponential.java."""
+    from beast_mcmc_tpu.models.coalescent import (
+        multi_epoch_exponential_loglik)
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    gname = ax.param_from(_child_of(el, "growthRate"))
+    tname = ax.param_from(_child_of(el, "transitionTime"))
+
+    def ll(heights, n_taxa, params):
+        return multi_epoch_exponential_loglik(
+            heights, n_taxa, params[pname], params[gname], params[tname])
+
+    return Demographic("multiEpochExponential", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("exponentialSawtooth")
+def _exponential_sawtooth(ax: XmlAnalysis, el):
+    """ref: ExponentialSawtoothModelParser + ExponentialSawtooth.java."""
+    from beast_mcmc_tpu.models.coalescent import (
+        exponential_sawtooth_loglik)
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    gname = ax.param_from(_child_of(el, "growthRate"))
+    wname = ax.param_from(_child_of(el, "wavelength"))
+    oname = ax.param_from(_child_of(el, "offset"))
+
+    def ll(heights, n_taxa, params):
+        return exponential_sawtooth_loglik(
+            heights, n_taxa, params[pname], params[gname], params[wname],
+            params[oname])
+
+    return Demographic("exponentialSawtooth", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("exponentialLogistic")
+def _exponential_logistic(ax: XmlAnalysis, el):
+    """ref: ExponentialLogisticModelParser + ExponentialLogistic.java
+    (logisticGrowthRate/logisticShape/exponentialGrowthRate/
+    transitionTime vocabulary)."""
+    from beast_mcmc_tpu.models.coalescent import (
+        exponential_logistic_loglik)
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    lg = ax.param_from(_child_of(el, "logisticGrowthRate"))
+    ls = ax.param_from(_child_of(el, "logisticShape"))
+    eg = ax.param_from(_child_of(el, "exponentialGrowthRate"))
+    tt = ax.param_from(_child_of(el, "transitionTime"))
+
+    def ll(heights, n_taxa, params):
+        return exponential_logistic_loglik(
+            heights, n_taxa, params[pname], params[lg], params[ls],
+            params[eg], params[tt])
+
+    return Demographic("exponentialLogistic", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
+@register("linearGrowth")
+def _linear_growth(ax: XmlAnalysis, el):
+    """ref: LinearGrowthModelParser (slope vocabulary)."""
+    from beast_mcmc_tpu.models.coalescent import linear_growth_loglik
+
+    sname = ax.param_from(_child_of(el, "slope"))
+
+    def ll(heights, n_taxa, params):
+        return linear_growth_loglik(heights, n_taxa, params[sname])
+
+    return Demographic("linearGrowth", {"pop": sname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(sname))[0]))
+
+
+@register("powerLawGrowth")
+def _power_law_growth(ax: XmlAnalysis, el):
+    """ref: PowerLawGrowthModelParser + PowerLawGrowth.java."""
+    from beast_mcmc_tpu.models.coalescent import power_law_growth_loglik
+
+    pname = ax.param_from(_child_of(el, "populationSize"))
+    rname = ax.param_from(_child_of(el, "power"))
+
+    def ll(heights, n_taxa, params):
+        return power_law_growth_loglik(
+            heights, n_taxa, params[pname], params[rname])
+
+    return Demographic("powerLawGrowth", {"pop": pname}, ll,
+                       sim_pop=float(np.ravel(ax.value_of(pname))[0]))
+
+
 @register("piecewisePopulationSize")
 def _piecewise_pop_size_model(ax: XmlAnalysis, el):
     """Log-space piecewise model: N(0)=exp(logN0); chained exponential

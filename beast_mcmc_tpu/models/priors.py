@@ -10,6 +10,7 @@ proposals — the MH kernel sees -inf and rejects).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import betaln, gammaln
 
@@ -205,3 +206,226 @@ def half_t_logpdf(x, scale, df=1.0):
           - 0.5 * jnp.log(nu * jnp.pi) - jnp.log(s)
           - 0.5 * (nu + 1) * jnp.log1p(z * z / nu) + jnp.log(2.0))
     return _sum(jnp.where(x >= 0, lp, -jnp.inf))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 distribution breadth (ref: src/dr/math/distributions/*.java —
+# each docstring cites its reference class). All return SUMMED log
+# densities over array arguments, matching the conventions above.
+# ---------------------------------------------------------------------------
+
+
+def chi_square_logpdf(x, df):
+    """ref: ChiSquareDistribution.java (gamma(df/2, 2) reduction)."""
+    return gamma_logpdf(x, 0.5 * jnp.asarray(df), 2.0)
+
+
+def t_logpdf(x, df, loc=0.0, scale=1.0):
+    """Student-t with location/scale (ref: TDistribution.java:logPDF;
+    df=1 is the Cauchy kernel SubtreeJumpOperator draws weights from)."""
+    x = jnp.asarray(x)
+    nu = jnp.asarray(df)
+    s = jnp.asarray(scale)
+    z = (x - loc) / s
+    lp = (gammaln(0.5 * (nu + 1.0)) - gammaln(0.5 * nu)
+          - 0.5 * jnp.log(nu * jnp.pi) - jnp.log(s)
+          - 0.5 * (nu + 1.0) * jnp.log1p(z * z / nu))
+    return _sum(lp)
+
+
+def cauchy_logpdf(x, loc=0.0, scale=1.0):
+    """ref: TDistribution.java df=1 special case."""
+    return t_logpdf(x, 1.0, loc, scale)
+
+
+def logistic_logpdf(x, loc=0.0, scale=1.0):
+    """Logistic density (role of the reference's logit-scale priors)."""
+    z = (jnp.asarray(x) - loc) / jnp.asarray(scale)
+    lp = -z - 2.0 * jax.nn.softplus(-z) - jnp.log(jnp.asarray(scale))
+    return _sum(lp)
+
+
+def weibull_logpdf(x, shape, scale):
+    """ref: the reference's Weibull usage in distributionLikelihood
+    (dr.inference.distribution.DistributionLikelihood Weibull branch)."""
+    x = jnp.asarray(x)
+    k = jnp.asarray(shape)
+    lam = jnp.asarray(scale)
+    lp = (jnp.log(k) - jnp.log(lam) + (k - 1.0) * (jnp.log(x) - jnp.log(lam))
+          - jnp.power(x / lam, k))
+    return _sum(jnp.where(x >= 0, lp, -jnp.inf))
+
+
+def gumbel2_logpdf(x, shape, scale):
+    """Type-II Gumbel (Frechet-family) density ab x^{-a-1} e^{-b x^{-a}}
+    (ref: Gumbel2Distribution.java)."""
+    x = jnp.asarray(x)
+    a = jnp.asarray(shape)
+    b = jnp.asarray(scale)
+    lp = (jnp.log(a) + jnp.log(b) - (a + 1.0) * jnp.log(x)
+          - b * jnp.power(x, -a))
+    return _sum(jnp.where(x > 0, lp, -jnp.inf))
+
+
+def half_normal_logpdf(x, stdev):
+    """ref: HalfNormalDistribution.java (mean 0, doubled density on
+    x >= 0)."""
+    x = jnp.asarray(x)
+    s = jnp.asarray(stdev)
+    lp = (jnp.log(2.0) - 0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(s)
+          - 0.5 * jnp.square(x / s))
+    return _sum(jnp.where(x >= 0, lp, -jnp.inf))
+
+
+def pareto_logpdf(x, scale, shape):
+    """ref: ParetoDistribution.java: a m^a / x^{a+1} on x >= m."""
+    x = jnp.asarray(x)
+    m = jnp.asarray(scale)
+    a = jnp.asarray(shape)
+    lp = jnp.log(a) + a * jnp.log(m) - (a + 1.0) * jnp.log(x)
+    return _sum(jnp.where(x >= m, lp, -jnp.inf))
+
+
+def inverse_gaussian_logpdf(x, mean, shape):
+    """ref: InverseGaussianDistribution.java (Wald density)."""
+    x = jnp.asarray(x)
+    mu = jnp.asarray(mean)
+    lam = jnp.asarray(shape)
+    lp = (0.5 * (jnp.log(lam) - jnp.log(2.0 * jnp.pi) - 3.0 * jnp.log(x))
+          - lam * jnp.square(x - mu) / (2.0 * mu * mu * x))
+    return _sum(jnp.where(x > 0, lp, -jnp.inf))
+
+
+def _normal_logcdf(z):
+    return jax.scipy.stats.norm.logcdf(z)
+
+
+def truncated_normal_logpdf(x, mean, stdev, lower=-jnp.inf, upper=jnp.inf):
+    """ref: TruncatedNormalDistribution.java — normal density
+    renormalized to [lower, upper]."""
+    x = jnp.asarray(x)
+    mu = jnp.asarray(mean)
+    s = jnp.asarray(stdev)
+    zlo = (lower - mu) / s
+    zhi = (upper - mu) / s
+    # log(Phi(zhi) - Phi(zlo)) stably via logcdf/logsf
+    log_mass = jnp.log(
+        jnp.exp(_normal_logcdf(zhi)) - jnp.exp(_normal_logcdf(zlo)))
+    lp = (-0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(s)
+          - 0.5 * jnp.square((x - mu) / s) - log_mass)
+    inside = (x >= lower) & (x <= upper)
+    return _sum(jnp.where(inside, lp, -jnp.inf))
+
+
+def reflected_normal_logpdf(x, mean, stdev, lower, upper):
+    """ref: ReflectedNormalDistribution.java — normal folded back at the
+    bounds (image-charge sum, truncated at `terms` reflections)."""
+    x = jnp.asarray(x)
+    mu = jnp.asarray(mean)
+    s = jnp.asarray(stdev)
+    width = upper - lower
+    ks = jnp.arange(-8, 9)
+    # reflections: mu_k = 2k*width +/- mu (even: translate, odd: mirror)
+    centers_a = 2.0 * ks * width + mu
+    centers_b = 2.0 * ks * width + 2.0 * lower - mu
+    z = x[..., None]
+    dens = (jnp.exp(-0.5 * jnp.square((z - centers_a) / s))
+            + jnp.exp(-0.5 * jnp.square((z - centers_b) / s)))
+    lp = (jnp.log(jnp.sum(dens, -1)) - 0.5 * jnp.log(2.0 * jnp.pi)
+          - jnp.log(s))
+    inside = (x >= lower) & (x <= upper)
+    return _sum(jnp.where(inside, lp, -jnp.inf))
+
+
+def negative_binomial_logpmf(k, mean, alpha):
+    """ref: NegativeBinomialDistribution.java (mean/overdispersion
+    parameterization: var = mean + alpha mean^2)."""
+    k = jnp.asarray(k, jnp.result_type(float))
+    mu = jnp.asarray(mean)
+    r = 1.0 / jnp.asarray(alpha)
+    p = r / (r + mu)
+    lp = (gammaln(k + r) - gammaln(r) - gammaln(k + 1.0)
+          + r * jnp.log(p) + k * jnp.log1p(-p))
+    return _sum(lp)
+
+
+def geometric_logpmf(k, p):
+    """ref: GeometricDistribution.java: P(k) = p (1-p)^k, k = 0,1,..."""
+    k = jnp.asarray(k, jnp.result_type(float))
+    p = jnp.asarray(p)
+    return _sum(jnp.log(p) + k * jnp.log1p(-p))
+
+
+def binomial_logpmf(k, n, p):
+    """ref: dr.inference.distribution.BinomialLikelihood."""
+    k = jnp.asarray(k, jnp.result_type(float))
+    n = jnp.asarray(n, jnp.result_type(float))
+    lp = (gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+          + k * jnp.log(p) + (n - k) * jnp.log1p(-p))
+    return _sum(lp)
+
+
+def discrete_uniform_logpmf(k, lower, upper):
+    """ref: DiscreteUniformDistribution.java (inclusive bounds)."""
+    k = jnp.asarray(k)
+    n = jnp.asarray(upper) - jnp.asarray(lower) + 1.0
+    inside = (k >= lower) & (k <= upper)
+    return _sum(jnp.where(inside, -jnp.log(n), -jnp.inf))
+
+
+def multivariate_gamma_logpdf(x, shapes, scales):
+    """Independent gamma product (ref:
+    MultivariateGammaDistribution.java)."""
+    return gamma_logpdf(x, jnp.asarray(shapes), jnp.asarray(scales))
+
+
+def ar1_normal_logpdf(x, marginal_std, rho):
+    """Stationary AR(1) Gaussian vector density via its tridiagonal
+    precision — closed-form determinant (ref:
+    AutoRegressiveNormalDistribution.java, which evaluates through the
+    same O(n) precision product instead of a dense solve)."""
+    x = jnp.asarray(x)
+    s = jnp.asarray(marginal_std)
+    r = jnp.asarray(rho)
+    n = x.shape[-1]
+    z = x / s
+    quad = (jnp.sum(z * z) - 2.0 * r * jnp.sum(z[1:] * z[:-1])
+            + r * r * jnp.sum(z[1:-1] * z[1:-1]))
+    quad = quad / (1.0 - r * r)
+    logdet_cov = n * 2.0 * jnp.log(s) + (n - 1) * jnp.log1p(-r * r)
+    return -0.5 * (n * jnp.log(2.0 * jnp.pi) + logdet_cov + quad)
+
+
+def normal_kde_logpdf(x, samples, bandwidth=None):
+    """Gaussian-kernel KDE density (ref: NormalKDEDistribution.java —
+    its Silverman's-rule default bandwidth). Fully vectorized
+    [eval x samples] kernel matrix."""
+    x = jnp.atleast_1d(jnp.asarray(x))
+    samples = jnp.asarray(samples)
+    n = samples.shape[0]
+    if bandwidth is None:
+        sd = jnp.std(samples)
+        bandwidth = 1.06 * sd * n ** (-0.2)
+    h = jnp.asarray(bandwidth)
+    z = (x[..., None] - samples) / h
+    k = -0.5 * z * z - 0.5 * jnp.log(2.0 * jnp.pi)
+    return _sum(jax.scipy.special.logsumexp(k, axis=-1)
+                - jnp.log(n * 1.0) - jnp.log(h))
+
+
+def log_transformed_normal_kde_logpdf(x, samples, bandwidth=None):
+    """KDE fit on log(samples), density back-transformed with the 1/x
+    Jacobian (ref: LogTransformedNormalKDEDistribution.java)."""
+    x = jnp.asarray(x)
+    return (normal_kde_logpdf(jnp.log(x), jnp.log(samples), bandwidth)
+            - _sum(jnp.log(x)))
+
+
+def logit_transformed_normal_kde_logpdf(x, samples, bandwidth=None):
+    """KDE on logit(samples) with the 1/(x(1-x)) Jacobian (ref:
+    LogitTransformedNormalKDEDistribution.java)."""
+    x = jnp.asarray(x)
+    logit = lambda v: jnp.log(v) - jnp.log1p(-v)
+    return (normal_kde_logpdf(logit(x), logit(jnp.asarray(samples)),
+                              bandwidth)
+            - _sum(jnp.log(x) + jnp.log1p(-x)))

@@ -89,3 +89,23 @@ def test_treeannotator_on_run_output(tmp_path):
     mcc, support, ann = summarize_trees(trees, burnin_fraction=0.2)
     nwk = annotated_newick(mcc, ann)
     assert nwk.count("posterior=") == 5  # 5 internal nodes for 6 taxa
+
+
+def test_profiler_times_operators():
+    """mcmcprof analog (ref: MarkovChain.java:255-275): per-operator
+    timing rows + combined states/hour estimate."""
+    import jax
+
+    from beast_mcmc_tpu.apps.benchmarks import build_analysis
+    from beast_mcmc_tpu.apps.profiler import profile_operators, profile_report
+
+    log_post, operators, params0, tree0, _ = build_analysis(
+        n_taxa=6, n_patterns=16, model="hky")
+    prof = profile_operators(
+        log_post, operators[:3], params0, tree0,
+        key=jax.random.PRNGKey(1), n_steps=50)
+    assert len(prof["rows"]) == 3
+    assert all(r["steps_per_sec"] > 0 for r in prof["rows"])
+    assert prof["states_per_hour"] > 0
+    rep = profile_report(prof)
+    assert "states/hour" in rep and "us/step" in rep
