@@ -2030,10 +2030,16 @@ def _alias_value_reader(ax, a: TreeAlias):
 
 
 def _masked_sum(val, pdf):
-    """Apply pdf elementwise; val may be (values, mask) for tree views."""
+    """Apply pdf elementwise; val may be (values, mask) for tree views.
+
+    The library densities SUM over their argument, so for masked views
+    the density must be evaluated per element (vmap over scalars) before
+    masking — applying the summed value under the mask would scale the
+    total by the mask count."""
     if isinstance(val, tuple):
         v, mask = val
-        return jnp.sum(jnp.where(mask, pdf(v), 0.0))
+        elem = jax.vmap(pdf)(jnp.ravel(v))
+        return jnp.sum(jnp.where(jnp.ravel(mask), elem, 0.0))
     return jnp.sum(pdf(val))
 
 
@@ -2886,3 +2892,117 @@ def run_testxml(path: str, scale: float = 1.0, seed: int = 666,
     ax = XmlAnalysis(path, scale=scale, seed=seed, max_states=max_states,
                      strict_expectations=strict_expectations)
     return ax.run(tolerance_se=tolerance_se, full_eval_steps=full_eval_steps)
+
+
+# -- distributionLikelihood ---------------------------------------------------
+# (ref: src/dr/inferencexml/distribution/DistributionLikelihoodParser.java —
+# a parametric distribution MODEL over arbitrary data parameters/statistics;
+# unlike the *Prior attr forms the distribution's parameters may themselves
+# be estimated, so densities read them from `params` at runtime.)
+
+
+def _dist_model_logpdf(ax: XmlAnalysis, el):
+    """(params, x) -> summed log density for a distribution-model element
+    (ref parser vocabularies cited per branch)."""
+    from beast_mcmc_tpu.models import priors as P
+
+    cc = ax.deref(el)
+    tag = cc.tag
+    if tag == "normalDistributionModel":
+        # ref: NormalDistributionModelParser (mean + stdev|precision)
+        mname = ax.param_from(_child_of(cc, "mean"))
+        prec_el = cc.find("precision")
+        if prec_el is not None:
+            pname = ax.param_from(prec_el)
+            return lambda params, x: P.normal_logpdf(
+                x, params[mname], 1.0 / jnp.sqrt(params[pname]))
+        sname = ax.param_from(_child_of(cc, "stdev"))
+        return lambda params, x: P.normal_logpdf(
+            x, params[mname], params[sname])
+    if tag == "logNormalDistributionModel":
+        # ref: LogNormalDistributionModelParser (mu/sigma or mean/stdev
+        # with meanInRealSpace, offset)
+        offset = _attr(cc, "offset", 0.0, float)
+        mreal = _attr(cc, "meanInRealSpace", False, bool)
+        mu_el = cc.find("mu")
+        mean_el = cc.find("mean")
+        sig_el = cc.find("sigma")
+        sd_el = cc.find("stdev")
+        prec_el = cc.find("precision")
+        loc = ax.param_from(mu_el if mu_el is not None else mean_el)
+        if sig_el is not None:
+            sc = ax.param_from(sig_el)
+            scale_of = lambda params: params[sc]
+        elif sd_el is not None:
+            sc = ax.param_from(sd_el)
+            scale_of = lambda params: params[sc]
+        elif prec_el is not None:
+            sc = ax.param_from(prec_el)
+            scale_of = lambda params: 1.0 / jnp.sqrt(params[sc])
+        else:
+            raise XmlError("logNormalDistributionModel without scale")
+
+        def lp(params, x):
+            s = scale_of(params)
+            m = params[loc]
+            mu = jnp.where(mreal, jnp.log(m) - 0.5 * s * s, m)
+            return P.lognormal_logpdf(x - offset, mu, s)
+
+        return lp
+    if tag == "gammaDistributionModel":
+        # ref: GammaDistributionModelParser (shape + scale|rate, offset)
+        offset = _attr(cc, "offset", 0.0, float)
+        shname = ax.param_from(_child_of(cc, "shape"))
+        rate_el = cc.find("rate")
+        if rate_el is not None:
+            rname = ax.param_from(rate_el)
+            return lambda params, x: P.gamma_logpdf(
+                x - offset, params[shname], 1.0 / params[rname])
+        scname = ax.param_from(_child_of(cc, "scale"))
+        return lambda params, x: P.gamma_logpdf(
+            x - offset, params[shname], params[scname])
+    if tag == "exponentialDistributionModel":
+        mname = ax.param_from(_child_of(cc, "mean"))
+        return lambda params, x: P.exponential_logpdf(x, params[mname])
+    if tag == "inverseGammaDistributionModel":
+        shname = ax.param_from(_child_of(cc, "shape"))
+        scname = ax.param_from(_child_of(cc, "scale"))
+        return lambda params, x: P.inverse_gamma_logpdf(
+            x, params[shname], params[scname])
+    if tag == "betaDistributionModel":
+        aname = ax.param_from(_child_of(cc, "alpha"))
+        bname = ax.param_from(_child_of(cc, "beta"))
+        return lambda params, x: P.beta_logpdf(
+            x, params[aname], params[bname])
+    if tag == "uniformDistributionModel":
+        lname = ax.param_from(_child_of(cc, "lower"))
+        uname = ax.param_from(_child_of(cc, "upper"))
+        return lambda params, x: P.uniform_logpdf(
+            x, params[lname], params[uname])
+    raise Unsupported(f"distribution model <{tag}>")
+
+
+@register("distributionLikelihood")
+def _distribution_likelihood(ax: XmlAnalysis, el):
+    dist_el = el.find("distribution")
+    if dist_el is not None:
+        model_el = next(iter(dist_el))
+    else:
+        cands = [c for c in el if c.tag != "data"]
+        if not cands:
+            raise XmlError("distributionLikelihood without distribution")
+        model_el = cands[0]
+    pdf = _dist_model_logpdf(ax, model_el)
+    data_el = el.find("data")
+    if data_el is None:
+        raise XmlError("distributionLikelihood without data")
+    targets = _targets_of(ax, data_el)
+
+    def fn(params, tree):
+        tot = 0.0
+        for t in targets:
+            tot = tot + _masked_sum(
+                t(params, tree), lambda x: pdf(params, x))
+        return tot
+
+    return LikelihoodFn(fn, None, el.get("id") or "distributionLikelihood")

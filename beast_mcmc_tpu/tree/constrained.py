@@ -245,3 +245,93 @@ class ConstrainedNNIOperator(Operator):
             children=sel(new_tree.children, tree.children),
         )
         return params, out_tree, logh
+
+
+@dataclasses.dataclass
+class ConstrainedUniformSPROperator(Operator):
+    """Uniform subtree prune-regraft over branch-length measure, within
+    polytomy-resolution groups (ref:
+    src/dr/evomodel/bigfasttree/thorney/UniformSubtreePruneRegraft
+    .java:68-190 + ConstrainedTreeOperator.java).
+
+    Prune node i's parent edge; regraft uniformly over the total edge
+    length above h_i on eligible edges (those whose parent node carries
+    the same group label as i's parent), with the parent's NEW height the
+    sampled point. i is drawn uniformly among nodes whose parent AND
+    grandparent share a group (so the reverse attachment edge is always
+    eligible); the pruned tree, i, and the group are identical in the
+    reverse move, so the attachment point comes from the same length
+    measure both ways and the Hastings ratio reduces to the forward/
+    reverse i-pick-set size ratio.
+
+    With all-equal groups this is the reference's unconstrained thorney
+    UniformSubtreePruneRegraft. All steps are O(M) masked vector ops —
+    no per-clade subtree objects (jit-safe at 10^4+ tips).
+    """
+
+    groups: np.ndarray = None
+    modifies_params = ()
+
+    def propose(self, params, tree, key, tuning):
+        groups = jnp.asarray(self.groups)
+        m = tree.parent.shape[0]
+        fdt = tree.heights.dtype
+        h = tree.heights
+        k1, k2 = jax.random.split(key)
+
+        # pick i uniformly where parent+grandparent exist and share a group
+        mask_i = _eligible_nni_mask(tree, groups)
+        n_fwd = jnp.sum(mask_i)
+        gmb = jax.random.gumbel(k1, mask_i.shape)
+        i = jnp.argmax(jnp.where(mask_i, gmb, -jnp.inf)).astype(
+            tree.parent.dtype)
+        ip = tree.parent[i]
+        sib = other_child(tree.children, ip, i)
+        gp = tree.parent[ip]
+        g = groups[ip]
+        hi = h[i]
+
+        # pruned tree: bridge sib -> gp
+        p_parent = tree.parent.at[sib].set(gp)
+        p_children = replace_child(tree.children, gp, ip, sib)
+
+        # eligible segments above h_i on edges whose parent is in group g
+        px = jnp.maximum(p_parent, 0)
+        hp = jnp.where(p_parent < 0, -jnp.inf, h[px])
+        seg_lo = jnp.maximum(hi, h)
+        seg = jnp.maximum(hp - seg_lo, 0.0)
+        eligible = (p_parent >= 0) & (groups[px] == g)
+        # the pruned subtree {i, iP} is not part of the remaining tree
+        # (the reference's traversal never descends into it)
+        eligible = eligible.at[ip].set(False).at[i].set(False)
+        seg = jnp.where(eligible, seg, 0.0)
+        total = jnp.sum(seg)
+
+        # uniform point over the total length measure
+        u = jax.random.uniform(k2, (), fdt) * total
+        cum = jnp.cumsum(seg)
+        j = jnp.argmax(cum > u).astype(ip.dtype)
+        into = u - (cum[j] - seg[j])  # offset inside segment j
+        new_height = seg_lo[j] + into
+        jp = p_parent[j]
+
+        # splice iP into <jP, j> at new_height
+        children = replace_child(p_children, jp, j, ip)
+        children = replace_child(children, ip, sib, j)
+        parent = p_parent.at[ip].set(jp).at[j].set(ip)
+        heights = h.at[ip].set(new_height)
+        valid = (total > 0) & (n_fwd > 0)
+
+        sel = lambda a, b: jnp.where(valid, a, b)
+        out = tree.replace(
+            parent=sel(parent, tree.parent),
+            children=sel(children, tree.children),
+            heights=sel(heights, tree.heights),
+        )
+        # attachment density 1/total cancels (same pruned tree + group in
+        # reverse); only the i-pick-set sizes differ
+        n_rev = jnp.sum(_eligible_nni_mask(out, groups))
+        logq = jnp.log(jnp.maximum(n_fwd, 1).astype(fdt)) - jnp.log(
+            jnp.maximum(n_rev, 1).astype(fdt))
+        logq = jnp.where(valid & (n_rev > 0), logq, NEG_INF)
+        return params, out, logq

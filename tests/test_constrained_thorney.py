@@ -155,3 +155,62 @@ def test_thorney_height_sampling_speed_1000_tips():
     state = run(state)
     assert np.isfinite(float(state.log_posterior))
     assert int(state.op_accept.sum()) > 100
+
+
+def test_constrained_uspr_preserves_clades_and_mixes():
+    """ConstrainedUniformSPROperator (ref: thorney
+    UniformSubtreePruneRegraft.java via ConstrainedTreeOperator): SPR +
+    height resampling inside polytomy groups — constraint clades must
+    stay monophyletic while the topology mixes."""
+    from beast_mcmc_tpu.tree.constrained import ConstrainedUniformSPROperator
+
+    rng = np.random.default_rng(9)
+    newick = _random_constraints_newick(rng, 40)
+    parent, children, heights, root, groups, names = build_constrained_tree(
+        newick, rng
+    )
+    n_tips = len(names)
+    tree0 = make_tree_state(parent, children, heights, root)
+    constraints = set(clades_of_constraints(newick))
+
+    t = np.where(parent >= 0, heights[np.maximum(parent, 0)] - heights, 0.0)
+    muts = jnp.asarray(rng.poisson(t * 100.0 + 0.5))
+
+    def log_post(params, tree):
+        return poisson_branch_length_loglik(
+            muts, tree.parent, tree.heights, params["clock.rate"], 100.0
+        )
+
+    ops = [
+        ConstrainedUniformSPROperator(groups=groups, weight=10.0),
+        UniformNodeHeightOperator(weight=5.0),
+        RootHeightScaleOperator(weight=2.0),
+        ScaleOperator(parameter="clock.rate", weight=2.0),
+    ]
+    step = make_mcmc_step(log_post, ops)
+    state = init_mcmc_state(
+        {"clock.rate": jnp.asarray(1.0)}, tree0, jax.random.PRNGKey(4),
+        ops, log_post,
+    )
+    state, trace = jax.jit(
+        lambda s: run_chain(
+            step, s, 6000, 500,
+            lambda st: {"parent": st.tree.parent,
+                        "children": st.tree.children,
+                        "root": st.tree.root},
+        )
+    )(state)
+    assert np.isfinite(float(state.log_posterior))
+    assert int(state.op_accept[0]) > 10, int(state.op_accept[0])
+
+    topo_ids = set()
+    for k in range(len(trace["root"])):
+        clades = _descendant_sets(
+            np.asarray(trace["parent"][k]), np.asarray(trace["children"][k]),
+            int(trace["root"][k]), n_tips, names,
+        )
+        for c in constraints:
+            if len(c) < n_tips:
+                assert c in clades, f"constraint clade broken: {sorted(c)}"
+        topo_ids.add(frozenset(clades))
+    assert len(topo_ids) > 1, "topology never changed"

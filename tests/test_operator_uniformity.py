@@ -125,6 +125,14 @@ OPERATORS = {
     "gibbs_prune_regraft": GibbsPruneAndRegraftOperator(weight=10.0),
 }
 
+from beast_mcmc_tpu.tree.constrained import ConstrainedUniformSPROperator
+
+# unconstrained limit (all groups equal) of the thorney USPR — changes
+# topology AND the pruned parent's height, so it must preserve the exact
+# labeled-history law on its own too
+OPERATORS["uniform_spr_measure"] = ConstrainedUniformSPROperator(
+    weight=10.0, groups=np.zeros(2 * N_TAXA - 1, dtype=np.int32))
+
 
 @pytest.mark.parametrize("name", sorted(OPERATORS))
 def test_topology_operator_exact_distribution(name):
