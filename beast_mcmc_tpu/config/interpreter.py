@@ -23,10 +23,10 @@ vocabulary raise Unsupported naming the tag — the unregistered-parser
 contract.
 
 Operator-substitution notes (posterior-preserving):
-  - <subtreeJump> runs as SubtreeLeap (a valid move with its own correct
-    Hastings ratio; the stationary distribution is unchanged).
-  - <gmrfBlockUpdateOperator> runs as a scale move on the precision plus
-    a random-walk on the field (same posterior, different mixing).
+  - <gmrfBlockUpdateOperator> runs as the real conditioned-Gaussian
+    block update where wired (see inference/gibbs.py), else a scale
+    move on the precision plus a random-walk on the field (same
+    posterior, different mixing).
 """
 
 from __future__ import annotations
@@ -131,6 +131,9 @@ class LikelihoodFn:
     fn: Callable  # (params, tree) -> scalar
     tree_id: Optional[str] = None
     name: str = ""
+    # names of the sampled data parameters this density scores (used by
+    # gradient/HMC builders to infer target parameters)
+    data_params: Tuple[str, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +171,11 @@ class XmlAnalysis:
         self._rng = np.random.default_rng(seed)
         self.results: Dict[str, Dict[str, np.ndarray]] = {}
         self.assertions: List[Tuple[str, str, float, float, float]] = []
+        # taxon attributes: taxon id -> {attr name: [raw string values]}
+        self._taxon_attrs: Dict[str, Dict[str, List[str]]] = {}
+        # continuous node traits: (tree_id, trait name) -> dict with
+        # param/mask/dim (filled by the treeModel nodeTraits child)
+        self._traits: Dict[Tuple[str, str], Dict] = {}
 
     # -- multi-tree support: ONE tree rides MCMCState.tree; additional
     # gene trees (multilocus/EBSP analyses) live INSIDE the params pytree
@@ -221,6 +229,7 @@ class XmlAnalysis:
                 ),
                 obj.tree_id,
                 obj.name,
+                obj.data_params,
             )
         self._built[key] = obj
         return obj
@@ -268,6 +277,10 @@ class XmlAnalysis:
                 self._run_mcmc(el, full_eval_steps)
             elif el.tag == "traceAnalysis":
                 self._run_trace_analysis(el, tolerance_se)
+            elif el.tag == "assertEqual":
+                # BeastUnitTest-style embedded assertion; the builder
+                # returns a thunk that raises AssertionError on mismatch
+                self.build(el)()
             elif el.tag in ("report", "treeTraceAnalysis", "CSVexport",
                             "VDAnalysis", "marginalLikelihoodAnalysis"):
                 continue  # post-hoc reporting; not part of the assertions
@@ -445,6 +458,19 @@ class XmlAnalysis:
     def _column_of(self, el) -> List[Tuple[str, Callable]]:
         ref_name = el.get("idref")
         el2 = self.deref(el)
+        if el2.tag == "matrixParameter":
+            from beast_mcmc_tpu.config.xml_hmc import matrix_param_of
+
+            mp = matrix_param_of(self, el2)
+            nm = ref_name or el2.get("id") or "matrix"
+            cols = []
+            for i in range(mp.dim):
+                for j in range(len(mp.names)):
+                    cols.append((
+                        f"{nm}{i + 1}{j + 1}",
+                        lambda s, i=i, j=j: mp.fn(s.params)[i, j],
+                    ))
+            return cols
         if el2.tag == "parameter":
             obj = self.build(el2)
             if isinstance(obj, TreeAlias):
@@ -584,11 +610,25 @@ class ParamsTreeOperator:
 
 _BUILDERS: Dict[str, Callable] = {}
 
+# operator-tag extension registry: extension modules (xml_hmc, xml_traits)
+# add operator builders without editing _build_operator's dispatch chain.
+# Builder signature: (ax, el, weight) -> (operator | [operators], tree_id)
+_OP_EXT: Dict[str, Callable] = {}
+
 
 def register(*tags):
     def deco(fn):
         for t in tags:
             _BUILDERS[t] = fn
+        return fn
+
+    return deco
+
+
+def register_operator(*tags):
+    def deco(fn):
+        for t in tags:
+            _OP_EXT[t] = fn
         return fn
 
     return deco
@@ -612,6 +652,12 @@ def _taxa(ax: XmlAnalysis, el):
             v = float(d.get("value"))
             direction = d.get("direction", "backwards")
             height = v if direction == "backwards" else -v
+        # taxon attributes (continuous trait vectors, discrete states;
+        # ref: AttributeParser via TaxonParser — <attr name="X">v ...</attr>)
+        for a in t.findall("attr"):
+            ax._taxon_attrs.setdefault(name, {})[a.get("name")] = (
+                (a.text or "").split()
+            )
         taxa.append((name, height))
     # heights are ages relative to the youngest tip
     if taxa:
@@ -954,11 +1000,19 @@ def _constant_logistic(ax: XmlAnalysis, el):
     aname = ax.param_from(_child_of(el, "ancestralPopulationSize"))
     gname = ax.param_from(_child_of(el, "growthRate"))
     sname = ax.param_from(_child_of(el, "shape"))
+    # the XML <shape> is a TIME; the logistic c is derived with the
+    # required alpha attribute (ref: ConstantLogisticModel.java:106 —
+    # C = (1-alpha) exp(-r shape) / alpha)
+    alpha = _attr(el, "alpha", None, float)
+    if alpha is None:
+        raise Unsupported(
+            "<constantLogistic> without required alpha attribute")
 
     def ll(heights, n_taxa, params):
+        r = params[gname]
+        c = (1.0 - alpha) * jnp.exp(-r * params[sname]) / alpha
         return const_logistic_loglik(
-            heights, n_taxa, params[pname], params[aname], params[gname],
-            params[sname])
+            heights, n_taxa, params[pname], params[aname], r, c)
 
     return Demographic("constantLogistic", {"pop": pname}, ll,
                        sim_pop=float(np.ravel(ax.value_of(pname))[0]))
@@ -1285,6 +1339,39 @@ def _tree_model(ax: XmlAnalysis, el):
             idx = names.index(taxon)
             ax._aliases[p.get("id")] = TreeAlias("leaf_height", tree_id, idx)
             tm.sampled_tips[taxon] = idx
+        elif c.tag == "nodeTraits":
+            # continuous trait matrix over leaf nodes from taxon attrs
+            # (ref: TreeModelParser.java NODE_TRAITS — registers the trait
+            # parameter; values come from <attr name=...> on taxa)
+            tname = c.get("name")
+            d = _attr(c, "traitDimension", 1, int)
+            if not _attr(c, "leafNodes", False, bool):
+                raise Unsupported("nodeTraits without leafNodes=true")
+            p = ax.deref(_child_of(c, "parameter"))
+            pname = p.get("id") or f"{tree_id}.{tname}"
+            vals = np.zeros((len(names), d))
+            mask = np.zeros((len(names), d), bool)
+            for i, nm in enumerate(names):
+                raw = ax._taxon_attrs.get(nm, {}).get(tname)
+                if raw is None:
+                    raise XmlError(
+                        f"taxon {nm!r} has no attr {tname!r} for nodeTraits")
+                if len(raw) != d:
+                    raise XmlError(
+                        f"attr {tname!r} of {nm!r} has {len(raw)} values, "
+                        f"traitDimension={d}")
+                for j, s in enumerate(raw):
+                    if s.upper() in ("NA", "?"):
+                        mask[i, j] = True
+                    else:
+                        vals[i, j] = float(s)
+            ax._params[pname] = Param(name=pname, value=vals.reshape(-1))
+            ax._traits[(tree_id, tname)] = {
+                "param": pname, "dim": d, "missing": mask,
+                "n_tips": len(names),
+            }
+            # building the <parameter id> later must resolve to this param
+            ax._built[id(p)] = ax._params[pname]
     return tm
 
 
@@ -2629,9 +2716,10 @@ def _operators(ax: XmlAnalysis, el):
         op, tid = built
         if isinstance(op, list):
             ops.extend(op)
+            tree_ids.extend([tid] * len(op))
         else:
             ops.append(op)
-        tree_ids.append(tid)
+            tree_ids.append(tid)
     if not ops:
         raise XmlError("<operators> produced no operators")
     return ops, tree_ids
@@ -2660,6 +2748,9 @@ def _build_operator(ax: XmlAnalysis, el):
 
     w = _attr(el, "weight", 1.0, float)
     tag = el.tag
+
+    if tag in _OP_EXT:
+        return _OP_EXT[tag](ax, el, w)
 
     if tag in ("subtreeSlide",):
         kind, _, tid = _op_target(ax, el)
@@ -3005,4 +3096,19 @@ def _distribution_likelihood(ax: XmlAnalysis, el):
                 t(params, tree), lambda x: pdf(params, x))
         return tot
 
-    return LikelihoodFn(fn, None, el.get("id") or "distributionLikelihood")
+    dnames = []
+    for c in data_el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            obj = ax.build(cc)
+            if isinstance(obj, Param):
+                dnames.append(obj.name)
+    return LikelihoodFn(fn, None, el.get("id") or "distributionLikelihood",
+                        tuple(dnames))
+
+
+# ---------------------------------------------------------------------------
+# extension vocabularies (register into _BUILDERS/_OP_EXT on import)
+# ---------------------------------------------------------------------------
+
+from beast_mcmc_tpu.config import xml_hmc as _xml_hmc  # noqa: E402,F401

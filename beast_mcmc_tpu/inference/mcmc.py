@@ -105,7 +105,16 @@ def make_mcmc_step(
                 for name in stale:
                     p = {**p, name: derived[name][0](p)}
                 out = (p, t, logh, acc)
-            return out
+            # dtype-preservation guarantee: proposals must not promote
+            # state leaves (under x64 a Python-float constant inside an
+            # operator would silently lift f32 params/heights to f64 and
+            # break the switch/scan carry); no-op casts are elided by XLA
+            p, t, logh, acc = out
+            p = jax.tree_util.tree_map(
+                lambda n, o: n.astype(o.dtype), p, params)
+            t = jax.tree_util.tree_map(
+                lambda n, o: n.astype(o.dtype), t, tree)
+            return p, t, logh, acc
 
         return branch
 
@@ -120,7 +129,13 @@ def make_mcmc_step(
             state.op_adapt, op_idx,
         )
 
-        new_lp = log_posterior(new_params, new_tree)
+        # carried in the accumulation dtype (f64 under x64) so the chain
+        # scalar does not quantize at the f32 ulp of a large |logL|
+        # (ref self-check contract: MarkovChain.java:55)
+        from beast_mcmc_tpu.utils.accum import accum_dtype
+
+        new_lp = jnp.asarray(log_posterior(new_params, new_tree),
+                             accum_dtype())
         new_lp = jnp.where(jnp.isnan(new_lp), -jnp.inf, new_lp)
 
         # MCMCCriterion.java:64-71 (temperature = 1/(1+dT k) for MC3 chains)
@@ -159,8 +174,9 @@ def make_mcmc_step(
             & (state.step >= adaptation_delay)
         )
         count = state.op_adapt_count[op_idx]
-        denom = jnp.log(count.astype(lp.dtype) + 2.0)
-        delta = (acc_prob - targets[op_idx]) / denom
+        adt = state.op_adapt.dtype
+        denom = jnp.log(count.astype(adt) + 2.0)
+        delta = (acc_prob.astype(adt) - targets[op_idx].astype(adt)) / denom
         op_adapt = state.op_adapt.at[op_idx].add(
             jnp.where(do_adapt, delta, 0.0)
         )
@@ -204,8 +220,10 @@ def init_mcmc_state(
     init_adapt = jnp.asarray([op.initial_adapt() for op in operators], dtype)
     state = init_state(params, tree, key, len(operators), init_adapt, dtype)
     if log_posterior is not None:
+        from beast_mcmc_tpu.utils.accum import accum_dtype
+
         lp = log_posterior(state.params, state.tree)
-        state = state.replace(log_posterior=jnp.asarray(lp, dtype))
+        state = state.replace(log_posterior=jnp.asarray(lp, accum_dtype()))
     return state
 
 
@@ -265,7 +283,8 @@ def full_evaluation_check(
         # a truly from-scratch evaluation also rebuilds any derived cache
         # (so a stale eigendecomposition etc. IS caught, not reused)
         p = apply_derived(derived, s.params) if derived else s.params
-        fresh = log_posterior(p, s.tree)
+        fresh = jnp.asarray(
+            log_posterior(p, s.tree), s.log_posterior.dtype)
         dev = jnp.abs(fresh - s.log_posterior)
         return s.replace(params=p, log_posterior=fresh), dev
 

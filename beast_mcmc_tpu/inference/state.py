@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from beast_mcmc_tpu.tree.topology import TreeState
+from beast_mcmc_tpu.utils.accum import accum_dtype
 
 
 @chex.dataclass(frozen=True)
@@ -53,7 +54,7 @@ def init_state(
     return MCMCState(
         params={k: cast(v) for k, v in params.items()},
         tree=tree,
-        log_posterior=jnp.asarray(-jnp.inf, dtype),
+        log_posterior=jnp.asarray(-jnp.inf, accum_dtype()),
         key=key,
         step=jnp.asarray(0, jnp.int32),
         op_adapt=jnp.asarray(init_adapt, dtype),

@@ -89,13 +89,12 @@ def exponential_growth_loglik(heights, n_taxa: int, pop_size, growth_rate) -> jn
 
 
 def logistic_growth_loglik(heights, n_taxa: int, pop_size, growth_rate, t50) -> jnp.ndarray:
-    """Logistic growth (ref: LogisticGrowth.java, shape via t50):
-    N(t) = N0 (1+c) / (1 + c e^{rt}) with c = exp(-r t50)... parameterized
-    as in the reference: N(t) = N0 * (1+c)/(1 + c*exp(r t)), intensity
-    integral analytic."""
+    """Logistic growth (ref: LogisticGrowth.java:setTime50 —
+    c = 1/(exp(r t50) - 2), which makes N(t50) exactly N0/2):
+    N(t) = N0 (1+c)/(1 + c e^{rt}), intensity integral analytic."""
     n0 = jnp.asarray(pop_size, heights.dtype)
     r = jnp.asarray(growth_rate, heights.dtype)
-    c = jnp.exp(-r * jnp.asarray(t50, heights.dtype))
+    c = 1.0 / (jnp.expm1(r * jnp.asarray(t50, heights.dtype)) - 1.0)
 
     def log_pop(t):
         return jnp.log(n0) + jnp.log1p(c) - jnp.log1p(c * jnp.exp(r * t))
@@ -1028,7 +1027,9 @@ def exponential_logistic_loglik(heights, n_taxa: int, n0, growth_rate,
     fdt = heights.dtype
     n0 = jnp.asarray(n0, fdt)
     r = jnp.asarray(growth_rate, fdt)
-    c = jnp.exp(-r * jnp.asarray(t50, fdt))
+    # ref: ExponentialLogisticModel.java:126 -> LogisticGrowth.setTime50:
+    # c = 1/(exp(r t50) - 2) so that N(t50) = N0/2 exactly
+    c = 1.0 / (jnp.expm1(r * jnp.asarray(t50, fdt)) - 1.0)
     r1 = jnp.asarray(ancestral_rate, fdt)
     tt = jnp.asarray(transition_time, fdt)
 

@@ -308,9 +308,13 @@ def truncated_normal_logpdf(x, mean, stdev, lower=-jnp.inf, upper=jnp.inf):
     s = jnp.asarray(stdev)
     zlo = (lower - mu) / s
     zhi = (upper - mu) / s
-    # log(Phi(zhi) - Phi(zlo)) stably via logcdf/logsf
-    log_mass = jnp.log(
-        jnp.exp(_normal_logcdf(zhi)) - jnp.exp(_normal_logcdf(zlo)))
+    # log(Phi(zhi) - Phi(zlo)) fully in log space: far-tail windows would
+    # underflow exp(logcdf) to 0. log_mass = logcdf(zhi) +
+    # log1p(-exp(logcdf(zlo) - logcdf(zhi))).
+    lc_hi = _normal_logcdf(zhi)
+    lc_lo = _normal_logcdf(zlo)
+    log_mass = lc_hi + jnp.log1p(
+        -jnp.exp(jnp.minimum(lc_lo - lc_hi, -1e-30)))
     lp = (-0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(s)
           - 0.5 * jnp.square((x - mu) / s) - log_mass)
     inside = (x >= lower) & (x <= upper)

@@ -242,6 +242,7 @@ def ascertained_loglik(
     renormalized by the probability of being ascertainable
     (logP - log(1 - sum P_excluded); ref: AscertainedSitePatterns.java:47
     getAscertainmentCorrection)."""
+    from beast_mcmc_tpu.utils.accum import stable_dot
+
     corr = ascertainment_correction(site_logl_excluded)
-    return jnp.dot(pattern_weights, site_logl_data - corr,
-                   preferred_element_type=site_logl_data.dtype)
+    return stable_dot(pattern_weights, site_logl_data - corr)

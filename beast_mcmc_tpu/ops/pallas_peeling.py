@@ -143,18 +143,22 @@ def _peel_forward_pallas(tip_partials, children, order, p_matrices, freqs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
-    res = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(
-        children.reshape(-1).astype(jnp.int32),
-        order.astype(jnp.int32),
-        tip_partials.astype(dt),
-        pmats_cm,
-        wcs.astype(dt),
-    )
+    # Mosaic requires i32 index-map scalars; under x64 (the accumulate-high
+    # deployment config, utils/accum.py) index maps would trace as i64 and
+    # fail to legalize — scope x64 off around the kernel trace only.
+    with jax.enable_x64(False):
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            children.reshape(-1).astype(jnp.int32),
+            order.astype(jnp.int32),
+            tip_partials.astype(dt),
+            pmats_cm,
+            wcs.astype(dt),
+        )
     if not want_post:
         return res[0][0, :p], None
     out, post_cm = res
@@ -210,12 +214,13 @@ def peel_loglikelihood_pallas(
     tip_partials, children, order, root, p_matrices, freqs,
     category_weights, pattern_weights, interpret=False,
 ):
+    from beast_mcmc_tpu.utils.accum import stable_dot
+
     site_logl = peel_site_loglik_pallas(
         tip_partials, children, order, root, p_matrices, freqs,
         category_weights, interpret,
     )
-    return jnp.dot(pattern_weights, site_logl,
-                   preferred_element_type=site_logl.dtype)
+    return stable_dot(pattern_weights, site_logl)
 
 
 def peel_loglikelihood_pallas_auto(

@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from beast_mcmc_tpu.ops import peeling as _jax_peeling
+from beast_mcmc_tpu.utils.accum import stable_dot
 
 
 def _matvec(pm_cols, child, s):
@@ -324,21 +325,23 @@ def _stream_forward(tip_partials, children, order, p_matrices, freqs, cat_w,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out, post_pos = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, p_padded), dt),
-            jax.ShapeDtypeStruct((n_int, c, s, p_padded), dt),
-        ],
-        interpret=interpret,
-    )(
-        lr_ids.reshape(-1),
-        lr_pos.reshape(-1),
-        tip_partials.astype(dt),
-        pm_flat,
-        wcs,
-    )
+    # i32 index maps under x64: see the matching scope in pallas_peeling
+    with jax.enable_x64(False):
+        out, post_pos = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, p_padded), dt),
+                jax.ShapeDtypeStruct((n_int, c, s, p_padded), dt),
+            ],
+            interpret=interpret,
+        )(
+            lr_ids.reshape(-1),
+            lr_pos.reshape(-1),
+            tip_partials.astype(dt),
+            pm_flat,
+            wcs,
+        )
     return out[0, :p], post_pos[..., :p]
 
 
@@ -386,5 +389,4 @@ def peel_loglikelihood_stream(
         tip_partials, children, order, root, p_matrices, freqs,
         category_weights, interpret,
     )
-    return jnp.dot(pattern_weights, site_logl,
-                   preferred_element_type=site_logl.dtype)
+    return stable_dot(pattern_weights, site_logl)

@@ -187,13 +187,17 @@ def peel_loglikelihood(
     category_weights,
     pattern_weights,
 ) -> jnp.ndarray:
-    """Total log-likelihood: weighted sum of per-pattern logL in f64-ish
-    accumulation (the role of calculateRootLogLikelihoods + pattern-weight
-    reduction, BeagleDataLikelihoodDelegate.java:934)."""
+    """Total log-likelihood: weighted sum of per-pattern logL accumulated
+    high — f64 under x64, compensated f32 otherwise (the role of
+    calculateRootLogLikelihoods + pattern-weight reduction,
+    BeagleDataLikelihoodDelegate.java:934; accumulation precision per the
+    0.1 self-check contract, MarkovChain.java:55)."""
+    from beast_mcmc_tpu.utils.accum import stable_dot
+
     site_logl = peel_site_loglik(
         tip_partials, children, order, root, p_matrices, freqs, category_weights
     )
-    return jnp.dot(pattern_weights, site_logl, preferred_element_type=site_logl.dtype)
+    return stable_dot(pattern_weights, site_logl)
 
 
 def pad_patterns(tip_partials: jnp.ndarray, pattern_weights: jnp.ndarray, multiple: int = 128):

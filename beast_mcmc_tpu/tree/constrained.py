@@ -220,7 +220,8 @@ class ConstrainedNNIOperator(Operator):
         mask = _eligible_nni_mask(tree, groups)
         n_fwd = jnp.sum(mask)
         g = jax.random.gumbel(key, mask.shape)
-        i = jnp.argmax(jnp.where(mask, g, -jnp.inf))
+        i = jnp.argmax(jnp.where(mask, g, -jnp.inf)).astype(
+            tree.parent.dtype)
         ip = tree.parent[i]
         igp = tree.parent[ip]
         uncle = other_child(tree.children, igp, ip)

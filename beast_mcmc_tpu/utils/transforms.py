@@ -288,25 +288,34 @@ class ArrayTransform(Transform):
 
     blocks: Sequence[Tuple[Transform, int]] = ()
 
-    def _split(self, v):
+    @staticmethod
+    def _y_size(t: Transform, n: int) -> int:
+        # dimension-changing transforms map n constrained coords to a
+        # different unconstrained count (simplex: k -> k-1)
+        if isinstance(t, SimplexTransform):
+            return n - 1
+        return n
+
+    def _split(self, v, space: str):
         out, i = [], 0
         for t, n in self.blocks:
-            out.append(v[i:i + n])
-            i += n
+            m = n if space == "x" else self._y_size(t, n)
+            out.append(v[i:i + m])
+            i += m
         return out
 
     def forward(self, x):
         return jnp.concatenate(
             [jnp.atleast_1d(t.forward(p))
-             for (t, _), p in zip(self.blocks, self._split(x))])
+             for (t, _), p in zip(self.blocks, self._split(x, "x"))])
 
     def inverse(self, y):
         return jnp.concatenate(
             [jnp.atleast_1d(t.inverse(p))
-             for (t, _), p in zip(self.blocks, self._split(y))])
+             for (t, _), p in zip(self.blocks, self._split(y, "y"))])
 
     def log_det_jacobian_inverse(self, y):
-        parts = self._split(y)
+        parts = self._split(y, "y")
         return sum(
             t.log_det_jacobian_inverse(p)
             for (t, _), p in zip(self.blocks, parts))

@@ -36,6 +36,11 @@ def _setup():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # accumulate high: hot-path tensors stay f32 (every benchmark passes
+    # dtype=float32 explicitly) but log-density reductions and the carried
+    # chain posterior run f64 so the reference's 0.1 full-evaluation
+    # self-check holds at Makona scale (utils/accum.py)
+    jax.config.update("jax_enable_x64", True)
     return jax
 
 

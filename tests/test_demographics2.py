@@ -149,8 +149,9 @@ def test_exponential_logistic():
     """ref: ExponentialLogistic.java:getDemographic (logistic recent,
     exponential decline past the transition; the reference integrates
     numerically too)."""
-    n0, r, t50, r1, tt = 2.5, 1.3, 0.5, 0.6, 1.0
-    c = np.exp(-r * t50)
+    n0, r, t50, r1, tt = 2.5, 1.3, 0.9, 0.6, 1.0
+    # ref setTime50 mapping: c = 1/(exp(r t50) - 2); N(t50) = N0/2 exactly
+    c = 1.0 / (np.exp(r * t50) - 2.0)
 
     def logistic(t):
         return n0 * (1 + c) / (1 + c * np.exp(r * t))

@@ -113,7 +113,7 @@ DEMOGRAPHICS = {
            </exponentialConstant>""",
         '<exponentialConstant idref="demo"/>'),
     "constantLogistic": (
-        """<constantLogistic id="demo" units="substitutions">
+        """<constantLogistic id="demo" units="substitutions" alpha="0.5">
              <populationSize><parameter id="demo.pop" value="0.1"/></populationSize>
              <ancestralPopulationSize><parameter id="demo.anc" value="0.02"/></ancestralPopulationSize>
              <growthRate><parameter id="demo.rate" value="3.0"/></growthRate>
@@ -147,7 +147,7 @@ DEMOGRAPHICS = {
         """<exponentialLogistic id="demo" units="substitutions">
              <populationSize><parameter id="demo.pop" value="0.1"/></populationSize>
              <logisticGrowthRate><parameter id="demo.lr" value="3.0"/></logisticGrowthRate>
-             <logisticShape><parameter id="demo.ls" value="0.02"/></logisticShape>
+             <logisticShape><parameter id="demo.ls" value="0.3"/></logisticShape>
              <exponentialGrowthRate><parameter id="demo.er" value="0.5"/></exponentialGrowthRate>
              <transitionTime><parameter id="demo.tt" value="0.05"/></transitionTime>
            </exponentialLogistic>""",
