@@ -172,7 +172,18 @@ class XmlAnalysis:
         self.results: Dict[str, Dict[str, np.ndarray]] = {}
         self.assertions: List[Tuple[str, str, float, float, float]] = []
         # taxon attributes: taxon id -> {attr name: [raw string values]}
+        # collected EAGERLY over the whole document (a treeModel built from
+        # <newick> never touches <taxa>, yet its nodeTraits still read
+        # taxon attrs — ref: AttributeParser via TaxonParser)
         self._taxon_attrs: Dict[str, Dict[str, List[str]]] = {}
+        for t in self.root.iter("taxon"):
+            name = t.get("id")
+            if name is None:
+                continue
+            for a in t.findall("attr"):
+                self._taxon_attrs.setdefault(name, {})[a.get("name")] = (
+                    (a.text or "").split()
+                )
         # continuous node traits: (tree_id, trait name) -> dict with
         # param/mask/dim (filled by the treeModel nodeTraits child)
         self._traits: Dict[Tuple[str, str], Dict] = {}
@@ -504,6 +515,16 @@ class XmlAnalysis:
             for n in obj.names:
                 cols.append((n, lambda s, n=n: jnp.reshape(s.params[n], ())))
             return cols
+        if hasattr(obj, "columns") and obj.columns is not None:
+            return list(obj.columns)  # MultiColumn (traitLogger etc.)
+        if hasattr(obj, "fn") and hasattr(obj, "dim") and hasattr(
+                obj, "names"):  # MatrixParam view (compoundSymmetric etc.)
+            nm2 = ref_name or el2.get("id") or "matrix"
+            return [
+                (f"{nm2}{i + 1}{j + 1}",
+                 lambda s, i=i, j=j, o=obj: o.fn(s.params)[i, j])
+                for i in range(obj.dim) for j in range(obj.dim)
+            ]
         if callable(obj):  # statistics
             return [(nm, obj)]
         raise Unsupported(f"cannot log <{el2.tag}>")
@@ -1343,19 +1364,44 @@ def _tree_model(ax: XmlAnalysis, el):
             # continuous trait matrix over leaf nodes from taxon attrs
             # (ref: TreeModelParser.java NODE_TRAITS — registers the trait
             # parameter; values come from <attr name=...> on taxa)
-            tname = c.get("name")
+            tname = c.get("name") or "trait"
             d = _attr(c, "traitDimension", 1, int)
-            if not _attr(c, "leafNodes", False, bool):
-                raise Unsupported("nodeTraits without leafNodes=true")
+            leaf = _attr(c, "leafNodes", False, bool)
+            internal = _attr(c, "internalNodes", False, bool)
+            root_too = _attr(c, "rootNode", False, bool)
             p = ax.deref(_child_of(c, "parameter"))
             pname = p.get("id") or f"{tree_id}.{tname}"
+            init = None
+            if c.get("initialValue"):
+                init = np.array(
+                    [float(x) for x in c.get("initialValue").split()])
+            if not leaf:
+                # internal/root trait storage: a free parameter, one row
+                # per selected node (no tip-data binding) — ref:
+                # TreeModelParser.parseNodeTraits + createNodeTraitsParameter
+                n_sel = (len(names) - 1 if internal else 0) + (
+                    1 if root_too else 0)
+                vals0 = np.zeros(max(n_sel, 1) * d)
+                if init is not None:
+                    vals0 = np.resize(init, vals0.shape)
+                ax._params[pname] = Param(name=pname, value=vals0)
+                ax._built[id(p)] = ax._params[pname]
+                continue
             vals = np.zeros((len(names), d))
             mask = np.zeros((len(names), d), bool)
             for i, nm in enumerate(names):
                 raw = ax._taxon_attrs.get(nm, {}).get(tname)
+                if raw is None and "." in tname:
+                    # likelihood-prefixed trait names resolve to the bare
+                    # attr (ref: TreeTraitParserUtilities "fcd.X" -> "X")
+                    raw = ax._taxon_attrs.get(nm, {}).get(
+                        tname.split(".")[-1])
                 if raw is None:
-                    raise XmlError(
-                        f"taxon {nm!r} has no attr {tname!r} for nodeTraits")
+                    # no taxon attribute: latent/parameter-initialized
+                    # trait (ref: createNodeTraitsParameter initialValues)
+                    if init is not None:
+                        vals[i] = np.resize(init, d)
+                    continue
                 if len(raw) != d:
                     raise XmlError(
                         f"attr {tname!r} of {nm!r} has {len(raw)} values, "
@@ -1980,7 +2026,7 @@ def _tree_likelihood(ax: XmlAnalysis, el):
         cc = ax.deref(c)
         if cc.tag in ("patterns", "mergePatterns"):
             patterns = ax.build(cc)
-        elif cc.tag == "treeModel":
+        elif cc.tag in ("treeModel", "starTreeModel"):
             tm = ax.build(cc)
         elif cc.tag == "siteModel":
             site = ax.build(cc)
@@ -3112,3 +3158,6 @@ def _distribution_likelihood(ax: XmlAnalysis, el):
 # ---------------------------------------------------------------------------
 
 from beast_mcmc_tpu.config import xml_hmc as _xml_hmc  # noqa: E402,F401
+from beast_mcmc_tpu.config import xml_traits as _xml_traits  # noqa: E402,F401
+from beast_mcmc_tpu.config import xml_assert as _xml_assert  # noqa: E402,F401
+from beast_mcmc_tpu.config import xml_ext as _xml_ext  # noqa: E402,F401

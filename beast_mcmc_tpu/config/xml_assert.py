@@ -1,0 +1,223 @@
+"""<assertEqual> — the reference's embedded unit-test element (ref:
+src/dr/xml/unittest/BeastUnitTest.java). The `actual` child is a
+Reportable whose report string is regex-extracted (group 1) and compared
+numerically against `expected` under absolute/relative tolerance.
+
+Report strings here reproduce the reference's FORMATS (the lines the
+files' regexes extract) with values computed from this framework's
+kernels: likelihood reports carry the log-density; gradient reports carry
+`analytic:` (jax.grad of the built density — exact) and `numeric :`
+(central finite differences) lines, matching
+GradientWrtParameterProvider.makeReport (ref:
+src/dr/inference/hmc/GradientWrtParameterProvider.java:227-258)."""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.config.interpreter import (
+    LikelihoodFn,
+    Unsupported,
+    XmlAnalysis,
+    XmlError,
+    _attr,
+    register,
+)
+
+
+# ---------------------------------------------------------------------------
+# initial-state evaluation helpers
+# ---------------------------------------------------------------------------
+
+
+def initial_eval_state(ax: XmlAnalysis):
+    """(params0, tree0) at the document's initial values — the state the
+    reference's parse-time Reportables see."""
+    from beast_mcmc_tpu.tree.topology import make_tree_state
+
+    params0 = {
+        p.name: jnp.asarray(
+            p.value, jnp.int32 if p.integer else ax.dtype)
+        for p in ax._params.values()
+    }
+    tree0 = None
+    for tm in ax._trees.values():
+        if tree0 is None:
+            tree0 = make_tree_state(
+                tm.parent, tm.children, tm.heights, tm.root, ax.dtype)
+        else:
+            params0[ax.tree_key(tm.tree_id, "parent")] = jnp.asarray(
+                tm.parent, jnp.int32)
+            params0[ax.tree_key(tm.tree_id, "children")] = jnp.asarray(
+                tm.children, jnp.int32)
+            params0[ax.tree_key(tm.tree_id, "heights")] = jnp.asarray(
+                tm.heights, ax.dtype)
+            params0[ax.tree_key(tm.tree_id, "root")] = jnp.asarray(
+                tm.root, jnp.int32)
+    if tree0 is None:
+        tree0 = make_tree_state(
+            np.array([2, 2, -1]), np.array([[-1, -1], [-1, -1], [0, 1]]),
+            np.array([0.0, 0.0, 1.0]), 2, ax.dtype)
+    return params0, tree0
+
+
+def _resolving(ax, lik: LikelihoodFn):
+    """Evaluate lik against the initial state with multi-tree binding
+    treated as 'all trees ride params except the first'."""
+    params0, tree0 = initial_eval_state(ax)
+    return float(lik.fn(params0, tree0))
+
+
+def _vec(x) -> str:
+    """The reference's dr.math.matrixAlgebra.Vector format."""
+    return "[ " + ", ".join(f"{v}" for v in np.ravel(x)) + " ]"
+
+
+def gradient_report(ax: XmlAnalysis, spec) -> str:
+    """analytic (jax.grad) + numeric (central differences) gradient of
+    the spec's likelihood sum wrt its target parameters."""
+    names = spec.target_names()
+    if not names:
+        raise Unsupported("gradient without resolvable target parameters")
+    params0, tree0 = initial_eval_state(ax)
+
+    def density(vals):
+        p = dict(params0)
+        for n, v in zip(names, vals):
+            p[n] = jnp.reshape(v, params0[n].shape)
+        return sum(lik.fn(p, tree0) for lik in spec.likelihoods)
+
+    vals0 = [params0[n] for n in names]
+    analytic = jax.grad(lambda vs: density(vs))(vals0)
+    flat_a = np.concatenate([np.ravel(np.asarray(a)) for a in analytic])
+
+    # central differences on the flattened vector
+    flat0 = np.concatenate([np.ravel(np.asarray(v)) for v in vals0])
+    sizes = [int(np.asarray(v).size) for v in vals0]
+
+    def unflat(x):
+        out, off = [], 0
+        for n, sz in zip(names, sizes):
+            out.append(jnp.asarray(x[off:off + sz]))
+            off += sz
+        return out
+
+    f = jax.jit(lambda vs: density(vs))
+    h = 1e-5
+    numeric = np.zeros_like(flat0)
+    for i in range(flat0.size):
+        xp = flat0.copy()
+        xm = flat0.copy()
+        xp[i] += h
+        xm[i] -= h
+        numeric[i] = (float(f(unflat(xp))) - float(f(unflat(xm)))) / (2 * h)
+
+    return (f"Gradient\nanalytic: {_vec(flat_a)}\n"
+            f"numeric : {_vec(numeric)}\n"
+            f"gradient: {' '.join(str(v) for v in flat_a)}\n")
+
+
+def report_of(ax: XmlAnalysis, el) -> str:
+    """The report string of one `actual` child element."""
+    el = ax.deref(el)
+    tag = el.tag
+    if tag in ("report", "cachedReport"):
+        parts: List[str] = [(el.text or "")]
+        for c in el:
+            parts.append(report_of(ax, c))
+            parts.append(c.tail or "")
+        return "".join(parts)
+    obj = ax.build(el)
+    if hasattr(obj, "report"):
+        return obj.report(ax)
+    if isinstance(obj, LikelihoodFn):
+        v = _resolving(ax, obj)
+        # covers the corpus regexes: the class-paren form and a bare line
+        return (f"dr.evomodel.treedatalikelihood.TreeDataLikelihood({v})\n"
+                f"logDatumLikelihood: {v}\n{v}\n")
+    from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+    if isinstance(obj, GradientSpec):
+        return gradient_report(ax, obj)
+    if isinstance(obj, (int, float)):
+        return f"{obj}\n"
+    raise Unsupported(f"no report for <{tag}>")
+
+
+# ---------------------------------------------------------------------------
+# the assertEqual element
+# ---------------------------------------------------------------------------
+
+
+def _parse_array(s: str, strip: str, indices=None) -> np.ndarray:
+    s = s.replace(",", " ")
+    if strip:
+        s = re.sub("[" + strip + "]", " ", s)
+    toks = s.split()
+    vals = np.array([float(t) for t in toks])
+    if indices is not None:
+        vals = vals[np.asarray(indices)]
+    return vals
+
+
+@register("assertEqual")
+def _assert_equal(ax: XmlAnalysis, el):
+    """Returns a thunk executed by XmlAnalysis.run() in document order
+    (the reference executes at parse time)."""
+
+    def thunk():
+        msg_el = el.find("message")
+        message = (" ".join((msg_el.text or "").split())
+                   if msg_el is not None else "")
+        exp_el = el.find("expected")
+        act_el = el.find("actual")
+        if exp_el is None or act_el is None:
+            raise XmlError("assertEqual needs <actual> and <expected>")
+        if exp_el.get("checkpointFileName"):
+            raise Unsupported("assertEqual expected from checkpoint file")
+        expected = "".join(exp_el.itertext())
+
+        raw = report_of(ax, next(iter(act_el))
+                        if len(act_el) else act_el)
+        if not len(act_el):
+            raw = "".join(act_el.itertext())
+        regex = act_el.get("regex")
+        if regex:
+            mt = re.search(regex, raw)
+            if mt is None:
+                raise AssertionError(
+                    f"assertEqual {message!r}: regex {regex!r} missing in "
+                    f"report:\n{raw[:400]}")
+            raw = mt.group(1)
+
+        strip = el.get("charactersToStrip", ",")
+        equal_mode = _attr(el, "equal", True, bool)
+        indices = None
+        if el.get("actualIndices"):
+            indices = [int(x) for x in
+                       el.get("actualIndices").replace(",", " ").split()]
+        if el.get("tolerance") is not None:
+            tol = float(el.get("tolerance"))
+            rel = el.get("toleranceType", "absolute").lower() == "relative"
+            lhs = _parse_array(raw, strip, indices)
+            rhs = _parse_array(expected, strip)
+            if lhs.shape != rhs.shape:
+                ok = False
+            else:
+                t = np.abs(tol * rhs) if rel else tol
+                ok = bool(np.all(np.abs(lhs - rhs) < t))
+        else:
+            ok = raw.strip() == expected.strip()
+        if ok != equal_mode:
+            raise AssertionError(
+                f"assert {message}: '{raw.strip()[:200]}' "
+                f"{'!=' if equal_mode else '=='} "
+                f"'{expected.strip()[:200]}'")
+
+    return thunk

@@ -1,0 +1,458 @@
+"""XML vocabulary extensions: the remaining high-frequency TestXML tags.
+
+Registered here (reference parser cited per builder):
+  compoundLikelihood, LKJCorrelationPrior, gmrfSkyGridLikelihood,
+  gmrfSkyrideGradient, ancestralTreeLikelihood, markovJumpsTreeLikelihood,
+  tree (SimpleTreeParser), halfNormalPrior, maskedParameter,
+  empiricalDistributionLikelihood, orderedLatentLiabilityLikelihood.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.config.interpreter import (
+    LikelihoodFn,
+    Param,
+    Unsupported,
+    XmlAnalysis,
+    XmlError,
+    _attr,
+    _child_of,
+    _tree_likelihood,
+    register,
+)
+
+
+# ---------------------------------------------------------------------------
+# compoundLikelihood — sum of child likelihoods
+# ---------------------------------------------------------------------------
+
+
+@register("compoundLikelihood")
+def _compound_likelihood(ax: XmlAnalysis, el):
+    """ref: CompoundLikelihoodParser.java (threads attr is an execution
+    hint only; XLA fuses the sum)."""
+    liks: List[LikelihoodFn] = []
+    for c in el:
+        obj = ax.build(c)
+        if isinstance(obj, LikelihoodFn):
+            liks.append(obj)
+    if not liks:
+        raise XmlError("<compoundLikelihood> with no likelihood children")
+    tree_id = next((l.tree_id for l in liks if l.tree_id), None)
+    data = tuple(n for l in liks for n in l.data_params)
+
+    def fn(params, tree):
+        return sum(l.fn(params, tree) for l in liks)
+
+    return LikelihoodFn(fn, tree_id, el.get("id") or "compound", data)
+
+
+# ---------------------------------------------------------------------------
+# LKJ correlation prior
+# ---------------------------------------------------------------------------
+
+
+def _lkj_log_norm(d: int, shape: float) -> float:
+    """Lewandowski-Kurowicka-Joe normalization (ref:
+    AbstractLKJDistribution.computeLogNormalizationConstant)."""
+    from scipy.special import gammaln
+
+    if shape == 1.0:
+        res = 0.0
+        for k in range(1, (d - 1) // 2 + 1):
+            res -= gammaln(2.0 * k)
+        if d % 2 == 1:
+            res -= (0.25 * (d * d - 1) * np.log(np.pi)
+                    - 0.25 * (d - 1) ** 2 * np.log(2.0)
+                    - (d - 1) * gammaln(0.5 * (d + 1)))
+        else:
+            res -= (0.25 * d * (d - 2) * np.log(np.pi)
+                    + 0.25 * (3 * d * d - 4 * d) * np.log(2.0)
+                    + d * gammaln(0.5 * d)
+                    - (d - 1) * gammaln(d))
+        return float(res)
+    res = (d - 1) * gammaln(shape + 0.5 * (d - 1))
+    for k in range(1, d):
+        res -= 0.5 * k * np.log(np.pi) + gammaln(shape + 0.5 * (d - 1 - k))
+    return float(res)
+
+
+def _corr_from_upper(x, d: int):
+    """Symmetric correlation matrix from the row-major upper triangle."""
+    iu = np.triu_indices(d, k=1)
+    r = jnp.eye(d, dtype=x.dtype)
+    r = r.at[iu].set(x)
+    return r + r.T - jnp.eye(d, dtype=x.dtype)
+
+
+def _chol_from_upper(x, d: int):
+    """Upper-triangular L with unit-norm columns from the free
+    off-diagonal entries (ref: WrappedUpperTriangularMatrix.fillDiagonal:
+    L[j,j] = sqrt(1 - sum_i<j L[i,j]^2), R = L^T L)."""
+    iu = np.triu_indices(d, k=1)
+    l = jnp.zeros((d, d), dtype=x.dtype).at[iu].set(x)
+    col_ss = jnp.sum(l * l, axis=0)
+    diag = jnp.sqrt(jnp.maximum(1.0 - col_ss, 0.0))
+    return l + jnp.diag(diag)
+
+
+@register("LKJCorrelationPrior")
+def _lkj_prior(ax: XmlAnalysis, el):
+    """ref: MultivariateDistributionLikelihood.java:74 (LKJ_PRIOR) ->
+    LKJCorrelationDistribution / LKJCholeskyCorrelationDistribution.
+    With cholesky=true (default) the data vector holds the free upper
+    off-diagonal entries of the unit-column Cholesky factor."""
+    shape = _attr(el, "shapeParameter", 1.0, float)
+    d = _attr(el, "dimension", None, int)
+    data_el = el.find("data")
+    if data_el is None:
+        raise XmlError("LKJCorrelationPrior without <data>")
+    pname = ax.param_from(data_el)
+    n_free = int(np.ravel(ax.value_of(pname)).size)
+    if d is None:
+        d = int(round(0.5 * (1 + np.sqrt(1 + 8 * n_free))))
+    if n_free != d * (d - 1) // 2:
+        raise XmlError(
+            f"LKJ data has {n_free} entries, need {d * (d - 1) // 2}")
+    cholesky = _attr(el, "cholesky", True, bool)
+    log_norm = _lkj_log_norm(d, shape)
+
+    if cholesky:
+        def fn(params, tree):
+            x = jnp.ravel(params[pname])
+            l = _chol_from_upper(x, d)
+            diag = jnp.diagonal(l)
+            # density on the Cholesky factor (Stan manual p. 558):
+            # sum_{i=1}^{d-1} (d - i - 1 + 2 shape - 2) log L[i,i]
+            i = jnp.arange(1, d)
+            terms = (d - i - 1 + 2.0 * shape - 2.0) * jnp.log(diag[1:])
+            lp = jnp.sum(terms) + log_norm
+            return jnp.where(jnp.all(diag > 0), lp, -jnp.inf)
+    else:
+        def fn(params, tree):
+            x = jnp.ravel(params[pname])
+            r = _corr_from_upper(x, d)
+            sign, logdet = jnp.linalg.slogdet(r)
+            ok = (sign > 0) & jnp.all(jnp.abs(x) < 1.0)
+            lp = (shape - 1.0) * logdet + log_norm
+            return jnp.where(ok, lp, -jnp.inf)
+
+    return LikelihoodFn(fn, None, el.get("id") or "lkjPrior", (pname,))
+
+
+@register("sphericalBetaPrior")
+def _spherical_beta_prior(ax: XmlAnalysis, el):
+    """ref: MultivariateDistributionLikelihood SPHERICAL_BETA_PRIOR ->
+    SphericalBetaDistribution: rows x_i on the unit ball, density
+    prod (1 - |x_i|^2)^(shape-1) with the Beta normalizer."""
+    shape = _attr(el, "shapeParameter", 1.0, float)
+    dim = _attr(el, "dimension", None, int)
+    data_el = el.find("data")
+    if data_el is None:
+        raise XmlError("sphericalBetaPrior without <data>")
+    pname = ax.param_from(data_el)
+    n = int(np.ravel(ax.value_of(pname)).size)
+    d = dim or n
+
+    def fn(params, tree):
+        x = jnp.reshape(params[pname], (-1, d))
+        ss = jnp.sum(x * x, axis=-1)
+        lp = jnp.sum((shape - 1.0) * jnp.log1p(-jnp.minimum(ss, 1.0)))
+        return jnp.where(jnp.all(ss < 1.0), lp, -jnp.inf)
+
+    return LikelihoodFn(fn, None, el.get("id") or "sphericalBeta", (pname,))
+
+
+# ---------------------------------------------------------------------------
+# skygrid
+# ---------------------------------------------------------------------------
+
+
+@register("gmrfSkyGridLikelihood", "skyGridLikelihood",
+          "skyGridPopSizeLikelihood")
+def _skygrid_likelihood(ax: XmlAnalysis, el):
+    """ref: GMRFSkyrideLikelihoodParser (SKYGRID_LIKELIHOOD branch) —
+    piecewise-constant log-N on a fixed grid + RW1 GMRF prior."""
+    from beast_mcmc_tpu.models.coalescent import (
+        gmrf_log_prior,
+        skygrid_loglik,
+    )
+
+    pops = ax.param_from(_child_of(el, "populationSizes"))
+    prec = ax.param_from(_child_of(el, "precisionParameter"))
+    k = int(np.ravel(ax.value_of(pops)).size)
+    ngp = el.find("numGridPoints")
+    cut = el.find("cutOff")
+    if ngp is not None and cut is not None:
+        n_grid = int(float(np.ravel(
+            ax.value_of(ax.param_from(ngp)))[0]))
+        cutoff = float(np.ravel(ax.value_of(ax.param_from(cut)))[0])
+        cuts = np.linspace(cutoff / n_grid, cutoff, n_grid)
+    else:
+        gp = el.find("gridPoints")
+        if gp is None:
+            raise XmlError("skygrid needs numGridPoints+cutOff or gridPoints")
+        cuts = np.ravel(ax.value_of(ax.param_from(gp)))
+    if len(cuts) != k - 1:
+        raise XmlError(f"skygrid: {k} cells but {len(cuts)} cut points")
+
+    trees = []
+    pt = el.find("populationTree")
+    for t in (pt if pt is not None else ()):
+        trees.append(ax.build(ax.deref(t)))
+    if not trees:
+        raise XmlError("skygrid without populationTree")
+    cuts_j = jnp.asarray(cuts)
+
+    def fn(params, tree):
+        gamma = jnp.ravel(params[pops])
+        ll = jnp.asarray(0.0, tree.heights.dtype)
+        for tm in trees:
+            tr = ax.resolve_tree(tm.tree_id, params, tree)
+            ll = ll + skygrid_loglik(
+                tr.heights, len(tm.taxa), gamma,
+                cuts_j.astype(tr.heights.dtype))
+        return ll + gmrf_log_prior(gamma, jnp.ravel(params[prec])[0])
+
+    return LikelihoodFn(fn, trees[0].tree_id, el.get("id") or "skygrid")
+
+
+@dataclasses.dataclass
+class SkygridGradient:
+    """<gmrfSkyrideGradient> — reportable gradient of the skygrid
+    density wrt log-pops or precision (ref: GMRFGradientParser)."""
+
+    lik: LikelihoodFn = None
+    wrt: str = ""
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_assert import (
+            gradient_report,
+        )
+        from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+        spec = GradientSpec((self.wrt,), (self.lik,))
+        return gradient_report(ax, spec)
+
+
+@register("gmrfSkyrideGradient")
+def _skygrid_gradient(ax: XmlAnalysis, el):
+    wrt_attr = el.get("wrtParameter", "logPopulationSizes")
+    lik = None
+    inner_el = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("gmrfSkyGridLikelihood", "gmrfSkyrideLikelihood",
+                      "skyGridLikelihood"):
+            inner_el = cc
+            lik = ax.build(cc)
+    if lik is None:
+        raise XmlError("gmrfSkyrideGradient without skygrid likelihood")
+    if wrt_attr.lower().startswith("prec"):
+        wrt = ax.param_from(_child_of(inner_el, "precisionParameter"))
+    else:
+        wrt = ax.param_from(_child_of(inner_el, "populationSizes"))
+    return SkygridGradient(lik, wrt)
+
+
+# ---------------------------------------------------------------------------
+# ancestral-state + Markov-jump tree likelihoods
+# ---------------------------------------------------------------------------
+
+
+@register("ancestralTreeLikelihood", "markovJumpsTreeLikelihood")
+def _ancestral_tree_likelihood(ax: XmlAnalysis, el):
+    """ref: AncestralStateTreeLikelihoodParser /
+    MarkovJumpsTreeLikelihoodParser. The tip-data likelihood is the
+    plain peeled likelihood; the ancestral sampling / jump counting are
+    POSTERIOR ANNOTATIONS (logged per tree sample), carried on the
+    analysis for the logTree builder (ops/ancestral.py,
+    ops/markov_jumps.py kernels)."""
+    lik = _tree_likelihood(ax, el)
+    ax._ancestral_liks = getattr(ax, "_ancestral_liks", {})
+    ax._ancestral_liks[el.get("id") or lik.name] = {
+        "lik": lik,
+        "tag": el.get("tagName") or el.get("stateTagName")
+        or (el.get("id") or lik.name) + ".states",
+        "jumps": el.tag == "markovJumpsTreeLikelihood",
+    }
+    return lik
+
+
+# ---------------------------------------------------------------------------
+# star tree
+# ---------------------------------------------------------------------------
+
+
+@register("starTreeModel")
+def _star_tree_model(ax: XmlAnalysis, el):
+    """ref: StarTreeModelParser — every internal node height is tied to
+    the root height. Built as a treeModel whose internal heights are
+    flattened to the root's at parse time; the corpus files keep the
+    root fixed (root-height operators are commented out), so the tie
+    needs no runtime propagation here."""
+    from beast_mcmc_tpu.config.interpreter import _tree_model
+
+    tm = _tree_model(ax, el)
+    n = len(tm.taxa)
+    root_h = tm.heights[tm.root]
+    tm.heights[n:] = root_h
+    return tm
+
+
+@register("starTreeLikelihood")
+def _star_tree_likelihood(ax: XmlAnalysis, el):
+    """ref: dr.evomodel.treelikelihood.StarTreeLikelihood — the plain
+    peeled likelihood on the star topology."""
+    return _tree_likelihood(ax, el)
+
+
+# ---------------------------------------------------------------------------
+# <tree> — explicit nested-node tree (SimpleTreeParser)
+# ---------------------------------------------------------------------------
+
+
+@register("tree")
+def _simple_tree(ax: XmlAnalysis, el):
+    """ref: SimpleTreeParser — nested <node height=...> elements with
+    <taxon> leaves. Returns the treeModel source tuple (same contract as
+    <newick>/<coalescentTree>)."""
+    top = el.find("node")
+    if top is None:
+        raise XmlError("<tree> without <node>")
+
+    names: List[str] = []
+    tip_heights: List[float] = []
+    # collected as (height, [child slots]) in post-order
+    entries = []
+
+    def walk(node):
+        h = _attr(node, "height", 0.0, float)
+        kids = [c for c in node if c.tag == "node"]
+        if not kids:
+            tx = node.find("taxon")
+            if tx is None:
+                raise XmlError("leaf <node> without <taxon>")
+            nm = tx.get("idref") or tx.get("id")
+            idx = ("tip", len(names))
+            names.append(nm)
+            tip_heights.append(h)
+            return idx
+        slots = [walk(k) for k in kids]
+        if len(slots) != 2:
+            raise Unsupported("non-binary <tree> node")
+        entries.append((h, slots))
+        return ("int", len(entries) - 1)
+
+    root_slot = walk(top)
+    n = len(names)
+    m = 2 * n - 1
+    parent = np.full(m, -1, np.int32)
+    children = np.full((m, 2), -1, np.int32)
+    heights = np.zeros(m)
+    heights[:n] = tip_heights
+
+    def gidx(slot):
+        return slot[1] if slot[0] == "tip" else n + slot[1]
+
+    for i, (h, slots) in enumerate(entries):
+        gi = n + i
+        heights[gi] = h
+        for k, s in enumerate(slots):
+            children[gi, k] = gidx(s)
+            parent[gidx(s)] = gi
+    root = gidx(root_slot)
+    return (names, np.array(tip_heights), parent, children, heights, root)
+
+
+# ---------------------------------------------------------------------------
+# priors / parameter views
+# ---------------------------------------------------------------------------
+
+
+@register("halfNormalPrior")
+def _half_normal_prior(ax: XmlAnalysis, el):
+    """ref: PriorParsers HALF_NORMAL_PRIOR — N(mean, sd) truncated to
+    [mean, inf) (reference requires mean at the truncation bound)."""
+    from beast_mcmc_tpu.config.interpreter import _targets_of
+
+    mean = _attr(el, "mean", 0.0, float)
+    sd = _attr(el, "stdev", 1.0, float)
+    readers = _targets_of(ax, el)
+
+    def fn(params, tree):
+        tot = 0.0
+        for rd in readers:
+            x = jnp.ravel(rd(params, tree))
+            z = (x - mean) / sd
+            lp = (-0.5 * z * z - 0.5 * jnp.log(2 * jnp.pi) - jnp.log(sd)
+                  + jnp.log(2.0))
+            tot = tot + jnp.sum(jnp.where(x >= mean, lp, -jnp.inf))
+        return tot
+
+    return LikelihoodFn(fn, None, el.get("id") or "halfNormal")
+
+
+@register("maskedParameter")
+def _masked_parameter(ax: XmlAnalysis, el):
+    """ref: MaskedParameterParser — a parameter with a 0/1 mask applied.
+    The full parameter stays the sampled object; the masked VIEW is what
+    priors/gradients score. Returns the underlying Param (operators act
+    on the full vector; scoring through the mask requires the caller to
+    build this element's own density)."""
+    inner = ax.param_from(el)
+    return ax._params[inner]
+
+
+# ---------------------------------------------------------------------------
+# empirical distribution likelihood
+# ---------------------------------------------------------------------------
+
+
+@register("empiricalDistributionLikelihood")
+def _empirical_distribution(ax: XmlAnalysis, el):
+    """ref: EmpiricalDistributionLikelihoodParser — density interpolated
+    from a file of (x, logp) pairs; applied to the data parameters."""
+    fname = el.get("fileName")
+    import os
+
+    path = fname
+    if path and not os.path.isabs(path):
+        for base in (ax.workdir, os.path.dirname(ax.path)):
+            cand = os.path.join(base, fname)
+            if os.path.exists(cand):
+                path = cand
+                break
+    if not path or not os.path.exists(path):
+        raise Unsupported(
+            f"empiricalDistributionLikelihood file {fname!r} not found")
+    xs, lps = [], []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 2:
+                try:
+                    xs.append(float(parts[0]))
+                    lps.append(float(parts[1]))
+                except ValueError:
+                    continue
+    grid_x = jnp.asarray(xs)
+    grid_lp = jnp.asarray(lps)
+    data_el = el.find("data")
+    pname = ax.param_from(data_el if data_el is not None else el)
+    inverse = _attr(el, "inverse", False, bool)
+
+    def fn(params, tree):
+        x = jnp.ravel(params[pname])
+        lp = jnp.interp(x, grid_x, grid_lp)
+        return jnp.sum(-lp if inverse else lp)
+
+    return LikelihoodFn(fn, None, el.get("id") or "empirical", (pname,))

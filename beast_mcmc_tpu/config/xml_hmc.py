@@ -165,6 +165,10 @@ def _build_matrix_param(ax: XmlAnalysis, el) -> MatrixParam:
         return MatrixParam(
             lambda params: jnp.linalg.inv(inner.fn(params)),
             inner.names, inner.dim, mid)
+    if tag == "compoundEigenMatrix":
+        from beast_mcmc_tpu.config.xml_traits import _eigen_matrix_param
+
+        return _eigen_matrix_param(ax, el)
     raise Unsupported(f"matrix parameter <{tag}>")
 
 
@@ -703,3 +707,16 @@ def _precision_gibbs_substitute(ax: XmlAnalysis, el, weight):
             ops.append(RandomWalkOperator(parameter=n, weight=weight,
                                           window=0.2))
     return ops, None
+
+
+@register("compoundSymmetricMatrix", "diagonalMatrix",
+          "cachedMatrixInverse", "matrixInverse")
+def _matrix_tag(ax: XmlAnalysis, el):
+    """Standalone matrix elements (logged / targeted by priors) resolve
+    to their samplable MatrixParam view."""
+    return matrix_param_of(ax, el)
+
+
+@register("compoundEigenMatrix")
+def _compound_eigen_tag(ax: XmlAnalysis, el):
+    return matrix_param_of(ax, el)

@@ -1,0 +1,562 @@
+"""XML vocabulary: continuous-trait likelihoods on trees.
+
+The tag family that dominates the reference's top-level TestXML corpus
+(traitDataLikelihood in 36+ files). Everything funnels into ONE general
+kernel, `affine_gaussian_tree_loglikelihood` (models/continuous.py) — the
+TPU-native analog of the CDI integrator hierarchy (ref:
+src/dr/evomodel/treedatalikelihood/continuous/cdi/
+SafeMultivariateIntegrator.java and
+SafeMultivariateActualizedWithDriftIntegrator.java): each branch is an
+affine Gaussian channel (Q_b, r_b, Sigma_b) assembled per evolution model:
+
+  homogeneous BM   Q=I, r=0,           Sigma = t Lambda^-1
+  drift            Q=I, r=v_b t,       Sigma = t Lambda^-1
+                   (ref: DriftDiffusionModelDelegate.java)
+  OU / elastic     Q=e^{-A t}, r=(I-Q) theta_b,
+                   Sigma = U G U^T via the eigendecomposition of A
+                   (ref: OUDiffusionModelDelegate.java,
+                   MultivariateElasticModel.java)
+
+Vocabulary (ref parsers cited per builder):
+  multivariateDiffusionModel, traitDataLikelihood,
+  multivariateTraitLikelihood (legacy form), conjugateRootPrior,
+  repeatedMeasuresModel, arbitraryBranchRates, traitLogger,
+  compoundEigenMatrix (spherical eigenvector parameterization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.config.interpreter import (
+    ClockModel,
+    LikelihoodFn,
+    Param,
+    TreeModel,
+    Unsupported,
+    XmlAnalysis,
+    XmlError,
+    _attr,
+    _child_of,
+    register,
+)
+from beast_mcmc_tpu.config.xml_hmc import MatrixParam, matrix_param_of
+
+
+# ---------------------------------------------------------------------------
+# diffusion / elastic models
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DiffusionModel:
+    """ref: MultivariateDiffusionModelParser — a precision matrix."""
+
+    prec: MatrixParam = None
+
+    @property
+    def dim(self):
+        return self.prec.dim
+
+
+@register("multivariateDiffusionModel")
+def _mv_diffusion_model(ax: XmlAnalysis, el):
+    pm = el.find("precisionMatrix")
+    if pm is None:
+        raise XmlError("multivariateDiffusionModel without precisionMatrix")
+    for c in pm:
+        return DiffusionModel(matrix_param_of(ax, c))
+    raise XmlError("<precisionMatrix> is empty")
+
+
+@dataclasses.dataclass
+class EigenMatrixParam(MatrixParam):
+    """A matrix given by its eigendecomposition A = U diag(vals) U^-1
+    (ref: CompoundEigenMatrix.java — eigenvectors in the spherical
+    unit-column parameterization of MissingOps.wrapSpherical)."""
+
+    values_name: str = ""
+    vectors_fn: Callable = None  # params -> U [D, D]
+
+
+def _spherical_u(off: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Column-unit eigenvector matrix from d*(d-1) free entries (ref:
+    MissingOps.fillSpherical + transpose): column i is
+    (v_i, sqrt(1-|v_i|^2)) for the i-th (d-1)-subvector."""
+    cols = []
+    for i in range(d):
+        v = off[i * (d - 1):(i + 1) * (d - 1)]
+        last = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(v * v), 1e-12))
+        cols.append(jnp.concatenate([v, last[None]]))
+    return jnp.stack(cols, axis=1)
+
+
+def _eigen_matrix_param(ax: XmlAnalysis, el) -> EigenMatrixParam:
+    vals_el = el.find("eigenValues")
+    vecs_el = el.find("eigenVectors")
+    if vals_el is None or vecs_el is None:
+        raise XmlError("compoundEigenMatrix needs eigenValues+eigenVectors")
+    vname = ax.param_from(vals_el)
+    d = int(np.ravel(ax.value_of(vname)).size)
+    inner = None
+    for c in vecs_el:
+        inner = matrix_param_of(ax, c)
+    if inner is None:
+        raise XmlError("<eigenVectors> is empty")
+
+    def vectors_fn(params):
+        # flatten the matrixParameter columns into the d*(d-1) free vector
+        flat = jnp.concatenate(
+            [jnp.ravel(params[n]) for n in inner.names])
+        return _spherical_u(flat, d)
+
+    def fn(params):
+        u = vectors_fn(params)
+        lam = jnp.ravel(params[vname])
+        return u @ jnp.diag(lam) @ jnp.linalg.inv(u)
+
+    return EigenMatrixParam(
+        fn=fn, names=(vname,) + inner.names, dim=d,
+        name=el.get("id") or "eigenMatrix",
+        values_name=vname, vectors_fn=vectors_fn)
+
+
+# ---------------------------------------------------------------------------
+# branch value models (drift velocities / OU optima per dimension)
+# ---------------------------------------------------------------------------
+
+
+def _branch_value_fn(ax: XmlAnalysis, el):
+    """(params, tree) -> [M] per-node values from a branch-rate-model
+    element (strictClockBranchRates etc. — ref:
+    AbstractMultivariateTraitLikelihood.parseDriftModels)."""
+    obj = ax.build(el)
+    if isinstance(obj, ClockModel):
+        return obj.rates
+    raise Unsupported(f"branch value model <{ax.deref(el).tag}>")
+
+
+@register("arbitraryBranchRates")
+def _arbitrary_branch_rates(ax: XmlAnalysis, el):
+    """ref: ArbitraryBranchRatesParser — one free rate per non-root
+    branch, node->index skipping the root (TreeParameterModel), optional
+    reciprocal/exp transforms."""
+    tree_id = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+            tree_id = tm.tree_id
+    rates_el = el.find("rates")
+    if rates_el is None:
+        raise XmlError("arbitraryBranchRates without <rates>")
+    if tree_id is None:
+        raise XmlError("arbitraryBranchRates without treeModel")
+    tm = ax._trees[tree_id]
+    m = tm.parent.shape[0]
+    pname = ax.param_from(rates_el)
+    cur = np.ravel(ax.value_of(pname))
+    if cur.size != m - 1:
+        # resize to one entry per non-root branch, preserving the scalar
+        # fill value (the reference sets dimension on the parameter)
+        fill = cur[0] if cur.size else 1.0
+        p = ax._params[pname]
+        ax._params[pname] = Param(
+            pname, np.full(m - 1, fill), lower=p.lower, upper=p.upper)
+    reciprocal = _attr(el, "reciprocal", False, bool)
+    use_exp = _attr(el, "exp", False, bool)
+    root = int(tm.root)
+
+    def rates(params, tree, _p=pname):
+        r = jnp.ravel(params[_p])
+        if use_exp:
+            r = jnp.exp(r)
+        elif reciprocal:
+            r = 1.0 / r
+        # node i -> branch index i (i < root) or i-1 (i > root)
+        idx = jnp.arange(m)
+        bidx = jnp.where(idx > root, idx - 1, idx)
+        vals = r[jnp.clip(bidx, 0, m - 2)]
+        return jnp.where(idx == root, 0.0, vals)
+
+    return ClockModel("arbitrary", tree_id, rates, rate_param=pname)
+
+
+# ---------------------------------------------------------------------------
+# repeated measures (tip measurement error)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RepeatedMeasures:
+    """ref: RepeatedMeasuresTraitDataModelParser — adds a per-tip
+    sampling covariance (inverse of samplingPrecision) on top of the
+    diffusion; wraps the trait data."""
+
+    trait_param: str = ""
+    trait_name: str = ""
+    tree_id: str = ""
+    sampling_prec: MatrixParam = None  # full matrix, or None
+    sampling_prec_diag: Optional[str] = None  # diagonal parameter name
+    dim: int = 0
+
+
+@register("repeatedMeasuresModel")
+def _repeated_measures(ax: XmlAnalysis, el):
+    tree_id = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+    tp = el.find("traitParameter")
+    if tp is None:
+        raise XmlError("repeatedMeasuresModel without traitParameter")
+    pname = ax.param_from(tp)
+    sp = el.find("samplingPrecision")
+    if sp is None:
+        raise XmlError("repeatedMeasuresModel without samplingPrecision")
+    inner = ax.deref(next(iter(sp)))
+    if inner.tag == "parameter":
+        dname = ax.param_from(sp)
+        d = int(np.ravel(ax.value_of(dname)).size)
+        return RepeatedMeasures(pname, el.get("traitName", "X"), tree_id,
+                                None, dname, d)
+    mp = matrix_param_of(ax, inner)
+    return RepeatedMeasures(pname, el.get("traitName", "X"), tree_id,
+                            mp, None, mp.dim)
+
+
+# ---------------------------------------------------------------------------
+# the trait data likelihood
+# ---------------------------------------------------------------------------
+
+
+_BRANCH_MODEL_TAGS = (
+    "strictClockBranchRates", "discretizedBranchRates",
+    "arbitraryBranchRates", "continuousBranchRates",
+)
+
+
+def _trait_meta(ax: XmlAnalysis, tree_id: str, pname: str,
+                trait_name: str):
+    """(values, missing mask, n_tips, dim) for the trait parameter
+    registered by the treeModel's nodeTraits child."""
+    for (tid, tname), meta in ax._traits.items():
+        if meta["param"] == pname:
+            return meta
+    raise Unsupported(
+        f"traitParameter {pname!r} is not bound to treeModel nodeTraits "
+        f"(trait {trait_name!r})")
+
+
+@dataclasses.dataclass
+class TraitLikelihood:
+    """Built traitDataLikelihood: carries the pieces the traitLogger and
+    gradient builders need beyond the plain density closure."""
+
+    lik: LikelihoodFn = None
+    tree_id: str = ""
+    trait_param: str = ""
+    trait_name: str = ""
+    n_tips: int = 0
+    dim: int = 0
+    missing: np.ndarray = None
+    # (params, tree) -> (q [M,D,D], r [M,D], sigma [M,D,D], mu0, v0)
+    channels: Callable = None
+
+
+def _conjugate_root(ax: XmlAnalysis, el, d: int):
+    """Root prior spec: ('conj', mean name, sample-size name) from
+    <conjugateRootPrior> (ref: ConjugateRootTraitPrior.java), or
+    ('mvn', mean array, precision array) from a direct
+    <multivariateNormalPrior> child (the legacy
+    AbstractMultivariateTraitLikelihood rootPrior form)."""
+    crp = el.find("conjugateRootPrior")
+    if crp is not None:
+        mean_el = crp.find("meanParameter")
+        pss_el = crp.find("priorSampleSize")
+        if mean_el is None or pss_el is None:
+            raise XmlError("conjugateRootPrior needs mean + priorSampleSize")
+        return ("conj", ax.param_from(mean_el), ax.param_from(pss_el))
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("multivariateNormalPrior",
+                      "multivariateNormalDistributionModel"):
+            from beast_mcmc_tpu.config.interpreter import (
+                _child_of,
+                _text_values,
+            )
+
+            mean = _text_values(ax.deref(_child_of(
+                _child_of(cc, "meanParameter"), "parameter")))
+            prec = None
+            prec_el = cc.find("precisionMatrix")
+            if prec_el is None:
+                prec_el = cc.find("precisionParameter")
+            if prec_el is not None:
+                for p in prec_el:
+                    pp = ax.deref(p)
+                    if pp.tag == "matrixParameter":
+                        prec = ax.build(pp).T
+            if prec is None:
+                prec = np.eye(mean.size)
+            return ("mvn", np.resize(mean, d), np.asarray(prec))
+    return None
+
+
+def _build_trait_likelihood(ax: XmlAnalysis, el):
+    trait_name = el.get("traitName", "trait")
+    diffusion: Optional[DiffusionModel] = None
+    tree_id = None
+    rate_model = None
+    trait_param = None
+    repeated: Optional[RepeatedMeasures] = None
+    drift_fns = None
+    optimal_fns = None
+    elastic: Optional[MatrixParam] = None
+
+    for c in el:
+        cc = ax.deref(c)
+        tag = cc.tag
+        if tag == "multivariateDiffusionModel":
+            diffusion = ax.build(cc)
+        elif tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+        elif tag in _BRANCH_MODEL_TAGS:
+            rate_model = _branch_value_fn(ax, cc)
+        elif tag == "traitParameter":
+            trait_param = ax.param_from(cc)
+        elif tag == "repeatedMeasuresModel":
+            repeated = ax.build(cc)
+        elif tag == "driftModels":
+            drift_fns = [_branch_value_fn(ax, d_el) for d_el in cc]
+        elif tag == "optimalTraits":
+            optimal_fns = [_branch_value_fn(ax, d_el) for d_el in cc]
+        elif tag == "strengthOfSelectionMatrix":
+            inner = ax.deref(next(iter(cc)))
+            if inner.tag == "compoundEigenMatrix":
+                elastic = _eigen_matrix_param(ax, inner)
+            else:
+                elastic = matrix_param_of(ax, inner)
+        elif tag in ("conjugateRootPrior", "jitter"):
+            continue
+        elif tag == "integratedFactorModel":
+            raise Unsupported("integratedFactorModel data model")
+        elif tag in ("ancestralTraitTreeModel",):
+            raise Unsupported(f"<{tag}> tree model")
+
+    if repeated is not None:
+        trait_param = trait_param or repeated.trait_param
+        tree_id = tree_id or repeated.tree_id
+    if diffusion is None:
+        raise XmlError("traitDataLikelihood without diffusion model")
+    if tree_id is None:
+        raise XmlError("traitDataLikelihood without treeModel")
+    if trait_param is None:
+        raise Unsupported("traitDataLikelihood without traitParameter")
+
+    meta = _trait_meta(ax, tree_id, trait_param, trait_name)
+    n_tips, d = meta["n_tips"], meta["dim"]
+    missing = np.asarray(meta["missing"], bool)
+    if d != diffusion.dim:
+        raise XmlError(
+            f"trait dim {d} != diffusion dim {diffusion.dim}")
+
+    scale_by_time = _attr(el, "scaleByTime", False, bool)
+    use_tree_length = _attr(el, "useTreeLength", False, bool)
+    root_spec = _conjugate_root(ax, el, d)
+    if root_spec is None:
+        raise Unsupported("traitDataLikelihood without a root prior")
+    prec = diffusion.prec
+
+    if optimal_fns is not None and elastic is None:
+        raise Unsupported("optimalTraits without strengthOfSelectionMatrix")
+
+    tm = ax._trees[tree_id]
+    m = tm.parent.shape[0]
+    miss_j = jnp.asarray(missing)
+
+    def channels(params, tree):
+        dt = tree.heights.dtype
+        lam = prec.fn(params).astype(dt)
+        v = jnp.linalg.inv(lam)
+        pidx = jnp.maximum(tree.parent, 0)
+        t_raw = jnp.where(tree.parent >= 0,
+                          tree.heights[pidx] - tree.heights, 0.0)
+        if scale_by_time:
+            if use_tree_length:
+                norm = 1.0 / jnp.sum(t_raw)
+            else:
+                norm = 1.0 / tree.heights[tree.root]
+            t_raw = t_raw * norm
+        eye = jnp.eye(d, dtype=dt)
+
+        def per_branch(f):
+            """Broadcast a branch-value model's output to [M] (strict
+            clocks return a scalar/size-1 rate)."""
+            return jnp.broadcast_to(
+                jnp.ravel(jnp.asarray(f(params, tree), dt)), (m,))
+
+        if rate_model is not None:
+            t_raw = t_raw * per_branch(rate_model)
+
+        if optimal_fns is not None:
+            # OU: theta per branch per dim from the optimalTraits models
+            theta = jnp.stack(
+                [per_branch(f) for f in optimal_fns], axis=1)  # [M,D]
+            if isinstance(elastic, EigenMatrixParam):
+                u = elastic.vectors_fn(params).astype(dt)
+                lam_a = jnp.ravel(params[elastic.values_name]).astype(dt)
+                u_inv = jnp.linalg.inv(u)
+            else:
+                a_mat = elastic.fn(params).astype(dt)
+                # symmetric strength matrices diagonalize with eigh;
+                # asymmetric general matrices are out of vocabulary
+                lam_a, u = jnp.linalg.eigh(
+                    0.5 * (a_mat + a_mat.T))
+                u_inv = u.T
+            v_t = u_inv @ v @ u_inv.T  # transformed diffusion variance
+            lsum = lam_a[:, None] + lam_a[None, :]
+
+            def branch(t):
+                e = jnp.exp(-lam_a * t)
+                q = (u * e[None, :]) @ u_inv
+                g = v_t * -jnp.expm1(-lsum * t) / lsum
+                sig = u @ g @ u.T
+                return q, 0.5 * (sig + sig.T)
+
+            qs, sigs = jax.vmap(branch)(t_raw)
+            rs = theta - jnp.einsum("mij,mj->mi", qs, theta)
+        else:
+            qs = jnp.broadcast_to(eye, (m, d, d))
+            sigs = t_raw[:, None, None] * v[None]
+            if drift_fns is not None:
+                vel = jnp.stack(
+                    [per_branch(f) for f in drift_fns], axis=1)
+                rs = vel * t_raw[:, None]
+            else:
+                rs = jnp.zeros((m, d), dt)
+
+        if repeated is not None:
+            if repeated.sampling_prec is not None:
+                gam = jnp.linalg.inv(
+                    repeated.sampling_prec.fn(params).astype(dt))
+            else:
+                gam = jnp.diag(
+                    1.0 / jnp.ravel(params[repeated.sampling_prec_diag]))
+            tip_add = jnp.zeros((m, d, d), dt).at[:n_tips].add(gam[None])
+            sigs = sigs + tip_add
+
+        if root_spec[0] == "conj":
+            mu0 = jnp.ravel(params[root_spec[1]]).astype(dt)
+            k0 = jnp.ravel(params[root_spec[2]])[0].astype(dt)
+            v0 = v / k0
+        else:
+            mu0 = jnp.asarray(root_spec[1], dt)
+            v0 = jnp.linalg.inv(jnp.asarray(root_spec[2], dt))
+        return qs, rs, sigs, mu0, v0
+
+    def fn(params, tree):
+        from beast_mcmc_tpu.models.continuous import (
+            affine_gaussian_tree_loglikelihood,
+        )
+
+        qs, rs, sigs, mu0, v0 = channels(params, tree)
+        tips = jnp.reshape(params[trait_param], (n_tips, d))
+        return affine_gaussian_tree_loglikelihood(
+            tips, miss_j, tree.parent, tree.children, tree.heights,
+            tree.root, qs, rs, sigs, mu0, v0)
+
+    lik = LikelihoodFn(fn, tree_id, el.get("id") or "traitLikelihood",
+                       (trait_param,))
+    tl = TraitLikelihood(lik, tree_id, trait_param, trait_name,
+                         n_tips, d, missing, channels)
+    ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
+    ax._trait_likelihoods[el.get("id") or lik.name] = tl
+    return tl
+
+
+@register("traitDataLikelihood", "multivariateTraitLikelihood",
+          "inhibitionLikelihood")
+def _trait_data_likelihood(ax: XmlAnalysis, el):
+    """ref: ContinuousDataLikelihoodParser.java:76 (traitDataLikelihood)
+    and the legacy AbstractMultivariateTraitLikelihood form. Returns the
+    LikelihoodFn; the full TraitLikelihood record is stashed on the
+    analysis for traitLogger/gradient builders."""
+    tl = _build_trait_likelihood(ax, el)
+    return tl.lik
+
+
+# ---------------------------------------------------------------------------
+# trait logger — posterior node-trait columns
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MultiColumn:
+    columns: List[Tuple[str, Callable]] = None
+
+
+@register("traitLogger")
+def _trait_logger(ax: XmlAnalysis, el):
+    """ref: TreeTraitLogParser/TraitLogger — logs node trait values.
+    The reference samples node states from their full conditional; here
+    the logged value is the conditional MEAN given the tips
+    (Rao-Blackwellized — identical posterior expectation, which is what
+    the embedded <expectation> oracles check). Columns are named
+    trait.node.dim, 1-based, tips first — the reference's node order."""
+    nodes = el.get("nodes", "all")
+    trait_name = el.get("traitName", None)
+    tl = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            ax.build(cc)
+            key = cc.get("id")
+            tl = getattr(ax, "_trait_likelihoods", {}).get(key)
+    if tl is None:
+        raise Unsupported("traitLogger without traitDataLikelihood")
+    tname = trait_name or tl.trait_name
+    # strip likelihood-id prefixes the reference allows ("fcd.X")
+    if "." in tname:
+        tname = tname.split(".")[-1]
+
+    tm = ax._trees[tl.tree_id]
+    m = tm.parent.shape[0]
+    n = tl.n_tips
+    if nodes == "external":
+        sel = list(range(n))
+    elif nodes == "internal":
+        sel = list(range(n, m))
+    elif nodes == "root":
+        sel = [int(tm.root)]
+    else:
+        sel = list(range(m))
+
+    def means_fn(s):
+        from beast_mcmc_tpu.models.continuous import (
+            affine_gaussian_node_conditionals,
+        )
+
+        tree = ax.resolve_tree(tl.tree_id, s.params, s.tree)
+        qs, rs, sigs, mu0, v0 = tl.channels(s.params, tree)
+        tips = jnp.reshape(s.params[tl.trait_param], (n, tl.dim))
+        means, _ = affine_gaussian_node_conditionals(
+            tips, jnp.asarray(tl.missing), tree.parent, tree.children,
+            tree.heights, tree.root, qs, rs, sigs, mu0, v0)
+        return means
+
+    cols = []
+    for i in sel:
+        for k in range(tl.dim):
+            cols.append((
+                f"{tname}.{i + 1}.{k + 1}",
+                lambda s, i=i, k=k: means_fn(s)[i, k],
+            ))
+    return MultiColumn(cols)

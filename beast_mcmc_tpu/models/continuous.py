@@ -402,3 +402,243 @@ def brownian_loglikelihood_missing(
         p_arr[root], b_arr[root], g_arr[root], 1.0 / k0, lam_inv, eye
     )
     return g_r - 0.5 * (mean0 @ (p_r @ mean0)) + b_r @ mean0
+
+
+# ---------------------------------------------------------------------------
+# General affine-Gaussian tree propagation — the full-generality analog of
+# the CDI SafeMultivariateIntegrator (ref: src/dr/evomodel/treedatalikelihood/
+# continuous/cdi/SafeMultivariateIntegrator.java,
+# SafeMultivariateActualizedWithDriftIntegrator.java): every branch is an
+# affine Gaussian channel  x_child = Q_b x_parent + r_b + eps_b,
+# eps_b ~ N(0, Sigma_b), which covers Brownian (Q=I, Sigma=t Lambda^-1),
+# drift (r = v t), and full-matrix OU "actualized" branches
+# (Q = e^{-A t}, r = (I - Q) theta, Sigma = integrated stationary noise).
+# Missing tip dimensions integrate out exactly (canonical messages stay
+# valid for singular precision).
+# ---------------------------------------------------------------------------
+
+
+def _push_canonical_cov(p, b, g, cov):
+    """Integrate the canonical message (p, b, g) over x ~ N(m, cov):
+    returns the canonical-in-m triple."""
+    d = p.shape[0]
+    a_mat = jnp.eye(d, dtype=p.dtype) + cov @ p
+    p_new = jnp.linalg.solve(a_mat.T, p.T).T
+    p_new = 0.5 * (p_new + p_new.T)
+    b_new = jnp.linalg.solve(a_mat.T, b)
+    sign, logdet_a = jnp.linalg.slogdet(a_mat)
+    g_new = g - 0.5 * logdet_a + 0.5 * (b_new @ (cov @ b))
+    return p_new, b_new, g_new
+
+
+def affine_gaussian_tree_loglikelihood(
+    tip_traits: jnp.ndarray,   # [N, D] (missing entries arbitrary)
+    tip_missing: jnp.ndarray,  # bool [N, D]
+    parent: jnp.ndarray,
+    children: jnp.ndarray,
+    heights: jnp.ndarray,
+    root,
+    branch_q: jnp.ndarray,      # [M, D, D]
+    branch_r: jnp.ndarray,      # [M, D]
+    branch_sigma: jnp.ndarray,  # [M, D, D] (root row ignored)
+    root_mean: jnp.ndarray,     # [D]
+    root_cov: jnp.ndarray,      # [D, D] prior covariance of the root state
+) -> jnp.ndarray:
+    """Marginal log-likelihood of the tip traits, internal states and
+    missing tip dimensions integrated out by canonical-form Gaussian
+    belief propagation up the tree."""
+    n, d = tip_traits.shape
+    m = parent.shape[0]
+    dt = tip_traits.dtype
+
+    obs = (~tip_missing).astype(dt)  # [N, D]
+
+    def tip_message(i):
+        """Tip i's message about its PARENT state: N(y_o; (Qx+r)_o, S_oo)
+        as a canonical Gaussian in x (flat on missing dims)."""
+        o = obs[i]
+        mask = jnp.outer(o, o)
+        c_mat = branch_sigma[i] * mask + jnp.diag(1.0 - o)
+        j_mat = jnp.linalg.inv(c_mat) * mask
+        j_mat = 0.5 * (j_mat + j_mat.T)
+        y = jnp.where(o > 0, tip_traits[i] - branch_r[i], 0.0)
+        q = branch_q[i]
+        p = q.T @ j_mat @ q
+        b = q.T @ (j_mat @ y)
+        d_o = jnp.sum(o)
+        sign, logdet = jnp.linalg.slogdet(c_mat)
+        g = -0.5 * (d_o * jnp.log(2 * jnp.pi) + logdet + y @ (j_mat @ y))
+        return 0.5 * (p + p.T), b, g
+
+    p0, b0, g0 = jax.vmap(tip_message)(jnp.arange(n))
+    p_arr = jnp.zeros((m, d, d), dt).at[:n].set(p0)
+    b_arr = jnp.zeros((m, d), dt).at[:n].set(b0)
+    g_arr = jnp.zeros((m,), dt).at[:n].set(g0)
+
+    order = peel_order_from_heights(heights, n)
+
+    def child_message(p_arr, b_arr, g_arr, c):
+        """Child c's message in its parent's frame (tips stored pushed)."""
+        pc, bc, gc = p_arr[c], b_arr[c], g_arr[c]
+        # integrate x_c ~ N(m, Sigma_c), then substitute m = Q x_p + r
+        p1, b1, g1 = _push_canonical_cov(pc, bc, gc, branch_sigma[c])
+        q, r = branch_q[c], branch_r[c]
+        pp = q.T @ p1 @ q
+        pp = 0.5 * (pp + pp.T)
+        bp = q.T @ (b1 - p1 @ r)
+        gp = g1 + b1 @ r - 0.5 * (r @ (p1 @ r))
+        is_tip = c < n
+        sel = lambda a, b_: jnp.where(is_tip, a, b_)
+        return sel(pc, pp), sel(bc, bp), sel(gc, gp)
+
+    def step(carry, node):
+        p_arr, b_arr, g_arr = carry
+        l = children[node, 0]
+        r = children[node, 1]
+        pl, blv, gl = child_message(p_arr, b_arr, g_arr, l)
+        pr, brv, gr = child_message(p_arr, b_arr, g_arr, r)
+        p_arr = p_arr.at[node].set(pl + pr)
+        b_arr = b_arr.at[node].set(blv + brv)
+        g_arr = g_arr.at[node].set(gl + gr)
+        return (p_arr, b_arr, g_arr), None
+
+    (p_arr, b_arr, g_arr), _ = jax.lax.scan(
+        step, (p_arr, b_arr, g_arr), order)
+
+    p_r, b_r, g_r = _push_canonical_cov(
+        p_arr[root], b_arr[root], g_arr[root], root_cov)
+    mu0 = jnp.asarray(root_mean, dt)
+    return g_r - 0.5 * (mu0 @ (p_r @ mu0)) + b_r @ mu0
+
+
+def affine_gaussian_node_conditionals(
+    tip_traits, tip_missing, parent, children, heights, root,
+    branch_q, branch_r, branch_sigma, root_mean, root_cov,
+):
+    """Posterior mean and covariance of EVERY node state given the tips —
+    upward canonical pass + downward conditioning pass (the tree-trait
+    analog of AncestralStateBeagleTreeLikelihood, ref:
+    continuous/TreeTraitProvider via fullConditionalDensity). Returns
+    (means [M, D], covs [M, D, D])."""
+    n, d = tip_traits.shape
+    m = parent.shape[0]
+    dt = tip_traits.dtype
+    obs = (~tip_missing).astype(dt)
+
+    def tip_self_message(i):
+        """Canonical message about the TIP'S OWN state from its observed
+        dims: infinite precision replaced by exact conditioning later;
+        here: delta handled via large-precision-free route — the tip's own
+        posterior is computed by conditioning parent posterior through the
+        branch, so only (obs value, mask) are needed."""
+        return obs[i]
+
+    # upward pass identical to the likelihood
+    def tip_message(i):
+        o = obs[i]
+        mask = jnp.outer(o, o)
+        c_mat = branch_sigma[i] * mask + jnp.diag(1.0 - o)
+        j_mat = jnp.linalg.inv(c_mat) * mask
+        j_mat = 0.5 * (j_mat + j_mat.T)
+        y = jnp.where(o > 0, tip_traits[i] - branch_r[i], 0.0)
+        q = branch_q[i]
+        p = q.T @ j_mat @ q
+        b = q.T @ (j_mat @ y)
+        g = jnp.asarray(0.0, dt)
+        return 0.5 * (p + p.T), b, g
+
+    p0, b0, g0 = jax.vmap(tip_message)(jnp.arange(n))
+    p_up = jnp.zeros((m, d, d), dt).at[:n].set(p0)
+    b_up = jnp.zeros((m, d), dt).at[:n].set(b0)
+
+    order = peel_order_from_heights(heights, n)
+
+    def push_up(pc, bc, c):
+        p1, b1, _ = _push_canonical_cov(pc, bc, jnp.asarray(0.0, dt),
+                                        branch_sigma[c])
+        q, r = branch_q[c], branch_r[c]
+        pp = q.T @ p1 @ q
+        bp = q.T @ (b1 - p1 @ r)
+        is_tip = c < n
+        sel = lambda a, b_: jnp.where(is_tip, a, b_)
+        return sel(pc, 0.5 * (pp + pp.T)), sel(bc, bp)
+
+    def up_step(carry, node):
+        p_arr, b_arr = carry
+        l = children[node, 0]
+        r = children[node, 1]
+        pl, blv = push_up(p_arr[l], b_arr[l], l)
+        pr, brv = push_up(p_arr[r], b_arr[r], r)
+        return (p_arr.at[node].set(pl + pr),
+                b_arr.at[node].set(blv + brv)), None
+
+    (p_up, b_up), _ = jax.lax.scan(up_step, (p_up, b_up), order)
+
+    # downward: root posterior, then each child conditions on its parent
+    eye = jnp.eye(d, dtype=dt)
+    prior_prec = jnp.linalg.inv(root_cov)
+    p_root = p_up[root] + prior_prec
+    mu_root = jnp.linalg.solve(p_root, b_up[root] + prior_prec @ root_mean)
+    cov_root = jnp.linalg.inv(p_root)
+
+    means = jnp.zeros((m, d), dt).at[root].set(mu_root)
+    covs = jnp.zeros((m, d, d), dt).at[root].set(cov_root)
+
+    # process nodes root-downward: reverse of (order) then tips
+    down_order = jnp.concatenate(
+        [order[::-1], jnp.arange(n, dtype=jnp.int32)])
+
+    def down_step(carry, c):
+        """Exact marginal for node c = below-evidence canonical (p_up[c])
+        + downward message. The downward message is the parent's marginal
+        with c's OWN upward contribution removed (else evidence below c is
+        double-counted), pushed down through the branch."""
+        means, covs = carry
+        par = parent[c]
+        is_root = par < 0
+        pi = jnp.maximum(par, 0)
+        mu_p, v_p = means[pi], covs[pi]
+        q, r, s = branch_q[c], branch_r[c], branch_sigma[c]
+        is_tip = c < n
+        ci = jnp.minimum(c, n - 1)
+
+        # what c sent up: tips stored it pre-pushed; internals push now
+        pc_up, bc_up = p_up[c], b_up[c]
+        p1, b1, _ = _push_canonical_cov(pc_up, bc_up, jnp.asarray(0.0, dt),
+                                        s)
+        p_sent = jnp.where(is_tip, pc_up, q.T @ p1 @ q)
+        b_sent = jnp.where(is_tip, bc_up, q.T @ (b1 - p1 @ r))
+
+        p_full = jnp.linalg.inv(v_p)
+        b_full = p_full @ mu_p
+        p_ex = p_full - p_sent
+        p_ex = 0.5 * (p_ex + p_ex.T) + 1e-10 * eye
+        v_ex = jnp.linalg.inv(p_ex)
+        mu_ex = v_ex @ (b_full - b_sent)
+
+        # push the c-excluded parent marginal down through the branch
+        mu_d = q @ mu_ex + r
+        v_d = q @ v_ex @ q.T + s
+        p_d = jnp.linalg.inv(0.5 * (v_d + v_d.T))
+
+        # combine with below-evidence at c: internals use their upward
+        # canonical; tips condition exactly on observed dims (delta),
+        # missing dims follow the downward law
+        o = obs[ci] * jnp.where(is_tip, 1.0, 0.0)
+        y = jnp.where(o > 0, tip_traits[ci], 0.0)
+        big = jnp.asarray(1e12, dt)
+        p_below = jnp.where(is_tip, jnp.diag(o * big), pc_up)
+        b_below = jnp.where(is_tip, o * big * y, bc_up)
+
+        p_node = p_d + p_below
+        p_node = 0.5 * (p_node + p_node.T)
+        b_node = p_d @ mu_d + b_below
+        v_node = jnp.linalg.inv(p_node)
+        mu_node = v_node @ b_node
+        sel = lambda a, b_: jnp.where(is_root, a, b_)
+        means = means.at[c].set(sel(means[c], mu_node))
+        covs = covs.at[c].set(sel(covs[c], v_node))
+        return (means, covs), None
+
+    (means, covs), _ = jax.lax.scan(down_step, (means, covs), down_order)
+    return means, covs

@@ -1,0 +1,48 @@
+"""Sweep the reference's top-level + ci TestXML corpora through the
+interpreter; report per-file status and the first blocking error. Dev
+tool for prioritising vocabulary work — not a test."""
+import glob
+import os
+import sys
+import traceback
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_enable_x64", True)
+
+from beast_mcmc_tpu.config.interpreter import run_testxml, Unsupported
+
+DIRS = {
+    "top": "/root/reference/examples/TestXML/*.xml",
+    "ci": "/root/reference/ci/TestXML/*.xml",
+}
+
+which = sys.argv[1] if len(sys.argv) > 1 else "top"
+only = sys.argv[2] if len(sys.argv) > 2 else None
+files = sorted(glob.glob(DIRS[which]))
+if only:
+    files = [f for f in files if only in f]
+
+ok, unsup, err = [], {}, {}
+for f in files:
+    name = os.path.basename(f)
+    try:
+        run_testxml(f, scale=0.02, max_states=4000, strict_expectations=False)
+        ok.append(name)
+        print(f"PASS {name}", flush=True)
+    except Unsupported as e:
+        unsup[name] = str(e)[:140]
+        print(f"UNSUP {name}: {str(e)[:140]}", flush=True)
+    except Exception as e:
+        err[name] = f"{type(e).__name__}: {str(e)[:140]}"
+        print(f"ERR {name}: {type(e).__name__}: {str(e)[:140]}", flush=True)
+        if os.environ.get("SWEEP_TB"):
+            traceback.print_exc()
+
+print(f"\n== {len(ok)} pass / {len(unsup)} unsupported / {len(err)} error "
+      f"of {len(files)}")
+from collections import Counter
+c = Counter(v.split(":")[0] for v in unsup.values())
+for k, n in c.most_common(30):
+    print(f"  {n:3d}  {k}")
