@@ -727,11 +727,16 @@ def _alignment(ax: XmlAnalysis, el):
 def _patterns(ax: XmlAnalysis, el):
     from beast_mcmc_tpu.data.alignment import SitePatterns
 
+    from beast_mcmc_tpu.data.alignment import Alignment
+
     src = None
     for c in el:
         cc = ax.deref(c)
-        if cc.tag == "alignment":
-            src = ax.build(cc)
+        if cc.tag in ("alignment", "beagleSequenceSimulator",
+                      "sequenceSimulator", "convert"):
+            built = ax.build(cc)
+            if isinstance(built, Alignment):
+                src = built
     if src is None:
         raise XmlError("<patterns> without <alignment>")
     frm = _attr(el, "from", 1, int) - 1
@@ -771,7 +776,9 @@ def _parameter(ax: XmlAnalysis, el):
     vals = _text_values(el)
     dim = _attr(el, "dimension", None, int)
     if vals.size == 0:
-        vals = np.ones(dim or 1)
+        # ref: ParameterParser.java:140-149 — with a dimension attr the
+        # values default to ZEROS; a bare <parameter/> is a single 1.0
+        vals = np.zeros(dim) if dim else np.ones(1)
     elif dim and vals.size == 1:
         vals = np.full(dim, vals[0])
     def bound(attr, default):
@@ -780,11 +787,16 @@ def _parameter(ax: XmlAnalysis, el):
             return default
         return float(v.split()[0])  # per-dim bounds: use the first
 
+    lo = bound("lower", -np.inf)
+    hi = bound("upper", np.inf)
+    # ref: ParameterParser.java:218-226 — parse-time values are clamped
+    # into the declared bounds
+    vals = np.clip(vals, lo, hi)
     p = Param(
         name=name,
         value=vals if vals.size > 1 else np.asarray(float(vals[0])),
-        lower=bound("lower", -np.inf),
-        upper=bound("upper", np.inf),
+        lower=lo,
+        upper=hi,
     )
     ax._params[name] = p
     return p
@@ -1449,6 +1461,14 @@ def _frequency_model(ax: XmlAnalysis, el):
         ax._params[pname] = Param(
             pname, counts / counts.sum(), lower=0.0, upper=1.0
         )
+    elif _attr(el, "normalize", False, bool):
+        # ref: FrequencyModelParser.java:169-179 — normalize at parse;
+        # an all-zero vector becomes uniform 1/K
+        p = ax._params[pname]
+        v = np.atleast_1d(np.asarray(p.value, float))
+        tot = v.sum()
+        v = v / tot if tot != 0 else np.full(v.size, 1.0 / v.size)
+        ax._params[pname] = Param(pname, v, p.lower, p.upper)
     return pname
 
 
@@ -1521,9 +1541,9 @@ def _site_model(ax: XmlAnalysis, el):
     sub = None
     for c in _child_of(el, "substitutionModel"):
         sub = ax.build(ax.deref(c))
-    if sub is None or sub[0] != "subst":
+    if sub is None or sub[0] not in ("subst", "subst_q"):
         raise XmlError("siteModel without substitution model")
-    _, eigen, freqs_of, s = sub
+    kind, eigen, freqs_of, s = sub
 
     gs = el.find("gammaShape")
     mu = el.find("mutationRate") or el.find("relativeRate")
@@ -1549,7 +1569,8 @@ def _site_model(ax: XmlAnalysis, el):
             r = r * params[mname]
         return r, w
 
-    return ("site", eigen, freqs_of, s, rates_weights)
+    return ("site" if kind == "subst" else "site_q",
+            eigen, freqs_of, s, rates_weights)
 
 
 
@@ -2001,6 +2022,29 @@ def _speciation_likelihood(ax: XmlAnalysis, el):
     n_taxa = len(tm.taxa)
     root = tm.root
 
+    if sub == "bdss_grid":
+        from beast_mcmc_tpu.models.speciation import (
+            episodic_serial_birth_death_loglik,
+        )
+
+        def fn(params, tree):
+            rho_c = jnp.ravel(params[names["rho"]])[0] if names.get(
+                "rho") else 0.0
+            return episodic_serial_birth_death_loglik(
+                tree.heights, n_taxa,
+                jnp.ravel(params[names["origin"]])[0],
+                jnp.ravel(params[names["birth"]]),
+                jnp.ravel(params[names["death"]]),
+                jnp.ravel(params[names["psi"]]),
+                treatment_probs=jnp.ravel(params[names["r"]])
+                if names.get("r") else 1.0,
+                rho_present=rho_c,
+                grid_end=names["cutoff"],
+                num_intervals=names["k"],
+            )
+
+        return LikelihoodFn(fn, tm.tree_id, el.get("id") or "speciation")
+
     if sub == "yule":
         def fn(params, tree):
             return yule_loglik(tree.heights, n_taxa, tree.root,
@@ -2024,7 +2068,7 @@ def _tree_likelihood(ax: XmlAnalysis, el):
     partitions = []
     for c in el:
         cc = ax.deref(c)
-        if cc.tag in ("patterns", "mergePatterns"):
+        if cc.tag in ("patterns", "mergePatterns", "attributePatterns"):
             patterns = ax.build(cc)
         elif cc.tag in ("treeModel", "starTreeModel"):
             tm = ax.build(cc)
@@ -2032,7 +2076,8 @@ def _tree_likelihood(ax: XmlAnalysis, el):
             site = ax.build(cc)
         elif cc.tag in ("strictClockBranchRates", "discretizedBranchRates",
                         "continuousBranchRates", "localClockModel",
-                        "randomLocalClockModel"):
+                        "randomLocalClockModel", "arbitraryBranchRates",
+                        "gridBasedBranchRateModel"):
             clock = ax.build(cc)
         elif cc.tag == "partition":
             pp, ps = None, None
@@ -2055,7 +2100,7 @@ def _tree_likelihood(ax: XmlAnalysis, el):
     if clock is None:
         clock = ClockModel("strict_unit", tm.tree_id,
                            lambda params, tree: 1.0)
-    _, eigen, freqs_of, s, rates_weights = site
+    site_kind, eigen, freqs_of, s, rates_weights = site
     # order tip rows by the tree's taxon order
     idx = [patterns.taxa.index(t) for t in tm.taxa]
     # tip_partials is [taxa, patterns, states]; peel wants [N, S, P]
@@ -2080,13 +2125,22 @@ def _tree_likelihood(ax: XmlAnalysis, el):
         extra.append((eig_k, fr_k, rw_k, tk_j, wk_j))
 
     def fn(params, tree):
-        eig = eigen(params)
         r, w = rates_weights(params, dtype)
         br = clock.rates(params, tree)
-        tot = tree_loglikelihood(
-            tips_j, w_j, tree.parent, tree.children, tree.heights,
-            tree.root, eig, freqs_of(params), r, w, br,
-        )
+        if site_kind == "site_q":
+            from beast_mcmc_tpu.models.treelikelihood import (
+                tree_loglikelihood_q,
+            )
+
+            tot = tree_loglikelihood_q(
+                tips_j, w_j, tree.parent, tree.children, tree.heights,
+                tree.root, eigen(params), freqs_of(params), r, w, br,
+            )
+        else:
+            tot = tree_loglikelihood(
+                tips_j, w_j, tree.parent, tree.children, tree.heights,
+                tree.root, eigen(params), freqs_of(params), r, w, br,
+            )
         for eig_k, fr_k, rw_k, tk_j, wk_j in extra:
             rk, wk = rw_k(params, dtype)
             tot = tot + tree_loglikelihood(
@@ -2094,6 +2148,25 @@ def _tree_likelihood(ax: XmlAnalysis, el):
                 tree.root, eig_k(params), fr_k(params), rk, wk, br,
             )
         return tot
+
+    if site_kind == "site_q":
+        # surrogate with the reference's first-order generator gradient
+        # (used by the approximate CTMC-rate gradient providers)
+        def fn_approx(params, tree):
+            from beast_mcmc_tpu.models.treelikelihood import (
+                tree_loglikelihood_q_approx_grad,
+            )
+
+            r, w = rates_weights(params, dtype)
+            br = clock.rates(params, tree)
+            return tree_loglikelihood_q_approx_grad(
+                tips_j, w_j, tree.parent, tree.children, tree.heights,
+                tree.root, eigen(params), freqs_of(params), r, w, br,
+            )
+
+        ax._surrogate_liks = getattr(ax, "_surrogate_liks", {})
+        ax._surrogate_liks[el.get("id") or "treeLikelihood"] = LikelihoodFn(
+            fn_approx, tm.tree_id, el.get("id") or "treeLikelihood")
 
     return LikelihoodFn(fn, tm.tree_id, el.get("id") or "treeLikelihood")
 
@@ -3161,3 +3234,5 @@ from beast_mcmc_tpu.config import xml_hmc as _xml_hmc  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_traits as _xml_traits  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_assert as _xml_assert  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_ext as _xml_ext  # noqa: E402,F401
+from beast_mcmc_tpu.config import xml_field as _xml_field  # noqa: E402,F401
+from beast_mcmc_tpu.config import xml_geo as _xml_geo  # noqa: E402,F401

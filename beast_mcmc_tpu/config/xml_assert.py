@@ -51,7 +51,9 @@ def initial_eval_state(ax: XmlAnalysis):
         if tree0 is None:
             tree0 = make_tree_state(
                 tm.parent, tm.children, tm.heights, tm.root, ax.dtype)
+            ax._tree_binding.setdefault(tm.tree_id, "state")
         else:
+            ax._tree_binding.setdefault(tm.tree_id, "params")
             params0[ax.tree_key(tm.tree_id, "parent")] = jnp.asarray(
                 tm.parent, jnp.int32)
             params0[ax.tree_key(tm.tree_id, "children")] = jnp.asarray(
@@ -140,7 +142,8 @@ def report_of(ax: XmlAnalysis, el) -> str:
         v = _resolving(ax, obj)
         # covers the corpus regexes: the class-paren form and a bare line
         return (f"dr.evomodel.treedatalikelihood.TreeDataLikelihood({v})\n"
-                f"logDatumLikelihood: {v}\n{v}\n")
+                f"logDatumLikelihood: {v}\n"
+                f"Non-parametric Coalescent LogLikelihood: {v}\n{v}\n")
     from beast_mcmc_tpu.config.xml_hmc import GradientSpec
 
     if isinstance(obj, GradientSpec):

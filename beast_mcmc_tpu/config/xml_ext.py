@@ -374,6 +374,119 @@ def _simple_tree(ax: XmlAnalysis, el):
 
 
 # ---------------------------------------------------------------------------
+# episodic serially-sampled birth-death (grid form)
+# ---------------------------------------------------------------------------
+
+
+@register("newBirthDeathSerialSampling")
+def _new_bdss(ax: XmlAnalysis, el):
+    """ref: NewBirthDeathSerialSamplingModelParser — episodic BDSS with
+    per-grid-interval rate vectors over [0, cutOff] split into
+    numGridPoints intervals; maps onto
+    models/speciation.episodic_serial_birth_death_loglik."""
+    names = {}
+    names["birth"] = ax.param_from(_child_of(el, "birthRate"))
+    names["death"] = ax.param_from(_child_of(el, "deathRate"))
+    names["psi"] = ax.param_from(_child_of(el, "samplingRate"))
+    names["origin"] = ax.param_from(_child_of(el, "origin"))
+    tp = el.find("treatmentProbability")
+    if tp is not None:
+        names["r"] = ax.param_from(tp)
+    sp = el.find("samplingProbability")
+    if sp is not None:
+        # first entry = sampling probability at present (rho)
+        inner = ax.deref(next(iter(sp)))
+        if inner.tag == "compoundParameter":
+            first = ax.deref(next(iter(inner)))
+            names["rho"] = ax.param_from(first)
+        else:
+            names["rho"] = ax.param_from(sp)
+    cut = el.find("cutOff")
+    ngp = el.find("numGridPoints")
+    if cut is None or ngp is None:
+        raise Unsupported("newBirthDeathSerialSampling without grid")
+    names["cutoff"] = float(np.ravel(ax.value_of(ax.param_from(cut)))[0])
+    names["k"] = int(float(np.ravel(ax.value_of(ax.param_from(ngp)))[0]))
+    return ("spec", "bdss_grid", names)
+
+
+# ---------------------------------------------------------------------------
+# grid-based branch rates
+# ---------------------------------------------------------------------------
+
+
+@register("gridBasedBranchRateModel")
+def _grid_branch_rates(ax: XmlAnalysis, el):
+    """ref: GridBasedBranchRateModel.java — the branch 'rate' is the
+    time-integral of a piecewise-constant rate function over the branch:
+    rate_n = sum_k overlap(branch_n, cell_k) * levelRate_k."""
+    from beast_mcmc_tpu.config.interpreter import ClockModel
+
+    tm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+    rates_n = ax.param_from(_child_of(el, "levelSpecificRates"))
+    grid_n = ax.param_from(_child_of(el, "gridPoints"))
+    if tm is None:
+        raise XmlError("gridBasedBranchRateModel without treeModel")
+    cuts = np.ravel(ax.value_of(grid_n))
+    k = len(cuts) + 1
+
+    def intersections(tree, dt):
+        lo = jnp.concatenate([
+            jnp.asarray([-jnp.inf], dt), jnp.asarray(cuts, dt)])
+        hi = jnp.concatenate([
+            jnp.asarray(cuts, dt), jnp.asarray([jnp.inf], dt)])
+        pidx = jnp.maximum(tree.parent, 0)
+        child = tree.heights
+        par = jnp.where(tree.parent >= 0, tree.heights[pidx], tree.heights)
+        return jnp.clip(
+            jnp.minimum(par[:, None], hi[None, :])
+            - jnp.maximum(child[:, None], lo[None, :]), 0.0)  # [M, K]
+
+    def rates(params, tree):
+        ov = intersections(tree, tree.heights.dtype)
+        r = jnp.ravel(params[rates_n]).astype(tree.heights.dtype)
+        vals = ov @ r
+        return jnp.where(tree.parent >= 0, vals, 0.0)
+
+    class GridClock(ClockModel):
+        def report(self, ax2):
+            from beast_mcmc_tpu.config.xml_assert import (
+                _vec,
+                initial_eval_state,
+            )
+
+            params0, tree0 = initial_eval_state(ax2)
+            tr = ax2.resolve_tree(tm.tree_id, params0, tree0)
+            ov = np.array(intersections(tr, tr.heights.dtype))
+            root = int(np.asarray(tr.root))
+            ov[root] = 0.0
+            r = np.asarray(rates(params0, tr))
+            # reference node numbering: tips as-is, internals in DFS
+            # POSTORDER (NewickParser numbering); permute rows to match
+            par = np.asarray(tr.parent)
+            ch = np.asarray(tr.children)
+            n = (par.shape[0] + 1) // 2
+            post = []
+
+            def dfs(i):
+                if i >= n:
+                    dfs(ch[i, 0])
+                    dfs(ch[i, 1])
+                    post.append(i)
+
+            dfs(root)
+            perm = list(range(n)) + post
+            return (f"Branches intersections matrix: {_vec(ov[perm])}\n"
+                    f"Branch rates: {_vec(r[perm])}\n")
+
+    return GridClock("grid", tm.tree_id, rates, rate_param=rates_n)
+
+
+# ---------------------------------------------------------------------------
 # priors / parameter views
 # ---------------------------------------------------------------------------
 

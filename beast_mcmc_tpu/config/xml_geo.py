@@ -1,0 +1,504 @@
+"""XML vocabulary: general data types, general/log-rate substitution
+models, attribute patterns, and sequence simulation — the discrete
+phylogeography (BSSVS / Makona-class) surface.
+
+Vocabulary (reference parsers cited per builder):
+  generalDataType           (dr.evoxml.GeneralDataTypeParser:45)
+  attributePatterns         (dr.evoxml.AttributePatternsParser)
+  generalSubstitutionModel  (GeneralSubstitutionModelParser.java:47)
+  svsGeneralSubstitutionModel (same parser, BSSVS branch)
+  complexSubstitutionModel  (ComplexSubstitutionModelParser)
+  logRateSubstitutionModel  (LogRateSubstitutionModelParser)
+  beagleSequenceSimulator   (dr.app.beagle.tools.parsers.
+                             BeagleSequenceSimulatorParser)
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from beast_mcmc_tpu.config.interpreter import (
+    Param,
+    Unsupported,
+    XmlAnalysis,
+    XmlError,
+    _attr,
+    _child_of,
+    register,
+)
+
+
+# ---------------------------------------------------------------------------
+# general data type
+# ---------------------------------------------------------------------------
+
+
+@register("generalDataType")
+def _general_data_type(ax: XmlAnalysis, el):
+    """ref: GeneralDataTypeParser — explicit state alphabet with
+    optional ambiguities and aliases."""
+    from beast_mcmc_tpu.data.datatype import DataType
+
+    codes: List[str] = []
+    ambiguities = []  # (code char, tuple of member chars)
+    aliases = []  # (alias char, state char)
+    for c in el:
+        if c.tag == "state":
+            codes.append(c.get("code"))
+        elif c.tag == "ambiguity":
+            states = c.get("states") or ""
+            ambiguities.append((c.get("code"), tuple(states)))
+        elif c.tag == "alias":
+            aliases.append((c.get("code"), c.get("state")))
+    if not codes:
+        raise XmlError("generalDataType without states")
+    k = len(codes)
+    char_map = {ch.upper(): i for i, ch in enumerate(codes)}
+    state_sets = [(i,) for i in range(k)]
+    code_chars = list(codes)
+    for ch, st in aliases:
+        char_map[ch.upper()] = char_map[st.upper()]
+    for ch, members in ambiguities:
+        ss = tuple(sorted(char_map[m.upper()] for m in members)) if members \
+            else tuple(range(k))
+        char_map[ch.upper()] = len(state_sets)
+        state_sets.append(ss)
+        code_chars.append(ch)
+    # the fully-ambiguous code for '?' / '-'
+    full = tuple(range(k))
+    for ch in ("?", "-"):
+        if ch not in char_map:
+            char_map[ch] = len(state_sets)
+            state_sets.append(full)
+            code_chars.append(ch)
+    return DataType(
+        name=el.get("id") or "general",
+        state_count=k,
+        char_map=char_map,
+        state_sets=tuple(state_sets),
+        code_chars=tuple(code_chars),
+    )
+
+
+@register("attributePatterns")
+def _attribute_patterns(ax: XmlAnalysis, el):
+    """ref: AttributePatternsParser — one-column patterns from a taxon
+    attribute (the discrete-trait data path: location, host, ...)."""
+    from beast_mcmc_tpu.data.alignment import SitePatterns
+
+    attr = el.get("attribute")
+    dt = None
+    taxa = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "generalDataType":
+            dt = ax.build(cc)
+        elif cc.tag == "taxa":
+            taxa = ax.build(cc)
+    if dt is None or taxa is None or attr is None:
+        raise XmlError("attributePatterns needs attribute + taxa + dataType")
+    names = [n for n, _ in taxa]
+    states = np.zeros((len(names), 1), np.int16)
+    for i, nm in enumerate(names):
+        vals = ax._taxon_attrs.get(nm, {}).get(attr)
+        if vals is None:
+            raise XmlError(f"taxon {nm!r} has no attribute {attr!r}")
+        states[i, 0] = dt.encode(" ".join(vals).strip())[0] if len(
+            " ".join(vals).strip()) == 1 else dt.char_map.get(
+            " ".join(vals).strip().upper(), dt.unknown_code)
+    return SitePatterns(
+        taxa=names, states=states, weights=np.ones(1), datatype=dt,
+        n_sites=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# general substitution models
+# ---------------------------------------------------------------------------
+
+
+def _freq_model_of(ax, el, tag="frequencies"):
+    """Frequency param name from a <frequencies>/<rootFrequencies> child
+    wrapping a frequencyModel (or a bare parameter)."""
+    fq = el.find(tag)
+    if fq is None:
+        return None
+    for c in fq:
+        cc = ax.deref(c)
+        if cc.tag == "frequencyModel":
+            return ax.build(cc)
+    return ax.param_from(fq)
+
+
+def _complex_q_fn(ax, rates_of, fname, k, normalize=True,
+                  scale_by_freqs=True):
+    """(params -> Q [k,k]) with the reference's complex ordering: first
+    the upper triangle row-major, then the lower triangle in transposed
+    (column-major) order (ref: ComplexSubstitutionModel.setupQMatrix:211-
+    230); normalized to mean rate 1 under pi."""
+    iu = np.triu_indices(k, 1)
+    il_t = (iu[1], iu[0])  # transposed order for the lower block
+
+    def q_fn(params):
+        r = rates_of(params)
+        dt = r.dtype
+        pi = params[fname]
+        pi = pi / jnp.sum(pi)
+        n_half = k * (k - 1) // 2
+        q = jnp.zeros((k, k), dt)
+        col = pi if scale_by_freqs else jnp.ones(k, dt)
+        q = q.at[iu].set(r[:n_half] * col[iu[1]])
+        if r.shape[0] == k * (k - 1):
+            q = q.at[il_t].set(r[n_half:] * col[il_t[1]])
+        else:
+            q = q.at[il_t].set(r[:n_half] * col[il_t[1]])
+        q = q - jnp.diag(jnp.sum(q, axis=1))
+        if normalize:
+            norm = -jnp.sum(pi * jnp.diagonal(q))
+            q = q / norm
+        return q
+
+    return q_fn
+
+
+@register("generalSubstitutionModel", "svsGeneralSubstitutionModel")
+def _general_substitution_model(ax: XmlAnalysis, el):
+    """ref: GeneralSubstitutionModelParser.java:47 — reversible
+    (K(K-1)/2 rates) or non-reversible (K(K-1)) general CTMC, with the
+    BSSVS rateIndicator mask (ref: SVSGeneralSubstitutionModel)."""
+    dt_obj = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "generalDataType":
+            dt_obj = ax.build(cc)
+    fname = _freq_model_of(ax, el)
+    if fname is None:
+        fname = _freq_model_of(ax, el, "rootFrequencies")
+    if fname is None:
+        raise XmlError("generalSubstitutionModel without frequencies")
+    k = dt_obj.state_count if dt_obj is not None else int(
+        np.ravel(ax.value_of(fname)).size)
+    rates_el = el.find("rates")
+    if rates_el is None:
+        raise XmlError("generalSubstitutionModel without rates")
+    if rates_el.get("relativeTo"):
+        raise Unsupported("generalSubstitutionModel relativeTo rates")
+    rname = ax.param_from(rates_el)
+    n_rates = int(np.ravel(ax.value_of(rname)).size)
+    n_half = k * (k - 1) // 2
+    if n_rates not in (n_half, 2 * n_half):
+        raise XmlError(
+            f"rates dimension {n_rates}, need {n_half} or {2 * n_half}")
+    ind_el = el.find("rateIndicator")
+    iname = ax.param_from(ind_el) if ind_el is not None else None
+
+    def rates_of(params):
+        r = jnp.ravel(params[rname])
+        if iname is not None:
+            r = r * jnp.ravel(params[iname])
+        return r
+
+    reversible = n_rates == n_half and iname is None
+
+    def freqs(params):
+        f = params[fname]
+        return f / jnp.sum(f)
+
+    if reversible:
+        from beast_mcmc_tpu.models.substitution import (
+            general_reversible_eigen,
+        )
+
+        def eigen(params):
+            return general_reversible_eigen(rates_of(params), freqs(params))
+
+        return ("subst", eigen, freqs, k)
+    q_fn = _complex_q_fn(ax, rates_of, fname, k)
+    return ("subst_q", q_fn, freqs, k)
+
+
+@register("complexSubstitutionModel")
+def _complex_substitution_model(ax: XmlAnalysis, el):
+    """ref: ComplexSubstitutionModelParser — non-reversible K(K-1)-rate
+    CTMC via the expm path."""
+    return _general_substitution_model(ax, el)
+
+
+@register("logRateSubstitutionModel")
+def _log_rate_substitution_model(ax: XmlAnalysis, el):
+    """ref: LogRateSubstitutionModelParser — rates = exp(logRates) in
+    complex ordering; normalize + scaleRatesByFrequencies attrs."""
+    fname = _freq_model_of(ax, el, "rootFrequencies")
+    if fname is None:
+        fname = _freq_model_of(ax, el)
+    if fname is None:
+        raise XmlError("logRateSubstitutionModel without rootFrequencies")
+    k = int(np.ravel(ax.value_of(fname)).size)
+    lr = el.find("logRates")
+    if lr is None:
+        raise XmlError("logRateSubstitutionModel without logRates")
+    lname = ax.param_from(lr)
+    n = int(np.ravel(ax.value_of(lname)).size)
+    if n != k * (k - 1):
+        # reference sizes the parameter from the data type
+        p = ax._params[lname]
+        ax._params[lname] = Param(
+            lname, np.resize(np.atleast_1d(p.value), k * (k - 1)),
+            p.lower, p.upper)
+    normalize = _attr(el, "normalize", True, bool)
+    scale_by = _attr(el, "scaleRatesByFrequencies", True, bool)
+
+    def rates_of(params):
+        return jnp.exp(jnp.ravel(params[lname]))
+
+    def freqs(params):
+        f = params[fname]
+        return f / jnp.sum(f)
+
+    q_fn = _complex_q_fn(ax, rates_of, fname, k, normalize, scale_by)
+    return ("subst_q", q_fn, freqs, k)
+
+
+# ---------------------------------------------------------------------------
+# GLM substitution models
+# ---------------------------------------------------------------------------
+
+
+@register("glmModel")
+def _glm_model(ax: XmlAnalysis, el):
+    """ref: GeneralizedLinearModelParser (logLinear family) — log-rates
+    are X @ beta; X columns are the designMatrix's parameter children,
+    one per predictor; optional <indicator> spike-and-slab mask."""
+    if el.get("family") not in (None, "logLinear"):
+        raise Unsupported(f"glmModel family {el.get('family')!r}")
+    coef = None
+    design_cols = []
+    ind = None
+    iv = el.find("independentVariables")
+    if iv is None:
+        raise XmlError("glmModel without independentVariables")
+    for c in iv:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            coef = ax.param_from(cc)
+        elif cc.tag == "designMatrix":
+            for p in cc:
+                pp = ax.deref(p)
+                if pp.tag == "parameter":
+                    from beast_mcmc_tpu.config.interpreter import (
+                        _text_values,
+                    )
+
+                    design_cols.append(_text_values(pp))
+        elif cc.tag == "indicator":
+            ind = ax.param_from(cc)
+    if coef is None or not design_cols:
+        raise XmlError("glmModel needs coefficients + designMatrix")
+    design = np.stack(design_cols, axis=1)  # [R, P]
+    return ("glm", design, coef, ind)
+
+
+@register("glmSubstitutionModel", "oldGLMSubstitutionModel")
+def _glm_substitution_model(ax: XmlAnalysis, el):
+    """ref: GLMSubstitutionModelParser — CTMC whose off-diagonal rates
+    are exp(X beta) in the complex ordering (upper then transposed
+    lower), root frequencies from the frequencyModel."""
+    dt_obj = None
+    glm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "generalDataType":
+            dt_obj = ax.build(cc)
+        elif cc.tag == "glmModel":
+            glm = ax.build(cc)
+    fname = _freq_model_of(ax, el, "rootFrequencies")
+    if fname is None:
+        fname = _freq_model_of(ax, el)
+    if fname is None or glm is None:
+        raise XmlError("glmSubstitutionModel needs rootFrequencies+glmModel")
+    k = dt_obj.state_count if dt_obj is not None else int(
+        np.ravel(ax.value_of(fname)).size)
+    _, design, coef, ind = glm
+    normalize = _attr(el, "normalize", True, bool)
+    design_j = jnp.asarray(design)
+
+    def rates_of(params):
+        beta = jnp.ravel(params[coef])
+        if ind is not None:
+            beta = beta * jnp.ravel(params[ind])
+        return jnp.exp(design_j.astype(beta.dtype) @ beta)
+
+    def freqs(params):
+        f = params[fname]
+        return f / jnp.sum(f)
+
+    q_fn = _complex_q_fn(ax, rates_of, fname, k, normalize, True)
+    out = ("subst_q", q_fn, freqs, k)
+    ax._glm_subst = getattr(ax, "_glm_subst", {})
+    ax._glm_subst[el.get("id") or "glm"] = (out, coef)
+    return out
+
+
+@register("glmSubstitutionModelGradient",
+          "substitutionGeneratorGradient")
+def _glm_substitution_gradient(ax: XmlAnalysis, el):
+    """ref: GlmSubstitutionModelGradientParser — gradient of the tree
+    data likelihood wrt the GLM fixed-effect coefficients (jax.grad
+    differentiates through the expm transition path exactly)."""
+    from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+    lik = None
+    coef = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("treeDataLikelihood", "treeLikelihood"):
+            lik = ax.build(cc)
+            # the reference provider reports the FIRST-ORDER approximate
+            # generator gradient; use the surrogate-gradient likelihood
+            sur = getattr(ax, "_surrogate_liks", {}).get(cc.get("id"))
+            if sur is not None:
+                lik = sur
+        elif cc.tag == "glmSubstitutionModel":
+            ax.build(cc)
+            _, coef = getattr(ax, "_glm_subst", {}).get(
+                cc.get("id") or "glm", (None, None))
+    if lik is None or coef is None:
+        raise XmlError(
+            "glmSubstitutionModelGradient needs likelihood + glm model")
+    return GradientSpec((coef,), (lik,))
+
+
+# ---------------------------------------------------------------------------
+# sequence simulation
+# ---------------------------------------------------------------------------
+
+
+@register("beagleSequenceSimulator", "sequenceSimulator")
+def _sequence_simulator(ax: XmlAnalysis, el):
+    """ref: BeagleSequenceSimulatorParser / SequenceSimulatorParser —
+    simulate an alignment down the tree under the partition's
+    substitution + site + clock models (host-side, parse-time; uses the
+    analysis RNG). Returns an Alignment usable by <patterns>."""
+    from scipy.linalg import expm
+
+    from beast_mcmc_tpu.config.xml_assert import initial_eval_state
+    from beast_mcmc_tpu.data.alignment import Alignment
+    from beast_mcmc_tpu.data.datatype import NUCLEOTIDES
+
+    parts = el.findall("partition")
+    if not parts:
+        raise XmlError("sequence simulator without <partition>")
+    cols = []  # simulated site columns
+    taxa_names = None
+    datatype = None
+    for part in parts:
+        tm = site = clock = None
+        sub = None
+        root_freq_name = None
+        for c in part:
+            cc = ax.deref(c)
+            if cc.tag in ("treeModel", "starTreeModel"):
+                tm = ax.build(cc)
+            elif cc.tag == "siteModel":
+                site = ax.build(cc)
+            elif cc.tag == "frequencyModel":
+                root_freq_name = ax.build(cc)
+            elif cc.tag in ("strictClockBranchRates",
+                            "discretizedBranchRates",
+                            "arbitraryBranchRates"):
+                clock = ax.build(cc)
+            elif cc.tag.endswith("Model") or cc.tag.endswith("model"):
+                try:
+                    maybe = ax.build(cc)
+                    if isinstance(maybe, tuple) and maybe[0] in (
+                            "subst", "subst_q"):
+                        sub = maybe
+                except Unsupported:
+                    pass
+        if site is None or tm is None:
+            raise XmlError("simulator partition needs treeModel + siteModel")
+        # snapshot AFTER the partition models built (they may register
+        # parameters)
+        params0, tree0 = initial_eval_state(ax)
+        _, eig_or_q, freqs_of, s, rates_weights = site
+        kind = site[0]
+        frm = _attr(part, "from", 1, int)
+        to = _attr(part, "to", frm, int)
+        n_sites = to - frm + 1
+        every = _attr(part, "every", 1, int)
+        n_sites = max(1, n_sites // every)
+
+        tr = ax.resolve_tree(tm.tree_id, params0, tree0)
+        heights = np.asarray(tr.heights)
+        parent = np.asarray(tr.parent)
+        children = np.asarray(tr.children)
+        root = int(np.asarray(tr.root))
+        m = parent.shape[0]
+        n_tips = (m + 1) // 2
+
+        # host-side Q at the initial state: eigen-form reconstructs
+        # Q = U diag(v) U^-1; q-form evaluates directly
+        if kind == "site_q":
+            q = np.asarray(eig_or_q(params0))
+        else:
+            eig = eig_or_q(params0)
+            q = (np.asarray(eig.U)
+                 @ np.diag(np.asarray(eig.values))
+                 @ np.asarray(eig.U_inv))
+        r, w = rates_weights(params0, np.float64)
+        r = np.asarray(r, np.float64)
+        w = np.asarray(w, np.float64)
+        pi0 = (np.ravel(np.asarray(params0[root_freq_name]))
+               if root_freq_name else np.asarray(freqs_of(params0)))
+        pi0 = pi0 / pi0.sum()
+        br = (np.broadcast_to(
+            np.ravel(np.asarray(clock.rates(params0, tr))), (m,))
+            if clock is not None else np.ones(m))
+
+        rng = ax._rng
+        cats = rng.choice(len(r), size=n_sites, p=w / w.sum())
+        states = np.zeros((m, n_sites), np.int16)
+        states[root] = rng.choice(len(pi0), size=n_sites, p=pi0)
+        # preorder: parents before children
+        order = np.argsort(-heights)
+        s_count = q.shape[0]
+        for node in order:
+            if node == root:
+                continue
+            t = heights[parent[node]] - heights[node]
+            p_cat = [expm(q * max(t * br[node], 0.0) * rc) for rc in r]
+            for ci, pmat in enumerate(p_cat):
+                pmat = np.clip(pmat, 0.0, None)
+                pmat /= pmat.sum(axis=1, keepdims=True)
+                sel = np.where(cats == ci)[0]
+                if sel.size == 0:
+                    continue
+                parent_states = states[parent[node], sel]
+                u = rng.random(sel.size)
+                cdf = np.cumsum(pmat[parent_states], axis=1)
+                states[node, sel] = (u[:, None] > cdf).sum(axis=1)
+        cols.append(states[:n_tips])
+        taxa_names = tm.taxa
+        datatype = (sub[3] if False else None) or None
+        # recover a DataType for the alignment: prefer one declared in
+        # the document matching the state count
+        from beast_mcmc_tpu.data.datatype import AMINO_ACIDS
+
+        datatype = None
+        for d_el in ax.root.iter("generalDataType"):
+            cand = ax.build(d_el)
+            if cand.state_count == s_count:
+                datatype = cand
+                break
+        if datatype is None:
+            datatype = {4: NUCLEOTIDES, 20: AMINO_ACIDS}.get(s_count)
+        if datatype is None:
+            raise Unsupported(
+                f"simulator output alphabet ({s_count} states)")
+    all_states = np.concatenate(cols, axis=1)
+    return Alignment(list(taxa_names), all_states.astype(np.int16),
+                     datatype)

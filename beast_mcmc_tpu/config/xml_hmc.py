@@ -389,9 +389,12 @@ def _gradient(ax: XmlAnalysis, el):
         if isinstance(obj, LikelihoodFn):
             liks.append(obj)
         elif isinstance(obj, GradientSpec):
-            names.extend(obj.param_names)
+            names.extend(obj.target_names())
             liks.extend(obj.likelihoods)
-    return GradientSpec(tuple(names), tuple(liks))
+    # duplicate targets across joint terms collapse (ref: JointGradient
+    # sums same-parameter contributions); duplicate likelihood objects
+    # must NOT collapse — each term scores once
+    return GradientSpec(tuple(dict.fromkeys(names)), tuple(liks))
 
 
 # ---------------------------------------------------------------------------

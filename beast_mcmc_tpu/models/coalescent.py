@@ -159,7 +159,10 @@ def skygrid_loglik(
         choose2[:, None] * overlap * jnp.exp(-log_pop_sizes)[None, :]
     )
     # event terms: -gamma(cell containing each coalescent time)
-    cell_idx = jnp.searchsorted(cut_points, times, side="right")
+    # an event exactly AT a grid point belongs to the cell BELOW it (ref:
+    # SingleTreeGriddedNodesTimeline merged-timeline convention — upper
+    # endpoint inclusive), hence side="left"
+    cell_idx = jnp.searchsorted(cut_points, times, side="left")
     event_term = -jnp.sum(jnp.where(is_coal, log_pop_sizes[cell_idx], 0.0))
     return interval_term + event_term
 

