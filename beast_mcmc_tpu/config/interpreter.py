@@ -423,8 +423,36 @@ class XmlAnalysis:
             cols = self._log_columns(lg)
             logs.append((fname, log_every, cols))
 
-        if logs:
-            base_every = min(le for _, le, _ in logs)
+        # tree logs: (fileName, every, tree_id, [(tag, states_fn,
+        # labels)]) — ancestral-state children annotate every node (ref:
+        # TreeLogger + AncestralStateBeagleTreeLikelihood:274)
+        tree_logs = []
+        for lg in el.findall("logTree"):
+            fname = lg.get("fileName")
+            if fname is None:
+                continue
+            t_every = max(1, int(_attr(lg, "logEvery", 1000, int)
+                                 * self.scale))
+            t_tid = None
+            annotators = []
+            for c in lg:
+                cc = self.deref(c)
+                if cc.tag in ("treeModel", "starTreeModel"):
+                    t_tid = self.build(cc).tree_id
+                elif cc.tag in ("ancestralTreeLikelihood",
+                                "markovJumpsTreeLikelihood"):
+                    self.build(cc)
+                    rec = getattr(self, "_ancestral_liks", {}).get(
+                        cc.get("id"))
+                    if rec is not None and rec.get("states_fn"):
+                        annotators.append(
+                            (rec["tag"], rec["states_fn"], rec["labels"]))
+            if t_tid is not None:
+                tree_logs.append((fname, t_every, t_tid, annotators))
+
+        if logs or tree_logs:
+            base_every = min([le for _, le, _ in logs]
+                             + [te for _, te, _, _ in tree_logs])
         else:
             base_every = max(1, chain_length // 1000)
 
@@ -433,6 +461,19 @@ class XmlAnalysis:
             for fname, _, cols in logs:
                 for cname, fn in cols:
                     out[f"{fname}\x00{cname}"] = fn(s)
+            for fname, _, tid, annotators in tree_logs:
+                tr = self.resolve_tree(tid, s.params, s.tree)
+                out[f"{fname}\x00__parent"] = tr.parent
+                out[f"{fname}\x00__children"] = tr.children
+                out[f"{fname}\x00__heights"] = tr.heights
+                out[f"{fname}\x00__root"] = tr.root
+                for tag, states_fn, _labels in annotators:
+                    import zlib
+
+                    k = jax.random.fold_in(
+                        s.key, zlib.crc32(tag.encode()) % (2**31))
+                    out[f"{fname}\x00__ann_{tag}"] = states_fn(
+                        s.params, tr, k)
             return out
 
         n_blocks = max(1, chain_length // base_every)
@@ -453,6 +494,45 @@ class XmlAnalysis:
                 table[cname] = arr[::stride]
             table["_states_per_sample"] = np.array([log_every])
             self.results[fname] = table
+
+        # write NEXUS tree logs (with ancestral-state annotations)
+        import os as _os
+
+        from beast_mcmc_tpu.inference.loggers import NexusTreeLogger
+
+        for fname, t_every, tid, annotators in tree_logs:
+            stride = max(1, t_every // base_every)
+            parents = np.asarray(trace[f"{fname}\x00__parent"])[::stride]
+            childs = np.asarray(trace[f"{fname}\x00__children"])[::stride]
+            hts = np.asarray(trace[f"{fname}\x00__heights"])[::stride]
+            roots = np.asarray(trace[f"{fname}\x00__root"])[::stride]
+            anns = {
+                tag: (np.asarray(trace[f"{fname}\x00__ann_{tag}"])[::stride],
+                      labels)
+                for tag, _f, labels in annotators
+            }
+            tm_l = self._trees[tid]
+            path = _os.path.join(self.workdir, fname)
+            with open(path, "w") as fh:
+                tl = NexusTreeLogger(tm_l.taxa, fh)
+                for i in range(parents.shape[0]):
+                    node_ann = None
+                    if anns:
+                        node_ann = {}
+                        for tag, (st, labels) in anns.items():
+                            for node in range(st.shape[1]):
+                                code = int(st[i, node])
+                                lab = (labels[code] if labels
+                                       and 0 <= code < len(labels)
+                                       else str(code))
+                                prev = node_ann.get(node)
+                                entry = f'{tag}="{lab}"'
+                                node_ann[node] = (
+                                    f"{prev},{entry}" if prev else entry)
+                    tl.log_tree(int((i + 1) * t_every), parents[i],
+                                childs[i], hts[i], roots[i],
+                                annotations=node_ann)
+                tl.close()
         self._last_state = state
         self._last_operators = operators
 
@@ -1348,7 +1428,8 @@ def _tree_model(ax: XmlAnalysis, el):
     for c in el:
         cc = ax.deref(c)
         if cc.tag in ("coalescentTree", "coalescentSimulator", "newick",
-                      "tree"):
+                      "tree", "upgmaTree", "neighborJoiningTree",
+                      "rescaledTree"):
             src = ax.build(cc)
             break
     if src is None:
@@ -2149,6 +2230,13 @@ def _tree_likelihood(ax: XmlAnalysis, el):
             )
         return tot
 
+    # components for ancestral-state / Markov-jump annotation builders
+    ax._treelik_parts = getattr(ax, "_treelik_parts", {})
+    ax._treelik_parts[el.get("id") or "treeLikelihood"] = dict(
+        tips=tips_j, w=w_j, site_kind=site_kind, eigen=eigen,
+        freqs_of=freqs_of, rates_weights=rates_weights, clock=clock,
+        tm=tm, dtype=dtype, n_taxa=len(tm.taxa))
+
     if site_kind == "site_q":
         # surrogate with the reference's first-order generator gradient
         # (used by the approximate CTMC-rate gradient providers)
@@ -2663,6 +2751,19 @@ def _compound_likelihood(ax: XmlAnalysis, el):
             # a branch-rate model inside <likelihood> contributes nothing
             # itself (its density is in the rate construction)
             continue
+        if (isinstance(obj, tuple) and obj
+                and obj[0] in ("subst", "subst_q")):
+            # an SVS substitution model inside <prior> contributes its
+            # indicator-connectivity density (ref:
+            # SVSGeneralSubstitutionModel.getLogLikelihood():111-115)
+            cid = ax.deref(c).get("id")
+            if cid and cid in getattr(ax, "_svs_models", {}):
+                from beast_mcmc_tpu.config.xml_geo import (
+                    svs_connectivity_prior,
+                )
+
+                parts.append(svs_connectivity_prior(ax, cid))
+            continue
         if not isinstance(obj, LikelihoodFn):
             raise Unsupported(f"<{el.tag}> child <{ax.deref(c).tag}>")
         parts.append(obj)
@@ -3033,6 +3134,20 @@ def _build_operator(ax: XmlAnalysis, el):
     if tag == "bitFlipOperator":
         kind, obj, tid = _op_target(ax, el)
         return O.BitFlipOperator(parameter=obj.name, weight=w), tid
+
+    if tag == "bitFlipInSubstitutionModelOperator":
+        # ref: BitFlipInSubstitutionModelOperator — flips an SVS
+        # indicator bit and rescales mu; substituted by the plain
+        # posterior-preserving bit-flip (mu has its own scale operator)
+        for c in el:
+            cc = ax.deref(c)
+            if cc.tag in ("svsGeneralSubstitutionModel",
+                          "generalSubstitutionModel"):
+                ax.build(cc)
+                rec = getattr(ax, "_svs_models", {}).get(cc.get("id"))
+                if rec is not None:
+                    return O.BitFlipOperator(parameter=rec[1], weight=w), None
+        raise Unsupported("bitFlipInSubstitutionModelOperator structure")
 
     if tag == "gmrfBlockUpdateOperator":
         # posterior-preserving substitution (see module docstring)

@@ -277,14 +277,204 @@ def _ancestral_tree_likelihood(ax: XmlAnalysis, el):
     analysis for the logTree builder (ops/ancestral.py,
     ops/markov_jumps.py kernels)."""
     lik = _tree_likelihood(ax, el)
+    lid = el.get("id") or lik.name
+    parts = ax._treelik_parts[lid]
+
+    def states_fn(params, tree, key):
+        """Joint in-jit draw of node states for the FIRST pattern (the
+        discrete-trait case has exactly one pattern) — ref:
+        AncestralStateBeagleTreeLikelihood.traverseSample:274."""
+        from beast_mcmc_tpu.models.treelikelihood import branch_lengths
+        from beast_mcmc_tpu.ops.ancestral import sample_ancestral_states
+        from beast_mcmc_tpu.ops.eigen import transition_probs
+        from beast_mcmc_tpu.ops.expm import transition_probs_expm
+        from beast_mcmc_tpu.ops.peeling import peel_order_from_heights
+
+        r, w = parts["rates_weights"](params, parts["dtype"])
+        br = parts["clock"].rates(params, tree)
+        bl = branch_lengths(tree.parent, tree.heights) * br
+        t = bl[:, None] * r[None, :]
+        if parts["site_kind"] == "site_q":
+            p_mats = transition_probs_expm(parts["eigen"](params), t)
+        else:
+            p_mats = transition_probs(parts["eigen"](params), t)
+        order = peel_order_from_heights(tree.heights, parts["n_taxa"])
+        states, _, _ = sample_ancestral_states(
+            parts["tips"], tree.children, order, tree.root, p_mats,
+            parts["freqs_of"](params), w, key)
+        return states[:, 0]
+
+    # the data type's state labels for annotation strings
+    dt_obj = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("patterns", "attributePatterns", "mergePatterns"):
+            pat = ax.build(cc)
+            dt_obj = pat.datatype
     ax._ancestral_liks = getattr(ax, "_ancestral_liks", {})
-    ax._ancestral_liks[el.get("id") or lik.name] = {
+    ax._ancestral_liks[lid] = {
         "lik": lik,
-        "tag": el.get("tagName") or el.get("stateTagName")
-        or (el.get("id") or lik.name) + ".states",
+        "tag": el.get("tagName") or el.get("stateTagName") or "states",
         "jumps": el.tag == "markovJumpsTreeLikelihood",
+        "states_fn": states_fn,
+        "tree_id": parts["tm"].tree_id,
+        "labels": (list(dt_obj.code_chars[:dt_obj.state_count])
+                   if dt_obj is not None else None),
     }
     return lik
+
+
+# ---------------------------------------------------------------------------
+# distance-matrix starting trees
+# ---------------------------------------------------------------------------
+
+
+def _jc_distance_matrix(ax, el):
+    """Pairwise distances from the <distanceMatrix> child (ref:
+    dr.evolution.distance.DistanceMatrix / JukesCantorDistanceMatrix)."""
+    dm = el.find("distanceMatrix")
+    if dm is None:
+        raise XmlError(f"<{el.tag}> without <distanceMatrix>")
+    correction = dm.get("correction", "none")
+    aln = None
+    for c in dm:
+        cc = ax.deref(c)
+        if cc.tag in ("patterns", "alignment"):
+            obj = ax.build(cc)
+            aln = obj
+    if aln is None:
+        raise XmlError("<distanceMatrix> without alignment/patterns")
+    states = np.asarray(aln.states)
+    weights = getattr(aln, "weights", np.ones(states.shape[1]))
+    k = aln.datatype.state_count
+    n = states.shape[0]
+    valid = states < k  # unambiguous canonical states only
+    d = np.zeros((n, n))
+    for i in range(n):
+        both = valid[i] & valid
+        diff = (states[i] != states) & both
+        tot = (both * weights).sum(axis=1)
+        p = np.where(tot > 0, (diff * weights).sum(axis=1)
+                     / np.maximum(tot, 1), 0.0)
+        if correction.upper() == "JC":
+            b = (k - 1.0) / k
+            p = np.where(p < b, -b * np.log(1.0 - p / b), 10.0)
+        d[i] = p
+    np.fill_diagonal(d, 0.0)
+    return aln, d
+
+
+def _tree_from_clustering(names, tip_heights, parent, children, heights):
+    """Push internal heights above dated tips (the reference's TreeModel
+    constructor re-validates heights against taxon dates)."""
+    n = len(names)
+    m = parent.shape[0]
+    heights = heights.copy()
+    heights[:n] = tip_heights
+    order = np.argsort([heights[i] for i in range(m)])
+    # bottom-up fix: parent strictly above children
+    def fix(i):
+        if children[i, 0] >= 0:
+            for c in children[i]:
+                fix(c)
+            hmax = max(heights[children[i, 0]], heights[children[i, 1]])
+            if heights[i] <= hmax:
+                heights[i] = hmax + 1e-4
+    root = int(np.where(parent < 0)[0][0])
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 2 * m + 100))
+    fix(root)
+    sys.setrecursionlimit(old)
+    return (names, np.asarray(tip_heights), parent, children, heights, root)
+
+
+@register("upgmaTree")
+def _upgma_tree(ax: XmlAnalysis, el):
+    """ref: UPGMATreeParser — rough starting tree by UPGMA over the
+    (JC-corrected) distance matrix; tip dates re-imposed afterwards."""
+    aln, d = _jc_distance_matrix(ax, el)
+    names = list(aln.taxa)
+    n = len(names)
+    m = 2 * n - 1
+    parent = np.full(m, -1, np.int32)
+    children = np.full((m, 2), -1, np.int32)
+    heights = np.zeros(m)
+    active = {i: 1 for i in range(n)}  # node -> cluster size
+    dist = {(i, j): d[i, j] for i in range(n) for j in range(i + 1, n)}
+    nxt = n
+    while len(active) > 1:
+        (a, b), dm_ab = min(dist.items(), key=lambda kv: kv[1])
+        h = dm_ab / 2.0
+        children[nxt] = (a, b)
+        parent[a] = parent[b] = nxt
+        heights[nxt] = h
+        sa, sb = active.pop(a), active.pop(b)
+        new = {}
+        for (i, j), v in dist.items():
+            if a in (i, j) or b in (i, j):
+                other = i if j in (a, b) else j
+                if other in (a, b):
+                    continue
+                key = (min(other, nxt), max(other, nxt))
+                va = dist.get((min(other, a), max(other, a)), 0.0)
+                vb = dist.get((min(other, b), max(other, b)), 0.0)
+                new[key] = (sa * va + sb * vb) / (sa + sb)
+            else:
+                new[(i, j)] = v
+        dist = new
+        active[nxt] = sa + sb
+        nxt += 1
+    tip_h = aln.tip_heights() if hasattr(aln, "tip_heights") else np.zeros(n)
+    return _tree_from_clustering(names, tip_h, parent, children, heights)
+
+
+@register("neighborJoiningTree")
+def _nj_tree(ax: XmlAnalysis, el):
+    """ref: NeighborJoiningTreeParser — NJ topology; node heights from
+    midpoint-ish clustering (starting tree only, heights re-validated)."""
+    aln, d0 = _jc_distance_matrix(ax, el)
+    names = list(aln.taxa)
+    n = len(names)
+    m = 2 * n - 1
+    parent = np.full(m, -1, np.int32)
+    children = np.full((m, 2), -1, np.int32)
+    heights = np.zeros(m)
+    nodes = list(range(n))
+    d = {(i, j): d0[i, j] for i in range(n) for j in range(i + 1, n)}
+
+    def dd(i, j):
+        return d[(min(i, j), max(i, j))]
+
+    nxt = n
+    while len(nodes) > 2:
+        r = len(nodes)
+        sums = {i: sum(dd(i, j) for j in nodes if j != i) for i in nodes}
+        best, pair = None, None
+        for ii in range(r):
+            for jj in range(ii + 1, r):
+                i, j = nodes[ii], nodes[jj]
+                qv = (r - 2) * dd(i, j) - sums[i] - sums[j]
+                if best is None or qv < best:
+                    best, pair = qv, (i, j)
+        a, b = pair
+        children[nxt] = (a, b)
+        parent[a] = parent[b] = nxt
+        heights[nxt] = max(heights[a], heights[b]) + dd(a, b) / 2.0
+        for k2 in nodes:
+            if k2 in (a, b):
+                continue
+            d[(min(k2, nxt), max(k2, nxt))] = 0.5 * (
+                dd(a, k2) + dd(b, k2) - dd(a, b))
+        nodes = [x for x in nodes if x not in (a, b)] + [nxt]
+        nxt += 1
+    a, b = nodes
+    children[nxt] = (a, b)
+    parent[a] = parent[b] = nxt
+    heights[nxt] = max(heights[a], heights[b]) + dd(a, b) / 2.0
+    tip_h = aln.tip_heights() if hasattr(aln, "tip_heights") else np.zeros(n)
+    return _tree_from_clustering(names, tip_h, parent, children, heights)
 
 
 # ---------------------------------------------------------------------------
@@ -489,6 +679,18 @@ def _grid_branch_rates(ax: XmlAnalysis, el):
 # ---------------------------------------------------------------------------
 # priors / parameter views
 # ---------------------------------------------------------------------------
+
+
+@register("cachedPrior")
+def _cached_prior(ax: XmlAnalysis, el):
+    """ref: CachedDistributionLikelihoodParser — caching is an execution
+    detail (XLA re-evaluates the fused density); delegates to the inner
+    prior."""
+    for c in el:
+        obj = ax.build(c)
+        if isinstance(obj, LikelihoodFn):
+            return obj
+    raise XmlError("<cachedPrior> without an inner prior")
 
 
 @register("halfNormalPrior")

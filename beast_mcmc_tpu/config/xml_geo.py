@@ -208,6 +208,10 @@ def _general_substitution_model(ax: XmlAnalysis, el):
         f = params[fname]
         return f / jnp.sum(f)
 
+    if iname is not None:
+        # BSSVS bookkeeping for the connectivity prior + rate statistics
+        ax._svs_models = getattr(ax, "_svs_models", {})
+        ax._svs_models[el.get("id") or "svs"] = (rname, iname, k, n_rates)
     if reversible:
         from beast_mcmc_tpu.models.substitution import (
             general_reversible_eigen,
@@ -219,6 +223,34 @@ def _general_substitution_model(ax: XmlAnalysis, el):
         return ("subst", eigen, freqs, k)
     q_fn = _complex_q_fn(ax, rates_of, fname, k)
     return ("subst_q", q_fn, freqs, k)
+
+
+def svs_connectivity_prior(ax, el_id: str):
+    """ref: SVSGeneralSubstitutionModel.getLogLikelihood():111-115 — the
+    BSSVS indicator configuration must keep the rate graph connected
+    (else -inf). Reachability via log2(K) boolean matrix squarings."""
+    from beast_mcmc_tpu.config.interpreter import LikelihoodFn
+
+    rname, iname, k, n_rates = ax._svs_models[el_id]
+    iu = np.triu_indices(k, 1)
+    n_half = k * (k - 1) // 2
+
+    def fn(params, tree):
+        ind = jnp.ravel(params[iname]) > 0.5
+        adj = jnp.eye(k, dtype=bool)
+        adj = adj.at[iu].set(ind[:n_half])
+        adj = adj.at[(iu[1], iu[0])].set(
+            ind[n_half:] if n_rates == 2 * n_half else ind[:n_half])
+        # undirected reachability is the reference's practical criterion
+        adj = adj | adj.T
+        steps = int(np.ceil(np.log2(max(k, 2))))
+        for _ in range(steps):
+            adj = jnp.einsum("ij,jk->ik", adj.astype(jnp.int32),
+                             adj.astype(jnp.int32)) > 0
+        ok = jnp.all(adj)
+        return jnp.where(ok, 0.0, -jnp.inf)
+
+    return LikelihoodFn(fn, None, f"{el_id}.connectivity")
 
 
 @register("complexSubstitutionModel")

@@ -71,13 +71,14 @@ class NexusTreeLogger:
         self.out.write("\t\t;\n")
         self._open = True
 
-    def log_tree(self, state_num: int, parent, children, heights, root):
+    def log_tree(self, state_num: int, parent, children, heights, root,
+                 annotations=None):
         if not self._open:
             self.write_header()
         newick = to_newick(
             np.asarray(parent), np.asarray(children), np.asarray(heights),
             int(root), [str(i + 1) for i in range(len(self.taxa))],
-            include_labels=True,
+            include_labels=True, annotations=annotations,
         )
         self.out.write(f"tree STATE_{int(state_num)} = [&R] {newick}\n")
 

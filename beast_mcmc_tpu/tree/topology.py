@@ -266,17 +266,26 @@ def to_newick(
     taxa: Sequence[str],
     digits: int = 6,
     include_labels: bool = True,
+    annotations: Optional[Dict[int, str]] = None,
 ) -> str:
-    """Serialize flat arrays back to Newick (branch lengths from heights)."""
+    """Serialize flat arrays back to Newick (branch lengths from heights).
+
+    `annotations` maps node index -> a BEAST-style bracket comment body
+    (e.g. 'location="Fujian"'), emitted as `[&...]` before the branch
+    length — the reference's per-node trait annotation format (ref:
+    TreeLogger.java / AncestralStateBeagleTreeLikelihood.formatTrait)."""
     children = np.asarray(children)
     heights = np.asarray(heights)
     n = len(taxa)
+    ann = annotations or {}
 
     def fmt_bl(node, par):
+        a = ann.get(node)
+        s = f"[&{a}]" if a else ""
         if par < 0:
-            return ""
+            return s
         bl = heights[par] - heights[node]
-        return f":{bl:.{digits}f}"
+        return f"{s}:{bl:.{digits}f}"
 
     # iterative post-order to avoid recursion limits on big trees
     out: Dict[int, str] = {}
