@@ -262,11 +262,37 @@ class XmlAnalysis:
                         p = cc
                         break
             if p is None:
+                # a bare numeric body ("<shape>1</shape>") is a constant
+                # parameter (ref: XMLParser auto-boxes doubles)
+                txt = (el.text or "").split()
+                try:
+                    vals = np.array([float(x) for x in txt])
+                except ValueError:
+                    vals = np.array([])
+                if vals.size:
+                    name = f"const{len(self._params)}"
+                    self._params[name] = Param(
+                        name,
+                        vals if vals.size > 1
+                        else np.asarray(float(vals[0])))
+                    return name
                 raise XmlError(f"no <parameter> under <{el.tag}>")
             el = self.deref(p)
         obj = self.build(el)
         if isinstance(obj, TreeAlias):
             raise XmlError("tree-view parameter where real parameter expected")
+        if isinstance(obj, CompoundParam):
+            # materialize the concatenation as a parse-time constant
+            # (compound targets that need LIVE member tracking go through
+            # builders that handle CompoundParam directly)
+            name = el.get("id") or f"compound{len(self._params)}"
+            key = f"__materialized__{name}"
+            if key not in self._params:
+                vals = np.concatenate([
+                    np.atleast_1d(self._params[n].value)
+                    for n in obj.names])
+                self._params[key] = Param(key, vals)
+            return key
         return obj.name
 
     def value_of(self, name: str) -> np.ndarray:
@@ -486,6 +512,8 @@ class XmlAnalysis:
         if not np.isfinite(lp):
             raise AssertionError(f"chain ended with non-finite posterior {lp}")
 
+        import os as _os
+
         for fname, log_every, cols in logs:
             stride = max(1, log_every // base_every)
             table = {}
@@ -494,10 +522,18 @@ class XmlAnalysis:
                 table[cname] = arr[::stride]
             table["_states_per_sample"] = np.array([log_every])
             self.results[fname] = table
+            # Tracer-compatible on-disk log (ref: TabDelimitedFormatter)
+            from beast_mcmc_tpu.inference.loggers import TabLogger
+
+            names = [c for c, _ in cols]
+            with open(_os.path.join(self.workdir, fname), "w") as fh:
+                tl = TabLogger(names, fh)
+                n_rows = len(table[names[0]]) if names else 0
+                for i in range(n_rows):
+                    tl.log((i + 1) * log_every,
+                           {c: table[c][i] for c in names})
 
         # write NEXUS tree logs (with ancestral-state annotations)
-        import os as _os
-
         from beast_mcmc_tpu.inference.loggers import NexusTreeLogger
 
         for fname, t_every, tid, annotators in tree_logs:
@@ -738,6 +774,28 @@ def register_operator(*tags):
 # -- data -------------------------------------------------------------------
 
 
+def _date_value(d) -> float:
+    """Decimal-year value of a <date> (ref: dr.evolution.util.Date —
+    accepts a number or a dd/MM/yyyy calendar string)."""
+    v = d.get("value")
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    parts = v.replace("-", "/").split("/")
+    if len(parts) == 3:
+        day, month, year = (int(parts[0]), int(parts[1]), int(parts[2]))
+        if day > 31:  # yyyy/MM/dd
+            day, year = year, day
+        import datetime
+
+        dt0 = datetime.date(year, month, day)
+        start = datetime.date(year, 1, 1)
+        length = (datetime.date(year + 1, 1, 1) - start).days
+        return year + (dt0 - start).days / length
+    raise XmlError(f"cannot parse date value {v!r}")
+
+
 @register("taxa")
 def _taxa(ax: XmlAnalysis, el):
     taxa = []
@@ -750,7 +808,7 @@ def _taxa(ax: XmlAnalysis, el):
         d = t.find("date")
         if d is not None:
             d = ax.deref(d)
-            v = float(d.get("value"))
+            v = _date_value(d)
             direction = d.get("direction", "backwards")
             height = v if direction == "backwards" else -v
         # taxon attributes (continuous trait vectors, discrete states;
@@ -775,10 +833,20 @@ def _date(ax, el):
 @register("alignment")
 def _alignment(ax: XmlAnalysis, el):
     from beast_mcmc_tpu.data.alignment import Alignment
-    from beast_mcmc_tpu.data.datatype import AMINO_ACIDS, NUCLEOTIDES
+    from beast_mcmc_tpu.data.datatype import (
+        AMINO_ACIDS,
+        BINARY,
+        NUCLEOTIDES,
+    )
 
     dt = el.get("dataType", "nucleotide")
-    datatype = {"nucleotide": NUCLEOTIDES, "amino acid": AMINO_ACIDS}.get(dt)
+    datatype = {"nucleotide": NUCLEOTIDES, "amino acid": AMINO_ACIDS,
+                "binary": BINARY, "twoStates": BINARY}.get(dt)
+    if datatype is None:
+        for d_el in ax.root.iter("generalDataType"):
+            if d_el.get("id") == dt:
+                datatype = ax.build(d_el)
+                break
     if datatype is None:
         raise Unsupported(f"alignment dataType {dt!r}")
     taxa, seqs, dates = [], [], {}
@@ -794,7 +862,7 @@ def _alignment(ax: XmlAnalysis, el):
         d = tx.find("date")
         if d is not None:
             d = ax.deref(d)
-            v = float(d.get("value"))
+            v = _date_value(d)
             if d.get("direction", "backwards") == "backwards":
                 dates[name] = -v
             else:
@@ -823,7 +891,49 @@ def _patterns(ax: XmlAnalysis, el):
     to = _attr(el, "to", -1, int)
     to = to - 1 if to and to > 0 else -1
     every = _attr(el, "every", 1, int)
-    return SitePatterns.from_alignment(src, site_range=(frm, to), every=every)
+    pats = SitePatterns.from_alignment(src, site_range=(frm, to),
+                                       every=every)
+    if not _attr(el, "unique", True, bool):
+        # site-order-preserving (ref: SitePatternsParser UNIQUE=false —
+        # per-site traits like latent liabilities need column identity)
+        lo, hi = frm, (src.n_sites if to < 0 else to + 1)
+        states = src.states[:, lo:hi:every]
+        pats = SitePatterns(
+            taxa=pats.taxa, states=states,
+            weights=np.ones(states.shape[1]), datatype=pats.datatype,
+            n_sites=states.shape[1])
+    return pats
+
+
+@register("ascertainedPatterns")
+def _ascertained_patterns(ax: XmlAnalysis, el):
+    """ref: AscertainedSitePatternsParser — data patterns plus the
+    include/exclude correction columns; the likelihood renormalizes each
+    site by P(ascertainable) (models/treelikelihood.ascertained_loglik)."""
+    from beast_mcmc_tpu.data.alignment import SitePatterns
+
+    src = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "alignment":
+            src = ax.build(cc)
+    if src is None:
+        raise XmlError("<ascertainedPatterns> without <alignment>")
+    frm = _attr(el, "from", 1, int) - 1
+    to = _attr(el, "to", -1, int)
+    to = to - 1 if to and to > 0 else -1
+    pats = SitePatterns.from_alignment(src, site_range=(frm, to))
+    # correction columns, 1-based site ranges on the ORIGINAL alignment
+    cols = []
+    for tag in ("excludePatterns", "includePatterns"):
+        for sub in el.findall(tag):
+            a = _attr(sub, "from", 1, int) - 1
+            b = _attr(sub, "to", a + 1, int)
+            cols.append(src.states[:, a:b])
+    if cols:
+        pats.ascertain_excluded = np.concatenate(cols, axis=1)
+        pats.ascertain_include = el.find("includePatterns") is not None
+    return pats
 
 
 @register("mergePatterns")
@@ -1406,6 +1516,40 @@ def _coalescent_tree(ax: XmlAnalysis, el):
     return (names, tips, parent, children, heights, root)
 
 
+def _binarize_newick(text: str) -> str:
+    """Resolve multifurcations with zero-length internal branches (the
+    pulley principle keeps reversible likelihoods identical — ref:
+    NewickImporter tolerates polytomies; the flat-array tree is binary)."""
+
+    pos = 0
+
+    def parse_node():
+        nonlocal pos
+        if text[pos] == "(":
+            pos += 1
+            kids = [parse_node()]
+            while text[pos] == ",":
+                pos += 1
+                kids.append(parse_node())
+            assert text[pos] == ")"
+            pos += 1
+            label = ""
+            while pos < len(text) and text[pos] not in ",();":
+                label += text[pos]
+                pos += 1
+            while len(kids) > 2:
+                kids = [f"({kids[0]},{kids[1]}):0.0"] + kids[2:]
+            return f"({','.join(kids)}){label}"
+        label = ""
+        while pos < len(text) and text[pos] not in ",();":
+            label += text[pos]
+            pos += 1
+        return label
+
+    out = parse_node()
+    return out + ";"
+
+
 @register("newick")
 def _newick(ax: XmlAnalysis, el):
     from beast_mcmc_tpu.tree.topology import parse_newick
@@ -1414,6 +1558,9 @@ def _newick(ax: XmlAnalysis, el):
     for sub in el:
         if sub.tail:
             text += sub.tail.strip()
+    if "'" not in text and '"' not in text:
+        text = _binarize_newick(
+            "".join(text.split()))  # whitespace is insignificant unquoted
     parent, children, heights, root, names = parse_newick(text)
     m = parent.shape[0]
     n_tips = (m + 1) // 2
@@ -2149,7 +2296,8 @@ def _tree_likelihood(ax: XmlAnalysis, el):
     partitions = []
     for c in el:
         cc = ax.deref(c)
-        if cc.tag in ("patterns", "mergePatterns", "attributePatterns"):
+        if cc.tag in ("patterns", "mergePatterns", "attributePatterns",
+                      "ascertainedPatterns"):
             patterns = ax.build(cc)
         elif cc.tag in ("treeModel", "starTreeModel"):
             tm = ax.build(cc)
@@ -2205,6 +2353,14 @@ def _tree_likelihood(ax: XmlAnalysis, el):
         )
         extra.append((eig_k, fr_k, rw_k, tk_j, wk_j))
 
+    # ascertainment correction columns (AscertainedSitePatterns)
+    excl_j = None
+    if getattr(patterns, "ascertain_excluded", None) is not None:
+        tab = patterns.datatype.ambiguity_table(np.float64)
+        ex = tab[patterns.ascertain_excluded[idx]]  # [N, E, S]
+        excl_j = jnp.asarray(np.swapaxes(ex, 1, 2), dtype)  # [N, S, E]
+        ascertain_include = getattr(patterns, "ascertain_include", False)
+
     def fn(params, tree):
         r, w = rates_weights(params, dtype)
         br = clock.rates(params, tree)
@@ -2217,6 +2373,35 @@ def _tree_likelihood(ax: XmlAnalysis, el):
                 tips_j, w_j, tree.parent, tree.children, tree.heights,
                 tree.root, eigen(params), freqs_of(params), r, w, br,
             )
+        elif excl_j is not None:
+            from beast_mcmc_tpu.models.treelikelihood import (
+                ascertained_loglik,
+                branch_lengths,
+            )
+            from beast_mcmc_tpu.ops.eigen import transition_probs
+            from beast_mcmc_tpu.ops.peeling import (
+                peel_order_from_heights,
+                peel_site_loglik,
+            )
+
+            bl = branch_lengths(tree.parent, tree.heights) * br
+            t = bl[:, None] * r[None, :]
+            p_mats = transition_probs(eigen(params), t)
+            order = peel_order_from_heights(tree.heights, len(tm.taxa))
+            fr = freqs_of(params)
+            sl_data = peel_site_loglik(
+                tips_j, tree.children, order, tree.root, p_mats, fr, w)
+            sl_excl = peel_site_loglik(
+                excl_j, tree.children, order, tree.root, p_mats, fr, w)
+            if ascertain_include:
+                # only the listed patterns are observable: correction is
+                # +log sum P(included) per site
+                corr = jax.scipy.special.logsumexp(sl_excl)
+                from beast_mcmc_tpu.utils.accum import stable_dot
+
+                tot = stable_dot(w_j, sl_data - corr)
+            else:
+                tot = ascertained_loglik(sl_data, w_j, sl_excl)
         else:
             tot = tree_loglikelihood(
                 tips_j, w_j, tree.parent, tree.children, tree.heights,
@@ -2949,7 +3134,7 @@ def _op_target(ax, el):
     """(kind, payload, tree_id) of the parameter/tree an operator acts on."""
     for c in el:
         cc = ax.deref(c)
-        if cc.tag == "treeModel":
+        if cc.tag in ("treeModel", "starTreeModel"):
             tm = ax.build(cc)
             return ("tree", None, tm.tree_id)
         if cc.tag == "parameter":
@@ -2959,6 +3144,18 @@ def _op_target(ax, el):
             return ("param", obj, None)
         if cc.tag == "compoundParameter":
             return ("compound", ax.build(cc), None)
+    # a parameter-view element (maskedParameter etc.) also qualifies
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in _BUILDERS:
+            try:
+                obj = ax.build(cc)
+            except (Unsupported, XmlError):
+                continue
+            if isinstance(obj, Param):
+                return ("param", obj, None)
+            if isinstance(obj, TreeAlias):
+                return ("alias", obj, obj.tree_id)
     raise XmlError(f"operator <{el.tag}> has no target")
 
 

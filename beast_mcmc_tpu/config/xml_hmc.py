@@ -169,6 +169,42 @@ def _build_matrix_param(ax: XmlAnalysis, el) -> MatrixParam:
         from beast_mcmc_tpu.config.xml_traits import _eigen_matrix_param
 
         return _eigen_matrix_param(ax, el)
+    if tag == "diagonalContrainedMatrixView":
+        # ref: DiagonalConstrainedMatrixView.java:60-77 — masked rows and
+        # columns are renormalized so their diagonals equal
+        # constraintValue (a correlation-style view of a precision)
+        cv = _attr(el, "constraintValue", 1.0, float)
+        inner = None
+        mask_name = None
+        for c in el:
+            cc = ax.deref(c)
+            if cc.tag == "mask":
+                mask_name = ax.param_from(cc)
+            else:
+                try:
+                    inner = matrix_param_of(ax, cc)
+                except Unsupported:
+                    continue
+        if inner is None or mask_name is None:
+            raise XmlError(
+                "diagonalContrainedMatrixView needs matrix + mask")
+        d = inner.dim
+
+        def fn(params):
+            m = inner.fn(params)
+            dt = m.dtype
+            mask = jnp.ravel(params[mask_name])[:d] == 1.0
+            scale = jnp.where(
+                mask,
+                jnp.sqrt(jnp.asarray(cv, dt))
+                / jnp.sqrt(jnp.diagonal(m)),
+                1.0)
+            out = m * jnp.outer(scale, scale)
+            fixed = jnp.where(mask, jnp.asarray(cv, dt),
+                              jnp.diagonal(out))
+            return out - jnp.diag(jnp.diagonal(out)) + jnp.diag(fixed)
+
+        return MatrixParam(fn, inner.names + (mask_name,), d, mid)
     raise Unsupported(f"matrix parameter <{tag}>")
 
 
@@ -534,6 +570,40 @@ class _IdentityOperator:
         return params, tree, jnp.inf
 
 
+@register_operator("zigZagOperator", "bouncyParticleOperator")
+def _zigzag_operator(ax: XmlAnalysis, el, weight):
+    """ref: ZigZagOperatorParser / BouncyParticleOperatorParser — PDMP
+    samplers over the latent trait vector; the target parameter comes
+    from the wrapped trait likelihood's traitParameter."""
+    from beast_mcmc_tpu.inference.pdmp import (
+        BouncyParticleOperator,
+        ZigZagOperator,
+    )
+
+    names: List[str] = []
+    for cc in el.iter():
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            cc2 = ax.deref(cc)
+            try:
+                ax.build(cc2)
+            except Unsupported:
+                # auxiliary likelihoods (precision-column accelerators)
+                # need not resolve; the sampler only needs its target
+                continue
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc2.get("id"))
+            if tl is not None:
+                names.append(tl.trait_param)
+        elif cc.tag == "parameter":
+            obj = ax.build(ax.deref(cc))
+            if isinstance(obj, Param):
+                names.append(obj.name)
+    if not names:
+        raise XmlError(f"<{el.tag}> without a target trait parameter")
+    cls = (ZigZagOperator if el.tag == "zigZagOperator"
+           else BouncyParticleOperator)
+    return cls(weight=weight, parameters=tuple(dict.fromkeys(names))), None
+
+
 @register_operator("dirtyLikelihood")
 def _dirty_likelihood_op(ax: XmlAnalysis, el, weight):
     for c in el:
@@ -713,7 +783,8 @@ def _precision_gibbs_substitute(ax: XmlAnalysis, el, weight):
 
 
 @register("compoundSymmetricMatrix", "diagonalMatrix",
-          "cachedMatrixInverse", "matrixInverse")
+          "cachedMatrixInverse", "matrixInverse",
+          "diagonalContrainedMatrixView")
 def _matrix_tag(ax: XmlAnalysis, el):
     """Standalone matrix elements (logged / targeted by priors) resolve
     to their samplable MatrixParam view."""

@@ -283,6 +283,12 @@ def _conjugate_root(ax: XmlAnalysis, el, d: int):
         pss_el = crp.find("priorSampleSize")
         if mean_el is None or pss_el is None:
             raise XmlError("conjugateRootPrior needs mean + priorSampleSize")
+        for mc in mean_el:
+            mcc = ax.deref(mc)
+            if mcc.tag == "compoundParameter":
+                obj = ax.build(mcc)
+                return ("conj_multi", tuple(obj.names),
+                        ax.param_from(pss_el))
         return ("conj", ax.param_from(mean_el), ax.param_from(pss_el))
     for c in el:
         cc = ax.deref(c)
@@ -457,6 +463,11 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
             mu0 = jnp.ravel(params[root_spec[1]]).astype(dt)
             k0 = jnp.ravel(params[root_spec[2]])[0].astype(dt)
             v0 = v / k0
+        elif root_spec[0] == "conj_multi":
+            mu0 = jnp.concatenate(
+                [jnp.ravel(params[n]).astype(dt) for n in root_spec[1]])
+            k0 = jnp.ravel(params[root_spec[2]])[0].astype(dt)
+            v0 = v / k0
         else:
             mu0 = jnp.asarray(root_spec[1], dt)
             v0 = jnp.linalg.inv(jnp.asarray(root_spec[2], dt))
@@ -491,6 +502,131 @@ def _trait_data_likelihood(ax: XmlAnalysis, el):
     analysis for traitLogger/gradient builders."""
     tl = _build_trait_likelihood(ax, el)
     return tl.lik
+
+
+# ---------------------------------------------------------------------------
+# trait-likelihood gradients wrt diffusion hyperparameters
+# ---------------------------------------------------------------------------
+
+
+@register("precisionGradient", "correlationGradient", "varianceGradient",
+          "attenuationGradient", "diffusionGradient")
+def _precision_gradient(ax: XmlAnalysis, el):
+    """ref: PrecisionGradientParser / AttenuationGradientParser —
+    gradient of the trait likelihood wrt the precision/attenuation
+    matrix parameters (jax.grad of the same density is exact; the
+    `parameter` attr picks the diagonal/correlation block)."""
+    from beast_mcmc_tpu.config.xml_hmc import GradientSpec, matrix_param_of
+
+    which = el.get("parameter", "both")
+    lik = None
+    mp = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            lik = ax.build(cc)
+        elif cc.tag == "wishartStatistics":
+            for d_el in cc:
+                dd = ax.deref(d_el)
+                if dd.tag in ("traitDataLikelihood",
+                              "multivariateTraitLikelihood"):
+                    lik = ax.build(dd)
+        elif cc.tag in ("compoundSymmetricMatrix", "matrixParameter",
+                        "compoundEigenMatrix", "cachedMatrixInverse",
+                        "diagonalContrainedMatrixView"):
+            mp = matrix_param_of(ax, cc)
+    if lik is None or mp is None:
+        raise XmlError(f"<{el.tag}> needs trait likelihood + matrix")
+    names = mp.names
+    if which == "correlation" and len(names) == 2:
+        names = (names[1],)  # offDiagonal
+    elif which == "diagonal" and len(names) == 2:
+        names = (names[0],)
+    return GradientSpec(tuple(names), (lik,))
+
+
+# ---------------------------------------------------------------------------
+# latent liability (thresholded discrete data over latent traits)
+# ---------------------------------------------------------------------------
+
+
+@register("latentLiabilityLikelihood", "orderedLatentLiabilityLikelihood")
+def _latent_liability_likelihood(ax: XmlAnalysis, el):
+    """ref: LatentLiabilityLikelihood.java /
+    OrderedLatentLiabilityLikelihood.java — discrete tip data are
+    deterministic threshold functions of the sampled latent tip traits
+    (scored by the companion traitDataLikelihood); this density is the
+    data-consistency term (models/liability.py)."""
+    import jax
+
+    from beast_mcmc_tpu.models.liability import liability_consistency_loglik
+
+    patterns = None
+    tm = None
+    tip_param = None
+    threshold_name = None
+    num_classes = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("patterns", "attributePatterns"):
+            patterns = ax.build(cc)
+        elif cc.tag == "treeModel":
+            tm = ax.build(cc)
+        elif cc.tag == "tipTrait":
+            tip_param = ax.param_from(cc)
+        elif cc.tag == "threshold":
+            threshold_name = ax.param_from(cc)
+        elif cc.tag == "numClasses":
+            num_classes = np.ravel(
+                ax.value_of(ax.param_from(cc))).astype(int)
+    if patterns is None or tm is None or tip_param is None:
+        raise XmlError(
+            "latentLiabilityLikelihood needs patterns+treeModel+tipTrait")
+    idx = [patterns.taxa.index(t) for t in tm.taxa]
+    data = np.asarray(patterns.states)[idx]  # [N, D] ordinal categories
+    n, d = data.shape
+    # unknown/ambiguous codes (>= state_count) impose no constraint;
+    # encode as a category whose interval is (-inf, inf) via a wide slot
+    k_states = patterns.datatype.state_count
+    free_mask = data >= k_states
+    data = np.where(free_mask, 0, data)
+    if num_classes is None:
+        num_classes = np.full(d, k_states)
+    max_k = int(num_classes.max())
+    # thresholds[D, K-1]: binary dims threshold at 0; ordered dims read
+    # consecutive entries of the threshold parameter (ref:
+    # OrderedLatentLiabilityLikelihood.parseThresholds)
+    thr = np.zeros((d, max_k - 1)) if max_k > 1 else np.zeros((d, 0))
+    if threshold_name is not None and max_k > 2:
+        tvals = np.ravel(ax.value_of(threshold_name))
+        off = 0
+        for j in range(d):
+            extra = int(num_classes[j]) - 2
+            if extra > 0:
+                thr[j, 1:1 + extra] = np.cumsum(tvals[off:off + extra])
+                off += extra
+    thr_j = jnp.asarray(thr)
+    data_j = jnp.asarray(data, jnp.int32)
+    free_j = jnp.asarray(free_mask)
+
+    def fn(params, tree):
+        latent = jnp.reshape(params[tip_param], (n, d))
+        dt = latent.dtype
+        # free dims: overwrite latent with an always-consistent value
+        lat_eff = jnp.where(free_j, 0.0, latent)
+        cuts = jnp.concatenate([
+            jnp.full((d, 1), -jnp.inf, dt), thr_j.astype(dt),
+            jnp.full((d, 1), jnp.inf, dt)], axis=1)
+        lo = cuts[jnp.arange(d)[None, :], data_j]
+        hi = cuts[jnp.arange(d)[None, :], data_j + 1]
+        lo = jnp.where(free_j, -jnp.inf, lo)
+        hi = jnp.where(free_j, jnp.inf, hi)
+        ok = jnp.all((lat_eff >= lo) & (lat_eff <= hi))
+        return jnp.where(ok, jnp.asarray(0.0, dt),
+                         jnp.asarray(-jnp.inf, dt))
+
+    return LikelihoodFn(fn, tm.tree_id,
+                        el.get("id") or "liability", (tip_param,))
 
 
 # ---------------------------------------------------------------------------

@@ -114,7 +114,9 @@ def make_mcmc_step(
                 lambda n, o: n.astype(o.dtype), p, params)
             t = jax.tree_util.tree_map(
                 lambda n, o: n.astype(o.dtype), t, tree)
-            return p, t, logh, acc
+            dt = tree.heights.dtype
+            return (p, t, jnp.asarray(logh, dt).astype(dt),
+                    jnp.asarray(acc, dt).astype(dt))
 
         return branch
 

@@ -81,7 +81,8 @@ def _peel_kernel(children_ref, order_ref, tips_ref, pmat_ref, wcs_ref,
         return acc + jnp.log(scale)
 
     acc = jax.lax.fori_loop(
-        0, n_internal, body, jnp.zeros((1, bp), out_ref.dtype)
+        jnp.int32(0), jnp.int32(n_internal), body,
+        jnp.zeros((1, bp), out_ref.dtype)
     )
 
     root = order_ref[n_internal - 1]

@@ -222,7 +222,8 @@ def _stream_kernel(
         write_dma(slot, i).start()
         return acc + jnp.log(scale)
 
-    acc = jax.lax.fori_loop(0, n_int, body, jnp.zeros((1, bp), dt))
+    acc = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_int), body, jnp.zeros((1, bp), dt))
 
     # drain outstanding writes (root + its predecessor)
     write_dma((n_int - 1) % 2, n_int - 1).wait()
