@@ -2468,9 +2468,29 @@ def _targets_of(ax, el) -> List:
                 outs.append(_alias_value_reader(ax, obj))
             else:
                 outs.append(lambda params, tree, n=obj.name: params[n])
+        elif cc.tag in ("matrixParameter", "compoundSymmetricMatrix",
+                        "diagonalMatrix", "transposedMatrix",
+                        "diagonalContrainedMatrixView"):
+            from beast_mcmc_tpu.config.xml_hmc import matrix_param_of
+
+            mp = matrix_param_of(ax, cc)
+            outs.append(
+                lambda params, tree, mp=mp: jnp.ravel(mp.fn(params)))
         else:
             obj = ax.build(cc)
-            if callable(obj) and not isinstance(obj, LikelihoodFn):
+            if isinstance(obj, CompoundParam):
+                outs.append(
+                    lambda params, tree, ns=tuple(obj.names): jnp.concatenate(
+                        [jnp.ravel(params[n]) for n in ns]))
+            elif isinstance(obj, Param):
+                outs.append(lambda params, tree, n=obj.name: params[n])
+            elif (hasattr(obj, "fn") and hasattr(obj, "names")
+                  and hasattr(obj, "dim")):
+                # MatrixParam view (matrixParameter etc.): the prior
+                # scores the flattened matrix
+                outs.append(
+                    lambda params, tree, mp=obj: jnp.ravel(mp.fn(params)))
+            elif callable(obj) and not isinstance(obj, LikelihoodFn):
                 outs.append(
                     lambda params, tree, f=obj: f(_StateShim(params, tree))
                 )
@@ -3238,6 +3258,12 @@ def _build_operator(ax: XmlAnalysis, el):
                     weight=w, window=window, tip=obj.tip_index
                 ), tid
             raise Unsupported(f"randomWalk on {obj.kind}")
+        if kind == "compound":
+            return [
+                O.RandomWalkOperator(parameter=n, weight=w / len(obj.names),
+                                     window=window)
+                for n in obj.names
+            ], None
         lower, upper = obj.lower, obj.upper
         refl = _attr(el, "boundaryCondition", "") == "reflecting"
         return O.RandomWalkOperator(

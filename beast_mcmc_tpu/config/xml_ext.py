@@ -693,6 +693,31 @@ def _cached_prior(ax: XmlAnalysis, el):
     raise XmlError("<cachedPrior> without an inner prior")
 
 
+@register("halfTPrior")
+def _half_t_prior(ax: XmlAnalysis, el):
+    """ref: PriorParsers HALF_T_PRIOR — half-Student-t on [0, inf)
+    with given scale and df (ref: HalfTDistribution.java)."""
+    from beast_mcmc_tpu.config.interpreter import _targets_of
+
+    scale = _attr(el, "scale", 1.0, float)
+    df = _attr(el, "df", 1.0, float)
+
+    readers = _targets_of(ax, el)
+
+    def fn(params, tree):
+        import jax.scipy.stats as jst
+
+        tot = 0.0
+        for rd in readers:
+            x = jnp.ravel(rd(params, tree))
+            lp = (jst.t.logpdf(x / scale, df) - jnp.log(scale)
+                  + jnp.log(2.0))
+            tot = tot + jnp.sum(jnp.where(x >= 0, lp, -jnp.inf))
+        return tot
+
+    return LikelihoodFn(fn, None, el.get("id") or "halfT")
+
+
 @register("halfNormalPrior")
 def _half_normal_prior(ax: XmlAnalysis, el):
     """ref: PriorParsers HALF_NORMAL_PRIOR — N(mean, sd) truncated to

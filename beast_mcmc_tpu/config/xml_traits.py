@@ -510,7 +510,7 @@ def _trait_data_likelihood(ax: XmlAnalysis, el):
 
 
 @register("precisionGradient", "correlationGradient", "varianceGradient",
-          "attenuationGradient", "diffusionGradient")
+          "attenuationGradient", "diffusionGradient", "meanGradient")
 def _precision_gradient(ax: XmlAnalysis, el):
     """ref: PrecisionGradientParser / AttenuationGradientParser —
     gradient of the trait likelihood wrt the precision/attenuation
@@ -518,9 +518,11 @@ def _precision_gradient(ax: XmlAnalysis, el):
     `parameter` attr picks the diagonal/correlation block)."""
     from beast_mcmc_tpu.config.xml_hmc import GradientSpec, matrix_param_of
 
+    from beast_mcmc_tpu.config.interpreter import CompoundParam, Param
+
     which = el.get("parameter", "both")
     lik = None
-    mp = None
+    names = None
     for c in el:
         cc = ax.deref(c)
         if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
@@ -531,17 +533,31 @@ def _precision_gradient(ax: XmlAnalysis, el):
                 if dd.tag in ("traitDataLikelihood",
                               "multivariateTraitLikelihood"):
                     lik = ax.build(dd)
-        elif cc.tag in ("compoundSymmetricMatrix", "matrixParameter",
-                        "compoundEigenMatrix", "cachedMatrixInverse",
-                        "diagonalContrainedMatrixView"):
-            mp = matrix_param_of(ax, cc)
-    if lik is None or mp is None:
-        raise XmlError(f"<{el.tag}> needs trait likelihood + matrix")
-    names = mp.names
-    if which == "correlation" and len(names) == 2:
-        names = (names[1],)  # offDiagonal
-    elif which == "diagonal" and len(names) == 2:
-        names = (names[0],)
+        elif cc.tag in ("parameter", "compoundParameter"):
+            obj = ax.build(cc)
+            if isinstance(obj, CompoundParam):
+                names = tuple(obj.names)
+            elif isinstance(obj, Param):
+                names = (obj.name,)
+        elif cc.tag in ("precisionGradient", "correlationGradient",
+                        "varianceGradient", "attenuationGradient",
+                        "meanGradient", "diffusionGradient"):
+            sub = ax.build(cc)
+            names = tuple(dict.fromkeys(
+                (names or ()) + sub.target_names()))
+            lik = lik or (sub.likelihoods[0] if sub.likelihoods else None)
+        else:
+            try:
+                mp = matrix_param_of(ax, cc)
+            except (Unsupported, XmlError):
+                continue
+            names = mp.names
+            if which == "correlation" and len(names) == 2:
+                names = (names[1],)  # offDiagonal
+            elif which == "diagonal" and len(names) == 2:
+                names = (names[0],)
+    if lik is None or not names:
+        raise XmlError(f"<{el.tag}> needs trait likelihood + target")
     return GradientSpec(tuple(names), (lik,))
 
 

@@ -49,10 +49,16 @@ def branch_transition_matrices(
 def _use_pallas_peeling() -> bool:
     """The fused Pallas kernel is the TPU hot path (2.7x the XLA scan on
     benchmark2 shapes); CPU/GPU and the virtual-device CI mesh use the
-    scan. Trace-time static — safe under jit."""
+    scan. Trace-time static — safe under jit.
+
+    Multi-device TPU runs keep the kernel: the chain parallelism layers
+    (inference/mc3.py, parallel/distributed.py) enter per-device code via
+    shard_map, where the kernel sees per-shard shapes. (Global-array pjit
+    sharding of a single likelihood across chips would need the scan —
+    pass use_pallas=False explicitly for that layout.)"""
     import jax
 
-    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+    return jax.default_backend() == "tpu"
 
 
 def tree_loglikelihood(

@@ -64,3 +64,58 @@ def test_mc3_crosses_modes():
     # roughly symmetric occupancy
     frac = (xs > 0).mean()
     assert 0.2 < frac < 0.8, frac
+
+
+def test_swap_semantics_under_chain_sharding():
+    """Swap permutations act identically whether the chain batch lives on
+    one device or sharded over the mesh `chains` axis (the on-mesh MC3
+    contract — ref: MCMCMC.java:289-316; SURVEY §5.8)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from beast_mcmc_tpu.inference.mc3 import (
+        mc3_temperatures,
+        replicate_state,
+        swap_states,
+    )
+    from beast_mcmc_tpu.inference.mcmc import init_mcmc_state
+    from beast_mcmc_tpu.parallel.mesh import chain_sharding, make_mesh
+    from beast_mcmc_tpu.tree.topology import make_tree_state
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    n_chains = 4
+    parent = np.array([2, 2, -1])
+    children = np.array([[-1, -1], [-1, -1], [0, 1]])
+    tree0 = make_tree_state(parent, children, np.array([0.0, 0.0, 1.0]), 2,
+                            jnp.float64)
+
+    def lp(params, tree):
+        return -jnp.sum(params["x"] ** 2)
+
+    ops = []
+    state = init_mcmc_state({"x": jnp.asarray(1.0)}, tree0,
+                            jax.random.PRNGKey(0), ops, lp)
+    states = replicate_state(state, n_chains, jax.random.PRNGKey(1))
+    # distinct per-chain posteriors so a swap is visible
+    states = states.replace(
+        log_posterior=jnp.asarray([-1.0, -2.0, -3.0, -4.0]),
+        params={"x": jnp.asarray([1.0, 2.0, 3.0, 4.0])},
+    )
+    temps = mc3_temperatures(n_chains)
+    key = jax.random.PRNGKey(7)
+
+    plain, acc_plain = swap_states(states, temps, key)
+
+    mesh = make_mesh(2, len(jax.devices()) // 2)
+    sharded = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, chain_sharding(mesh)), states)
+    with mesh:
+        out, acc_sh = jax.jit(lambda s: swap_states(s, temps, key))(sharded)
+    np.testing.assert_array_equal(np.asarray(acc_plain),
+                                  np.asarray(acc_sh))
+    np.testing.assert_allclose(np.asarray(plain.params["x"]),
+                               np.asarray(out.params["x"]))
+    np.testing.assert_allclose(np.asarray(plain.log_posterior),
+                               np.asarray(out.log_posterior))
