@@ -3373,11 +3373,18 @@ def _build_operator(ax: XmlAnalysis, el):
         raise Unsupported("bitFlipInSubstitutionModelOperator structure")
 
     if tag == "gmrfBlockUpdateOperator":
-        # posterior-preserving substitution (see module docstring)
+        # the REAL conditioned-Gaussian block update (ref:
+        # GMRFSkyrideBlockUpdateOperator.java:245-345) for ungrouped
+        # skyride/skygrid fields; grouped fields keep the
+        # posterior-preserving scale+walk substitution
         pops = prec = None
+        sky_el = None
         for c in el:
             cc = ax.deref(c)
-            if cc.tag in ("gmrfSkyrideLikelihood", "gmrfSkylineLikelihood"):
+            if cc.tag in ("gmrfSkyrideLikelihood", "gmrfSkylineLikelihood",
+                          "gmrfSkyLineLikelihood", "gmrfSkyGridLikelihood",
+                          "skyGridLikelihood"):
+                sky_el = cc
                 for sub in cc:
                     if sub.tag == "populationSizes":
                         pops = ax.param_from(sub)
@@ -3385,6 +3392,40 @@ def _build_operator(ax: XmlAnalysis, el):
                         prec = ax.param_from(sub)
         if pops is None:
             raise Unsupported("gmrfBlockUpdateOperator structure")
+        ax.build(sky_el)  # ensures the field is sized from the tree
+        tm_b = None
+        pt = sky_el.find("populationTree")
+        if pt is not None:
+            for t in pt:
+                tm_b = ax.build(ax.deref(t))
+        n_field = int(np.atleast_1d(ax._params[pops].value).size)
+        grouped = sky_el.find("groupSizes") is not None and (
+            n_field != (len(tm_b.taxa) - 1 if tm_b else -1))
+        is_grid = sky_el.tag in ("gmrfSkyGridLikelihood",
+                                 "skyGridLikelihood")
+        cuts = None
+        if is_grid:
+            ngp = sky_el.find("numGridPoints")
+            cut = sky_el.find("cutOff")
+            if ngp is not None and cut is not None:
+                n_grid = int(float(np.ravel(
+                    ax.value_of(ax.param_from(ngp)))[0]))
+                cutoff = float(np.ravel(
+                    ax.value_of(ax.param_from(cut)))[0])
+                cuts = tuple(np.linspace(cutoff / n_grid, cutoff, n_grid))
+        if tm_b is not None and not grouped:
+            from beast_mcmc_tpu.inference.gibbs import (
+                GmrfBlockUpdateOperator,
+            )
+
+            return GmrfBlockUpdateOperator(
+                field=pops, precision=prec, n_taxa=len(tm_b.taxa),
+                weight=w,
+                scale_factor=_attr(el, "scaleFactor", 2.0, float),
+                time_aware=_attr(sky_el, "timeAwareSmoothing", True, bool)
+                and not is_grid,
+                cut_points=cuts,
+            ), tm_b.tree_id
         from beast_mcmc_tpu.inference import operators as O2
 
         return [

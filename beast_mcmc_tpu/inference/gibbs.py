@@ -85,3 +85,160 @@ class NormalGammaPrecisionGibbs(Operator):
         old = params[self.precision_param]
         new = jnp.broadcast_to(draw, jnp.shape(old)).astype(old.dtype)
         return {**params, self.precision_param: new}, tree, jnp.inf
+
+
+@dataclasses.dataclass
+class GmrfBlockUpdateOperator(Operator):
+    """The skyride/skygrid block update (ref:
+    GMRFSkyrideBlockUpdateOperator.java:245-345): scale the precision,
+    Newton-find the mode of the field's full conditional under the NEW
+    precision, propose the field from the Gaussian (Laplace)
+    approximation at the mode, and correct with the forward/backward
+    proposal densities. Tridiagonal algebra runs dense (field lengths are
+    O(taxa); one Cholesky per direction).
+
+    Works for both the skyride field (one entry per coalescent interval;
+    sufficient statistics from the tree) and the skygrid (fixed grid;
+    pass cut_points)."""
+
+    field: str = ""       # gamma = log pop sizes
+    precision: str = ""   # tau
+    n_taxa: int = 0
+    scale_factor: float = 2.0
+    time_aware: bool = False
+    cut_points: Optional[Tuple[float, ...]] = None  # skygrid grid
+    newton_iters: int = 12
+    adaptable: bool = True
+
+    @property
+    def modifies_params(self):
+        return (self.field, self.precision)
+
+    def initial_adapt(self):
+        import math
+
+        return math.sqrt(self.scale_factor - 1.0)
+
+    def tuning(self, adapt_value):
+        return 1.0 + adapt_value * adapt_value
+
+    def _suff_stats(self, tree):
+        """(w[F], n_events[F]) exposure statistics per field entry."""
+        from beast_mcmc_tpu.models.coalescent import coalescent_intervals
+
+        dt = tree.heights.dtype
+        times, lineages, is_coal = coalescent_intervals(
+            tree.heights, self.n_taxa)
+        k = lineages[:-1]
+        choose2 = (k * (k - 1) / 2.0).astype(dt)
+        expo = choose2 * jnp.diff(times)
+        if self.cut_points is not None:
+            cuts = jnp.asarray(self.cut_points, dt)
+            f = cuts.shape[0] + 1
+            lo = jnp.concatenate([jnp.zeros((1,), dt), cuts])
+            hi = jnp.concatenate([cuts, jnp.full((1,), jnp.inf, dt)])
+            t0 = times[:-1][:, None]
+            t1 = times[1:][:, None]
+            frac = jnp.clip(
+                jnp.minimum(t1, hi[None]) - jnp.maximum(t0, lo[None]), 0.0)
+            w = jnp.sum(choose2[:, None] * frac, axis=0)
+            cell = jnp.searchsorted(cuts, times, side="left")
+            n_events = jnp.zeros((f,), dt).at[cell].add(
+                is_coal.astype(dt))
+            return w, n_events
+        # skyride: field entry i governs the interval ending at the i-th
+        # coalescent event
+        f = self.n_taxa - 1
+        coal_before = jnp.cumsum(is_coal.astype(jnp.int32))
+        idx = jnp.minimum(coal_before[:-1], f - 1)
+        w = jnp.zeros((f,), dt).at[idx].add(expo)
+        return w, jnp.ones((f,), dt)
+
+    def _q_matrix(self, tau, tree, f, dt):
+        """tau-scaled RW1 precision (uniform weights; the time-aware
+        variant scales off-diagonals by inter-knot spacing)."""
+        if self.time_aware and self.cut_points is None:
+            from beast_mcmc_tpu.models.coalescent import (
+                skyride_coalescent_midpoints,
+            )
+
+            knots = skyride_coalescent_midpoints(tree.heights, self.n_taxa)
+            # time-aware RW1 weights w_{i,i+1} = 2/(d_i + d_{i+1}) over
+            # the field-knot spacings (ref: GMRFSkyrideLikelihood
+            # setupGMRFWeights timeAwareSmoothing)
+            sp = jnp.diff(jnp.concatenate([jnp.zeros((1,), dt), knots]))
+            offd = -2.0 / jnp.maximum(sp[:-1] + sp[1:], 1e-12)
+            diag = jnp.zeros((f,), dt)
+            diag = diag.at[:-1].add(-offd)
+            diag = diag.at[1:].add(-offd)
+            q = (jnp.diag(diag) + jnp.diag(offd, 1)
+                 + jnp.diag(offd, -1))
+            return tau * q
+        diag = jnp.full((f,), 2.0, dt).at[0].set(1.0).at[-1].set(1.0)
+        off = jnp.full((f - 1,), -1.0, dt)
+        return tau * (jnp.diag(diag) + jnp.diag(off, 1)
+                      + jnp.diag(off, -1))
+
+    def propose(self, params, tree, key, tuning):
+        dt = tree.heights.dtype
+        gamma = jnp.ravel(params[self.field]).astype(dt)
+        f = gamma.shape[0]
+        tau = jnp.ravel(params[self.precision])[0].astype(dt)
+
+        k_prec, k_mix, k_norm = jax.random.split(key, 3)
+        # precision proposal (ref getNewPrecision:94-108: uniform-slab /
+        # power mixture over [tau/s, tau*s])
+        s = tuning.astype(dt)
+        length = s - 1.0 / s
+        u1 = jax.random.uniform(k_mix, (), dt)
+        u2 = jax.random.uniform(k_prec, (), dt)
+        slab = (1.0 / s + length * u2) * tau
+        power = jnp.power(s, 2.0 * u2 - 1.0) * tau
+        tau_new = jnp.where(
+            u1 < length / (length + 2.0 * jnp.log(s)), slab, power)
+
+        w, n_events = self._suff_stats(tree)
+
+        def newton(q, g0):
+            def body(_, g):
+                grad = -(q @ g) + (w * jnp.exp(-g) - n_events)
+                jac = q + jnp.diag(w * jnp.exp(-g))
+                return g + jnp.linalg.solve(jac, grad)
+
+            return jax.lax.fori_loop(0, self.newton_iters, body, g0)
+
+        def laplace(q, mode):
+            d1 = w * jnp.exp(-mode)
+            qw = q + jnp.diag(d1)
+            canon = d1 * (mode + 1.0) - n_events
+            chol = jnp.linalg.cholesky(qw)
+            mean = jax.scipy.linalg.cho_solve((chol, True), canon)
+            logdet_u = jnp.sum(jnp.log(jnp.diagonal(chol)))
+            return qw, chol, mean, logdet_u
+
+        q_new = self._q_matrix(tau_new, tree, f, dt)
+        q_cur = self._q_matrix(tau, tree, f, dt)
+
+        mode_f = newton(q_new, gamma)
+        qw_f, chol_f, mean_f, logdet_f = laplace(q_new, mode_f)
+        z = jax.random.normal(k_norm, (f,), dt)
+        # x = mean + (L^T)^-1 z (ref getMultiNormal: U v = z with U = L^T)
+        v = jax.scipy.linalg.solve_triangular(chol_f.T, z, lower=False)
+        gamma_new = mean_f + v
+
+        mode_b = newton(q_cur, gamma_new)
+        qw_b, chol_b, mean_b, logdet_b = laplace(q_cur, mode_b)
+        d = gamma - mean_b
+        h = (logdet_b - 0.5 * d @ (qw_b @ d)
+             - logdet_f + 0.5 * z @ z)
+
+        ok = jnp.isfinite(h) & jnp.all(jnp.isfinite(gamma_new))
+        new_params = {
+            **params,
+            self.field: jnp.reshape(gamma_new, jnp.shape(params[self.field])
+                                    ).astype(params[self.field].dtype),
+            self.precision: jnp.reshape(
+                tau_new, jnp.shape(params[self.precision])
+            ).astype(params[self.precision].dtype),
+        }
+        return new_params, tree, jnp.where(ok, h, -jnp.inf).astype(dt)
