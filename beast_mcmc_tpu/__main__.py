@@ -30,6 +30,12 @@ import sys
 
 
 def _cmd_run(argv):
+    # the deployment dtype policy: hot tensors f32, log-density
+    # reductions and carried posteriors f64 (accumulate-high,
+    # utils/accum.py) — requires x64 enabled, as in bench.py
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
     p = argparse.ArgumentParser(
         prog="beast_mcmc_tpu run",
         description="Run a BEAST XML analysis (BeastMain role)",
@@ -70,10 +76,34 @@ def _cmd_run(argv):
         print(f"{args.xml}: all embedded checks passed")
         return 0
 
-    from beast_mcmc_tpu.config.xml_import import parse_beast_xml
+    from beast_mcmc_tpu.config.xml_import import (
+        XmlImportError,
+        parse_beast_xml,
+    )
     from beast_mcmc_tpu.apps.runner import run_analysis
 
-    spec = parse_beast_xml(open(args.xml).read())
+    try:
+        spec = parse_beast_xml(open(args.xml).read())
+    except (NotImplementedError, XmlImportError) as e:
+        # ONE vocabulary, two engines: anything beyond the declarative
+        # importer's subset runs through the full interpreter registry
+        # (config/interpreter.py — same tag semantics, executable
+        # closures instead of an AnalysisSpec)
+        print(f"[importer: {e}; running through the interpreter registry]")
+        from beast_mcmc_tpu.config.interpreter import XmlAnalysis
+
+        ax = XmlAnalysis(
+            args.xml, seed=args.seed or 666,
+            max_states=args.chain_length or 10**9,
+            workdir=os.getcwd(),
+            # the reference only WARNS on failed trace expectations
+            # (TraceAnalysisParser.java:108-112); -testxml mode is strict
+            strict_expectations=False,
+        )
+        ax.run()
+        print(f"{args.xml}: analysis complete "
+              f"(logs written beside the XML's fileName attributes)")
+        return 0
     if args.seed is not None:
         spec.mcmc.seed = args.seed
     if args.chain_length is not None:

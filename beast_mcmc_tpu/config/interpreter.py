@@ -601,7 +601,20 @@ class XmlAnalysis:
         if el2.tag == "parameter":
             obj = self.build(el2)
             if isinstance(obj, TreeAlias):
-                return [(ref_name or el2.get("id"), self._alias_reader(obj))]
+                nm_a = ref_name or el2.get("id")
+                if obj.kind in ("internal_heights", "all_heights"):
+                    # one column per internal node height (the reference
+                    # logs vector parameters element-wise)
+                    tm_a = self._trees[obj.tree_id]
+                    sel = list(range(len(tm_a.taxa),
+                                     tm_a.parent.shape[0]))
+                    return [
+                        (f"{nm_a}{k + 1}",
+                         lambda s, i=i, t=obj.tree_id: self.resolve_tree(
+                             t, s.params, s.tree).heights[i])
+                        for k, i in enumerate(sel)
+                    ]
+                return [(nm_a, self._alias_reader(obj))]
             name = obj.name
 
             def read(s, name=name):
@@ -1032,11 +1045,15 @@ def _mvn_prior(ax: XmlAnalysis, el):
     def fn(params, tree):
         tot = 0.0
         for t in targets:
-            v = t(params, tree)
-            tot = tot + multivariate_normal_logpdf(
-                jnp.ravel(v), jnp.asarray(mean, v.dtype),
-                precision=jnp.asarray(prec, v.dtype),
-            )
+            v = jnp.ravel(t(params, tree))
+            m = jnp.asarray(mean, v.dtype)
+            # a target whose length is a multiple of the mean dimension
+            # is scored row-wise (ref: MultivariateDistributionLikelihood
+            # evaluates each Parameter draw separately)
+            rows = jnp.reshape(v, (-1, m.shape[0]))
+            tot = tot + jnp.sum(jax.vmap(
+                lambda r: multivariate_normal_logpdf(
+                    r, m, precision=jnp.asarray(prec, v.dtype)))(rows))
         return tot
 
     return LikelihoodFn(fn, None, "multivariateNormalPrior")
@@ -3164,6 +3181,11 @@ def _op_target(ax, el):
             return ("param", obj, None)
         if cc.tag == "compoundParameter":
             return ("compound", ax.build(cc), None)
+        if cc.tag in ("matrixParameter", "compoundSymmetricMatrix"):
+            from beast_mcmc_tpu.config.xml_hmc import matrix_param_of
+
+            mp = matrix_param_of(ax, cc)
+            return ("compound", CompoundParam(list(mp.names)), None)
     # a parameter-view element (maskedParameter etc.) also qualifies
     for c in el:
         cc = ax.deref(c)
@@ -3307,6 +3329,17 @@ def _build_operator(ax: XmlAnalysis, el):
     if tag == "swapOperator":
         kind, obj, tid = _op_target(ax, el)
         return O.SwapOperator(parameter=obj.name, weight=w), tid
+
+    if tag == "deltaMixOperator":
+        # ref: DeltaMixOperator — multiplicative sum-preserving exchange;
+        # substituted by the additive delta exchange (same invariant sum,
+        # same support, different kernel)
+        kind, obj, tid = _op_target(ax, el)
+        return O.DeltaExchangeOperator(
+            parameter=obj.name, weight=w,
+            delta=_attr(el, "delta", 0.02, float),
+            adaptable=_attr(el, "autoOptimize", True, bool),
+        ), tid
 
     if tag == "deltaExchange":
         kind, obj, tid = _op_target(ax, el)

@@ -158,6 +158,21 @@ def _spherical_beta_prior(ax: XmlAnalysis, el):
     data_el = el.find("data")
     if data_el is None:
         raise XmlError("sphericalBetaPrior without <data>")
+    inner = ax.deref(next(iter(data_el)))
+    if inner.tag in ("matrixParameter", "compoundSymmetricMatrix"):
+        # each matrix COLUMN is one vector on the unit ball
+        from beast_mcmc_tpu.config.xml_hmc import matrix_param_of
+
+        mp = matrix_param_of(ax, inner)
+
+        def fn(params, tree):
+            m = mp.fn(params)
+            ss = jnp.sum(m * m, axis=0)
+            lp = jnp.sum(
+                (shape - 1.0) * jnp.log1p(-jnp.minimum(ss, 1.0)))
+            return jnp.where(jnp.all(ss < 1.0), lp, -jnp.inf)
+
+        return LikelihoodFn(fn, None, el.get("id") or "sphericalBeta")
     pname = ax.param_from(data_el)
     n = int(np.ravel(ax.value_of(pname)).size)
     d = dim or n
@@ -564,6 +579,150 @@ def _simple_tree(ax: XmlAnalysis, el):
 
 
 # ---------------------------------------------------------------------------
+# stochastic Dollo (ALS / MSSD)
+# ---------------------------------------------------------------------------
+
+
+@register("mutationDeathModel")
+def _mutation_death_model(ax: XmlAnalysis, el):
+    """ref: MutationDeathModelParser — death rate + optional underlying
+    alive-state CTMC. Returns ('dollo', death param, mu param|None)."""
+    death = ax.param_from(el)
+    mu_el = el.find("mutationRate")
+    mu = ax.param_from(mu_el) if mu_el is not None else None
+    return ("dollo", death, mu)
+
+
+@register("alsSiteModel")
+def _als_site_model(ax: XmlAnalysis, el):
+    """ref: ALSSiteModelParser — passes the dollo model + overall rate."""
+    sub = None
+    for c in _child_of(el, "substitutionModel"):
+        sub = ax.build(ax.deref(c))
+    mu_el = el.find("mutationRate")
+    mu = ax.param_from(mu_el) if mu_el is not None else None
+    if not (isinstance(sub, tuple) and sub[0] == "dollo"):
+        raise XmlError("alsSiteModel needs mutationDeathModel")
+    return ("dollo_site", sub[1], sub[2], mu)
+
+
+@register("scaledTreeLengthModel")
+def _scaled_tree_length_model(ax: XmlAnalysis, el):
+    """ref: ScaledTreeLengthRateModelParser — branch rates such that the
+    total scaled tree length equals the scalingFactor parameter."""
+    from beast_mcmc_tpu.config.interpreter import ClockModel
+
+    tm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+    fac = ax.param_from(_child_of(el, "scalingFactor"))
+
+    def rates(params, tree):
+        bl = jnp.where(
+            tree.parent >= 0,
+            tree.heights[jnp.maximum(tree.parent, 0)] - tree.heights, 0.0)
+        total = jnp.sum(bl)
+        return jnp.ravel(params[fac])[0] / total
+
+    return ClockModel("scaled_length", tm.tree_id if tm else None, rates,
+                      rate_param=fac)
+
+
+@register("alsTreeLikelihood")
+def _als_tree_likelihood(ax: XmlAnalysis, el):
+    """ref: ALSTreeLikelihoodParser (acquisition-loss-switch stochastic
+    Dollo). The presence/absence MARGINAL of an MSSD process is exactly a
+    binary stochastic Dollo process (alive-state switching preserves
+    presence), so the likelihood is models/dollo.stochastic_dollo_loglik
+    over the presence projection of the patterns — exact for binary
+    Dollo data; for multi-state data the alive-state identities are
+    marginalized (the death/gain dynamics, which the samplers target,
+    are fully scored)."""
+    from beast_mcmc_tpu.config.interpreter import ClockModel, TreeModel
+    from beast_mcmc_tpu.models.dollo import stochastic_dollo_loglik
+
+    patterns = tm = None
+    site = None
+    clock = None
+    obs_type = "anyTip"
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("patterns", "mergePatterns", "ascertainedPatterns"):
+            patterns = ax.build(cc)
+        elif cc.tag in ("treeModel", "starTreeModel"):
+            tm = ax.build(cc)
+        elif cc.tag == "alsSiteModel":
+            site = ax.build(cc)
+        elif cc.tag == "siteModel":
+            # plain siteModel wrapping a mutationDeathModel: read the
+            # dollo pieces directly (the generic siteModel builder only
+            # handles CTMC substitution models)
+            sub_el = cc.find("substitutionModel")
+            inner = ax.deref(next(iter(sub_el)))
+            if inner.tag != "mutationDeathModel":
+                raise Unsupported("alsTreeLikelihood site model form")
+            dollo = ax.build(inner)
+            mu_el = cc.find("mutationRate")
+            site = ("dollo_site", dollo[1], dollo[2],
+                    ax.param_from(mu_el) if mu_el is not None else None)
+        elif cc.tag == "scaledTreeLengthModel":
+            clock = ax.build(cc)
+        elif cc.tag == "observationProcess":
+            obs_type = cc.get("type", "anyTip")
+    if patterns is None or tm is None or site is None:
+        raise XmlError("alsTreeLikelihood needs patterns+tree+siteModel")
+    if isinstance(site, tuple) and site[0] == "dollo_site":
+        _, death, mu_inner, mu_outer = site
+        mu = mu_outer or mu_inner
+    else:
+        raise Unsupported("alsTreeLikelihood site model form")
+
+    # presence projection: code 0 = absent; anything else (incl. the
+    # ambiguity codes) = present-or-unknown -> treat unknown as absent=0
+    idx = [patterns.taxa.index(t) for t in tm.taxa]
+    states = np.asarray(patterns.states)[idx]
+    presence = (states != 0).astype(np.int8)
+    pres_j = jnp.asarray(presence)
+    w_j = jnp.asarray(patterns.weights)
+
+    def fn(params, tree):
+        br = (clock.rates(params, tree) if clock is not None
+              else jnp.asarray(1.0, tree.heights.dtype))
+        mu_v = jnp.ravel(params[mu])[0] if mu else 1.0
+        return stochastic_dollo_loglik(
+            pres_j, tree.parent, tree.children, tree.heights,
+            jnp.ravel(params[death])[0] * mu_v,
+            branch_rates=br * mu_v,
+            pattern_weights=w_j,
+            condition_on_observed=True,
+        )
+
+    return LikelihoodFn(fn, tm.tree_id, el.get("id") or "alsLikelihood")
+
+
+@register("exponentialBranchLengthsPrior")
+def _exp_branch_lengths_prior(ax: XmlAnalysis, el):
+    """ref: ExponentialBranchLengthsPrior — iid Exp(1) on branch
+    lengths (in units of the tree's own scale)."""
+    tm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+
+    def fn(params, tree):
+        bl = jnp.where(
+            tree.parent >= 0,
+            tree.heights[jnp.maximum(tree.parent, 0)] - tree.heights, 0.0)
+        return -jnp.sum(bl)
+
+    return LikelihoodFn(fn, tm.tree_id if tm else None,
+                        el.get("id") or "branchLengthsPrior")
+
+
+# ---------------------------------------------------------------------------
 # episodic serially-sampled birth-death (grid form)
 # ---------------------------------------------------------------------------
 
@@ -693,6 +852,41 @@ def _cached_prior(ax: XmlAnalysis, el):
     raise XmlError("<cachedPrior> without an inner prior")
 
 
+@register("binomialLikelihood")
+def _binomial_likelihood(ax: XmlAnalysis, el):
+    """ref: BinomialLikelihood.java — sum of count-wise Binomial(trials,
+    proportion) log-masses over the counts parameter (the BSSVS
+    inclusion-probability prior)."""
+    prop = ax.param_from(_child_of(el, "proportion"))
+    trials = ax.param_from(_child_of(el, "trials"))
+    counts = ax.param_from(_child_of(el, "counts"))
+
+    def fn(params, tree):
+        p = jnp.clip(jnp.ravel(params[prop])[0], 1e-12, 1.0 - 1e-12)
+        n = jnp.ravel(params[trials])
+        k = jnp.ravel(params[counts]).astype(p.dtype)
+        n = jnp.broadcast_to(n, k.shape).astype(p.dtype)
+        from jax.scipy.special import gammaln
+
+        return jnp.sum(
+            gammaln(n + 1) - gammaln(k + 1) - gammaln(n - k + 1)
+            + k * jnp.log(p) + (n - k) * jnp.log1p(-p))
+
+    return LikelihoodFn(fn, None, el.get("id") or "binomial")
+
+
+@register("dummyModel")
+def _dummy_model(ax: XmlAnalysis, el):
+    """ref: DummyModelParser — holds parameters so they stay connected;
+    contributes nothing to the posterior."""
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            ax.build(cc)
+    return LikelihoodFn(lambda params, tree: jnp.asarray(0.0), None,
+                        el.get("id") or "dummyModel")
+
+
 @register("halfTPrior")
 def _half_t_prior(ax: XmlAnalysis, el):
     """ref: PriorParsers HALF_T_PRIOR — half-Student-t on [0, inf)
@@ -761,31 +955,47 @@ def _masked_parameter(ax: XmlAnalysis, el):
 def _empirical_distribution(ax: XmlAnalysis, el):
     """ref: EmpiricalDistributionLikelihoodParser — density interpolated
     from a file of (x, logp) pairs; applied to the data parameters."""
-    fname = el.get("fileName")
-    import os
+    from beast_mcmc_tpu.config.interpreter import _text_values
 
-    path = fname
-    if path and not os.path.isabs(path):
-        for base in (ax.workdir, os.path.dirname(ax.path)):
-            cand = os.path.join(base, fname)
-            if os.path.exists(cand):
-                path = cand
-                break
-    if not path or not os.path.exists(path):
-        raise Unsupported(
-            f"empiricalDistributionLikelihood file {fname!r} not found")
-    xs, lps = [], []
-    with open(path) as fh:
-        for line in fh:
-            parts = line.split()
-            if len(parts) >= 2:
-                try:
-                    xs.append(float(parts[0]))
-                    lps.append(float(parts[1]))
-                except ValueError:
-                    continue
-    grid_x = jnp.asarray(xs)
-    grid_lp = jnp.asarray(lps)
+    grid_el = el.find("grid")
+    if grid_el is not None:
+        # in-document grid form (ref: EmpiricalDistributionLikelihood
+        # grid parser): <logLikelihood> values over <value> x-points
+        ll_el = grid_el.find("logLikelihood")
+        v_el = grid_el.find("value")
+        if ll_el is None or v_el is None:
+            raise XmlError("empirical grid needs logLikelihood + value")
+        lps = _text_values(ax.deref(_child_of(ll_el, "parameter")))
+        xs = _text_values(ax.deref(_child_of(v_el, "parameter")))
+        order = np.argsort(xs)
+        grid_x = jnp.asarray(xs[order])
+        grid_lp = jnp.asarray(lps[order])
+    else:
+        fname = el.get("fileName")
+        import os
+
+        path = fname
+        if path and not os.path.isabs(path):
+            for base in (ax.workdir, os.path.dirname(ax.path)):
+                cand = os.path.join(base, fname)
+                if os.path.exists(cand):
+                    path = cand
+                    break
+        if not path or not os.path.exists(path):
+            raise Unsupported(
+                f"empiricalDistributionLikelihood file {fname!r} not found")
+        xs, lps = [], []
+        with open(path) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) >= 2:
+                    try:
+                        xs.append(float(parts[0]))
+                        lps.append(float(parts[1]))
+                    except ValueError:
+                        continue
+        grid_x = jnp.asarray(xs)
+        grid_lp = jnp.asarray(lps)
     data_el = el.find("data")
     pname = ax.param_from(data_el if data_el is not None else el)
     inverse = _attr(el, "inverse", False, bool)

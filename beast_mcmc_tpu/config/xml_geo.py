@@ -423,7 +423,9 @@ def _sequence_simulator(ax: XmlAnalysis, el):
 
     parts = el.findall("partition")
     if not parts:
-        raise XmlError("sequence simulator without <partition>")
+        # legacy form (ref: SequenceSimulatorParser): the element itself
+        # is one partition with `replications` sites
+        parts = [el]
     cols = []  # simulated site columns
     taxa_names = None
     datatype = None
@@ -435,6 +437,18 @@ def _sequence_simulator(ax: XmlAnalysis, el):
             cc = ax.deref(c)
             if cc.tag in ("treeModel", "starTreeModel"):
                 tm = ax.build(cc)
+            elif cc.tag in ("tree", "newick", "upgmaTree",
+                            "neighborJoiningTree"):
+                # bare starting-tree source: wrap as a fixed TreeModel
+                from beast_mcmc_tpu.config.interpreter import TreeModel
+
+                tid = cc.get("id") or "simtree"
+                if tid in ax._trees:
+                    tm = ax._trees[tid]
+                else:
+                    names, tips, par, ch, hts, root = ax.build(cc)
+                    tm = TreeModel(tid, names, tips, par, ch, hts, root)
+                    ax._trees[tid] = tm
             elif cc.tag == "siteModel":
                 site = ax.build(cc)
             elif cc.tag == "frequencyModel":
@@ -458,11 +472,14 @@ def _sequence_simulator(ax: XmlAnalysis, el):
         params0, tree0 = initial_eval_state(ax)
         _, eig_or_q, freqs_of, s, rates_weights = site
         kind = site[0]
-        frm = _attr(part, "from", 1, int)
-        to = _attr(part, "to", frm, int)
-        n_sites = to - frm + 1
-        every = _attr(part, "every", 1, int)
-        n_sites = max(1, n_sites // every)
+        reps = _attr(part, "replications", None, int)
+        if reps is not None:
+            n_sites = reps
+        else:
+            frm = _attr(part, "from", 1, int)
+            to = _attr(part, "to", frm, int)
+            every = _attr(part, "every", 1, int)
+            n_sites = max(1, (to - frm + 1) // every)
 
         tr = ax.resolve_tree(tm.tree_id, params0, tree0)
         heights = np.asarray(tr.heights)

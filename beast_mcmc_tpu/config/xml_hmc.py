@@ -102,9 +102,10 @@ def matrix_param_of(ax: XmlAnalysis, el) -> MatrixParam:
 def _build_matrix_param(ax: XmlAnalysis, el) -> MatrixParam:
     tag = el.tag
     mid = el.get("id") or f"matrix{len(getattr(ax, '_matrix_params', {}))}"
-    if tag == "matrixParameter":
+    if tag in ("matrixParameter", "transposedMatrixParameter"):
         # one flat Param per column parameter; M[i,j] = col_j[i]
-        # (ref: MatrixParameter.java getParameterValue)
+        # (ref: MatrixParameter.java getParameterValue; transpose=true /
+        # transposedMatrixParameter flips to row-major storage)
         cols = []
         for c in el:
             cc = ax.deref(c)
@@ -113,10 +114,12 @@ def _build_matrix_param(ax: XmlAnalysis, el) -> MatrixParam:
         if not cols:
             raise XmlError("<matrixParameter> without column parameters")
         d = int(np.ravel(ax.value_of(cols[0])).size)
+        transpose = (tag == "transposedMatrixParameter"
+                     or _attr(el, "transpose", False, bool))
 
         def fn(params, _cols=tuple(cols)):
-            return jnp.stack(
-                [jnp.ravel(params[c]) for c in _cols], axis=1)
+            m = jnp.stack([jnp.ravel(params[c]) for c in _cols], axis=1)
+            return m.T if transpose else m
 
         return MatrixParam(fn, tuple(cols), d, mid)
     if tag == "compoundSymmetricMatrix":

@@ -269,6 +269,7 @@ class TraitLikelihood:
     missing: np.ndarray = None
     # (params, tree) -> (q [M,D,D], r [M,D], sigma [M,D,D], mu0, v0)
     channels: Callable = None
+    rate_param: Optional[str] = None  # branch-rate model's free parameter
 
 
 def _conjugate_root(ax: XmlAnalysis, el, d: int):
@@ -487,7 +488,9 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     lik = LikelihoodFn(fn, tree_id, el.get("id") or "traitLikelihood",
                        (trait_param,))
     tl = TraitLikelihood(lik, tree_id, trait_param, trait_name,
-                         n_tips, d, missing, channels)
+                         n_tips, d, missing, channels,
+                         rate_param=getattr(rate_model, "rate_param", None)
+                         if rate_model is not None else None)
     ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
     ax._trait_likelihoods[el.get("id") or lik.name] = tl
     return tl
@@ -559,6 +562,35 @@ def _precision_gradient(ax: XmlAnalysis, el):
     if lik is None or not names:
         raise XmlError(f"<{el.tag}> needs trait likelihood + target")
     return GradientSpec(tuple(names), (lik,))
+
+
+@register("branchRateGradient", "branchSpecificGradient")
+def _branch_rate_gradient(ax: XmlAnalysis, el):
+    """ref: BranchRateGradientParser — gradient of the (trait or tip-
+    data) likelihood wrt the branch-rate parameter; jax.grad of the same
+    density is exact for the trait path."""
+    from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+            if tl is None or tl.rate_param is None:
+                raise Unsupported(
+                    "branchRateGradient without a free-rate branch model")
+            return GradientSpec((tl.rate_param,), (tl.lik,))
+        if cc.tag in ("treeDataLikelihood", "treeLikelihood"):
+            lik = ax.build(cc)
+            parts = getattr(ax, "_treelik_parts", {}).get(cc.get("id"))
+            rp = getattr(parts["clock"], "rate_param", None) if parts \
+                else None
+            if rp is None:
+                raise Unsupported(
+                    "branchRateGradient without a free-rate clock")
+            sur = getattr(ax, "_surrogate_liks", {}).get(cc.get("id"))
+            return GradientSpec((rp,), (sur or lik,))
+    raise XmlError("branchRateGradient without a likelihood child")
 
 
 # ---------------------------------------------------------------------------

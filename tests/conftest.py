@@ -23,6 +23,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: TestXML files re-trace near-identical
+# 6-taxon chain programs; caching compiled executables across files AND
+# runs is what keeps the 12-file core inside the CI window (the role of
+# the reference's single-JVM warm JIT across its suite)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_configure(config):
