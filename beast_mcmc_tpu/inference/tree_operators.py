@@ -584,18 +584,16 @@ def mrca_heights_from(parent: jnp.ndarray, heights: jnp.ndarray,
     idx = jnp.arange(m)
     safe = jnp.where(parent < 0, idx, parent)  # root self-loop
 
-    # a's ancestor-or-self mask via the parent chain (O(depth) loop)
-    def chain_body(c):
+    # BOUNDED chain walk (depth <= m): a while_loop here would spin
+    # forever if handed a cyclic parent array (e.g. a discarded garbage
+    # splice from a zero-candidate proposal)
+    def chain_step(_, c):
         cur, mask = c
         nxt = safe[cur]
         return nxt, mask.at[nxt].set(True)
 
-    def chain_cond(c):
-        cur, _ = c
-        return parent[cur] >= 0
-
-    _, anc_a = jax.lax.while_loop(
-        chain_cond, chain_body,
+    _, anc_a = jax.lax.fori_loop(
+        0, m, chain_step,
         (jnp.asarray(a, safe.dtype), jnp.zeros((m,), bool).at[a].set(True)))
 
     # jump tables
@@ -677,13 +675,20 @@ class SubtreeJumpOperator(Operator):
         children = replace_child(children, jp, j, ip)
         children = replace_child(children, ip, cip, j)
         parent = tree.parent.at[cip].set(pip).at[ip].set(jp).at[j].set(ip)
+        # zero candidates: the categorical draw above is garbage and the
+        # splice can create a CYCLE — keep the original arrays (the move
+        # is rejected via -inf anyway; a cyclic parent would hang the
+        # MRCA chain walk and corrupt downstream peels)
+        valid = count > 0
+        parent = jnp.where(valid, parent, tree.parent)
+        children = jnp.where(valid, children, tree.children)
         # reverse: same height, destinations in the NEW tree, pick = CiP
         cand2 = intersecting_edges(parent, h, allmask, height)
         cand2 = cand2.at[i].set(False).at[j].set(False)
         logw2 = self._log_weights(parent, h, ip, height, cand2, size)
         log_reverse = jax.nn.log_softmax(logw2)[cip]
         tree = tree.replace(parent=parent, children=children)
-        logq = jnp.where(count > 0, log_reverse - log_forward, NEG_INF)
+        logq = jnp.where(valid, log_reverse - log_forward, NEG_INF)
         return params, tree, logq.astype(fdt)
 
 
