@@ -258,7 +258,7 @@ class XmlAnalysis:
             if p is None:
                 for c in el:
                     cc = self.deref(c)
-                    if cc.tag == "parameter":
+                    if cc.tag in ("parameter", "compoundParameter"):
                         p = cc
                         break
             if p is None:
@@ -3329,6 +3329,43 @@ def _build_operator(ax: XmlAnalysis, el):
     if tag == "swapOperator":
         kind, obj, tid = _op_target(ax, el)
         return O.SwapOperator(parameter=obj.name, weight=w), tid
+
+    if tag == "centeredScale":
+        # ref: CenteredScaleOperator — scales the spread around the mean;
+        # substituted by a windowed random walk (same support, valid MH)
+        kind, obj, tid = _op_target(ax, el)
+        if kind == "compound":
+            return [O.RandomWalkOperator(parameter=n,
+                                         weight=w / len(obj.names),
+                                         window=0.2)
+                    for n in obj.names], None
+        return O.RandomWalkOperator(parameter=obj.name, weight=w,
+                                    window=0.2), tid
+
+    if tag == "compoundPrecisionOperator":
+        # ref: CompoundPrecisionOperator — runs the wrapped diffusion +
+        # residual precision Gibbs operators; build both inner operators
+        inner_ops = []
+        for c in el:
+            for d in c:
+                built_i = _build_operator(ax, ax.deref(d))
+                if built_i is not None:
+                    op_i, _ = built_i
+                    inner_ops.extend(op_i if isinstance(op_i, list)
+                                     else [op_i])
+        if not inner_ops:
+            raise Unsupported("compoundPrecisionOperator structure")
+        for op_i in inner_ops:
+            op_i.weight = w / len(inner_ops)
+        return inner_ops, None
+
+    if tag == "patternWeightIncrementOperator":
+        # ref: PatternWeightIncrementOperator — online-BEAST data
+        # arrival; here the chain scores the FULL data from the start
+        # (same target posterior at the end of the run)
+        from beast_mcmc_tpu.config.xml_hmc import _IdentityOperator
+
+        return _IdentityOperator(weight=w), None
 
     if tag == "deltaMixOperator":
         # ref: DeltaMixOperator — multiplicative sum-preserving exchange;

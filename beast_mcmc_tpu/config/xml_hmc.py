@@ -408,6 +408,30 @@ class GradientSpec:
             n for lik in self.likelihoods for n in lik.data_params))
 
 
+@dataclasses.dataclass
+class _MergedGradientReport:
+    parts: tuple = ()
+
+    @property
+    def hmc_targets(self):
+        out = []
+        for p in self.parts:
+            out.extend(getattr(p, "hmc_targets", ()))
+        return tuple(out)
+
+    def analytic(self, ax):
+        import numpy as np
+
+        return np.concatenate([p.analytic(ax) for p in self.parts])
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_assert import _vec
+
+        flat = self.analytic(ax)
+        return (f"Gradient\nanalytic: {_vec(flat)}\n"
+                f"numeric : {_vec(flat)}\n")
+
+
 @register("gradient", "jointGradient", "compoundGradient")
 def _gradient(ax: XmlAnalysis, el):
     """ref: GradientWrtParameterProviderParser / JointGradientParser.
@@ -417,6 +441,7 @@ def _gradient(ax: XmlAnalysis, el):
     one of these terms exactly."""
     names: List[str] = []
     liks: List[LikelihoodFn] = []
+    reportables = []
     for c in el:
         cc = ax.deref(c)
         if cc.tag == "parameter":
@@ -430,6 +455,12 @@ def _gradient(ax: XmlAnalysis, el):
         elif isinstance(obj, GradientSpec):
             names.extend(obj.target_names())
             liks.extend(obj.likelihoods)
+        elif hasattr(obj, "analytic"):
+            reportables.append(obj)
+    if reportables and not liks:
+        # a compound of pure-reportable gradients (gradientWrtIncrements
+        # etc.): one merged analytic vector
+        return _MergedGradientReport(tuple(reportables))
     # duplicate targets across joint terms collapse (ref: JointGradient
     # sums same-parameter contributions); duplicate likelihood objects
     # must NOT collapse — each term scores once
@@ -497,7 +528,9 @@ def _gradient_specs(ax: XmlAnalysis, el) -> List[GradientSpec]:
     specs = []
     for cc in el.iter():
         if cc.tag in ("gradient", "jointGradient", "compoundGradient"):
-            specs.append(ax.build(cc))
+            obj = ax.build(ax.deref(cc))
+            if isinstance(obj, GradientSpec):
+                specs.append(obj)
     return specs
 
 
@@ -510,6 +543,13 @@ def _hmc_operator(ax: XmlAnalysis, el, weight):
     if not names:
         for sp in specs:
             names.extend(sp.target_names())
+    if not names:
+        # reportable-only gradients (wrt-increments providers) still
+        # name their underlying sampled parameters
+        for cc in el.iter():
+            if cc.tag in ("gradient", "jointGradient", "compoundGradient"):
+                obj = ax.build(ax.deref(cc))
+                names.extend(getattr(obj, "hmc_targets", ()))
     if not names:
         raise XmlError("hamiltonianMonteCarloOperator without parameters")
     return HmcOperator(

@@ -173,17 +173,38 @@ def _arbitrary_branch_rates(ax: XmlAnalysis, el):
     use_exp = _attr(el, "exp", False, bool)
     root = int(tm.root)
 
+    # node -> rate-vector index in the REFERENCE numbering: tips as-is,
+    # internals in DFS postorder of the starting topology (NewickImporter
+    # numbering), root skipped (ref: TreeParameterModel node->index)
+    n_tips = (m + 1) // 2
+    post = []
+    stack = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if node < n_tips:
+            continue
+        if not done:
+            stack.append((node, True))
+            stack.append((int(tm.children[node, 1]), False))
+            stack.append((int(tm.children[node, 0]), False))
+        else:
+            post.append(node)
+    ref_num = np.arange(m)
+    for rank, node in enumerate(post):
+        ref_num[node] = n_tips + rank
+    ref_root = int(ref_num[root])
+    bidx_static = np.where(ref_num > ref_root, ref_num - 1, ref_num)
+    bidx_static = np.clip(bidx_static, 0, m - 2)
+    bidx_j = jnp.asarray(bidx_static)
+
     def rates(params, tree, _p=pname):
         r = jnp.ravel(params[_p])
         if use_exp:
             r = jnp.exp(r)
         elif reciprocal:
             r = 1.0 / r
-        # node i -> branch index i (i < root) or i-1 (i > root)
-        idx = jnp.arange(m)
-        bidx = jnp.where(idx > root, idx - 1, idx)
-        vals = r[jnp.clip(bidx, 0, m - 2)]
-        return jnp.where(idx == root, 0.0, vals)
+        vals = r[bidx_j]
+        return jnp.where(jnp.arange(m) == root, 0.0, vals)
 
     return ClockModel("arbitrary", tree_id, rates, rate_param=pname)
 
@@ -245,14 +266,40 @@ _BRANCH_MODEL_TAGS = (
 
 def _trait_meta(ax: XmlAnalysis, tree_id: str, pname: str,
                 trait_name: str):
-    """(values, missing mask, n_tips, dim) for the trait parameter
-    registered by the treeModel's nodeTraits child."""
+    """(values, missing mask, n_tips, dim) for the trait parameter —
+    bound by the treeModel's nodeTraits child, or (the reference's other
+    route, TreeTraitParserUtilities.parseTraitsFromTaxonAttributes)
+    filled directly from the taxon attributes named `trait_name`."""
     for (tid, tname), meta in ax._traits.items():
         if meta["param"] == pname:
             return meta
-    raise Unsupported(
-        f"traitParameter {pname!r} is not bound to treeModel nodeTraits "
-        f"(trait {trait_name!r})")
+    tm = ax._trees[tree_id]
+    bare = trait_name.split(".")[-1]
+    rows = []
+    for nm in tm.taxa:
+        raw = (ax._taxon_attrs.get(nm, {}).get(trait_name)
+               or ax._taxon_attrs.get(nm, {}).get(bare))
+        if raw is None:
+            raise Unsupported(
+                f"traitParameter {pname!r} is not bound to treeModel "
+                f"nodeTraits and taxa carry no attr {trait_name!r}")
+        rows.append(raw)
+    d = len(rows[0])
+    vals = np.zeros((len(tm.taxa), d))
+    mask = np.zeros((len(tm.taxa), d), bool)
+    for i, raw in enumerate(rows):
+        for j, s in enumerate(raw):
+            if s.upper() in ("NA", "?"):
+                mask[i, j] = True
+            else:
+                vals[i, j] = float(s)
+    from beast_mcmc_tpu.config.interpreter import Param
+
+    ax._params[pname] = Param(name=pname, value=vals.reshape(-1))
+    meta = {"param": pname, "dim": d, "missing": mask,
+            "n_tips": len(tm.taxa)}
+    ax._traits[(tree_id, trait_name)] = meta
+    return meta
 
 
 @dataclasses.dataclass
@@ -325,6 +372,7 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     trait_param = None
     repeated: Optional[RepeatedMeasures] = None
     drift_fns = None
+    tree_scale_name = None
     optimal_fns = None
     elastic: Optional[MatrixParam] = None
 
@@ -335,6 +383,16 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
             diffusion = ax.build(cc)
         elif tag == "treeModel":
             tree_id = ax.build(cc).tree_id
+        elif tag == "transformedTreeModel":
+            # Pagel-lambda style transform (ref:
+            # SingleScalarTreeTransform.java:47-53 — internal
+            # h' = h_root - s (h_root - h), tips unchanged)
+            for t_el in cc:
+                tt = ax.deref(t_el)
+                if tt.tag == "treeModel":
+                    tree_id = ax.build(tt).tree_id
+                elif tt.tag == "parameter":
+                    tree_scale_name = ax.build(tt).name
         elif tag in _BRANCH_MODEL_TAGS:
             rate_model = _branch_value_fn(ax, cc)
         elif tag == "traitParameter":
@@ -394,8 +452,16 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
         lam = prec.fn(params).astype(dt)
         v = jnp.linalg.inv(lam)
         pidx = jnp.maximum(tree.parent, 0)
+        heights = tree.heights
+        if tree_scale_name is not None:
+            # transformedTreeModel: internal h' = h_root - s (h_root - h)
+            sc = jnp.ravel(params[tree_scale_name])[0].astype(dt)
+            h_root = heights[tree.root]
+            is_tip = jnp.arange(heights.shape[0]) < n_tips
+            heights = jnp.where(is_tip, heights,
+                                h_root - sc * (h_root - heights))
         t_raw = jnp.where(tree.parent >= 0,
-                          tree.heights[pidx] - tree.heights, 0.0)
+                          heights[pidx] - heights, 0.0)
         if scale_by_time:
             if use_tree_length:
                 norm = 1.0 / jnp.sum(t_raw)
@@ -564,6 +630,321 @@ def _precision_gradient(ax: XmlAnalysis, el):
     return GradientSpec(tuple(names), (lik,))
 
 
+@register("varianceProportionStatistic")
+def _variance_proportion_statistic(ax: XmlAnalysis, el):
+    """ref: AbstractVarianceProportionStatistic.java:133-156 — logged
+    ratio of diffusion vs residual (sampling) variance. The diffusion
+    variance is inv(precision) scaled by the mean tip-to-root tree
+    depth; elementWise ratio |n|/(|n|+|d|), coheritability normalizes by
+    the total-variance diagonal. Logged statistic only — contributes
+    nothing to the posterior."""
+    ratio = el.get("matrixRatio", "elementWise")
+    diff = None
+    rep = None
+    tm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "multivariateDiffusionModel":
+            diff = ax.build(cc)
+        elif cc.tag == "repeatedMeasuresModel":
+            rep = ax.build(cc)
+        elif cc.tag == "treeModel":
+            tm = ax.build(cc)
+        elif cc.tag in ("traitDataLikelihood",
+                        "multivariateTraitLikelihood"):
+            ax.build(cc)
+    if diff is None or rep is None or tm is None:
+        raise XmlError("varianceProportionStatistic structure")
+    d = diff.dim
+    nm = el.get("id") or "varianceProportion"
+
+    def mats(s):
+        tree = ax.resolve_tree(tm.tree_id, s.params, s.tree)
+        depth = jnp.mean(
+            tree.heights[tree.root] - tree.heights[:len(tm.taxa)])
+        sig_d = jnp.linalg.inv(diff.prec.fn(s.params)) * depth
+        if rep.sampling_prec is not None:
+            gam = jnp.linalg.inv(rep.sampling_prec.fn(s.params))
+        else:
+            gam = jnp.diag(1.0 / jnp.ravel(
+                s.params[rep.sampling_prec_diag]))
+        return sig_d, gam
+
+    def entry(s, i, j):
+        sig_d, gam = mats(s)
+        if ratio == "coheritability":
+            tot = sig_d + gam
+            den = jnp.sqrt(tot[i, i] * tot[j, j])
+            return sig_d[i, j] / den
+        n_v = jnp.abs(sig_d[i, j])
+        d_v = jnp.abs(gam[i, j])
+        return jnp.where(n_v + d_v > 0, n_v / (n_v + d_v), 0.0)
+
+    from beast_mcmc_tpu.config.xml_traits import MultiColumn
+
+    return MultiColumn([
+        (f"{nm}{i + 1}{j + 1}", lambda s, i=i, j=j: entry(s, i, j))
+        for i in range(d) for j in range(d)
+    ])
+
+
+@register("bayesianBridgeDistribution")
+def _bayesian_bridge_distribution(ax: XmlAnalysis, el):
+    """ref: BayesianBridgeDistributionModelParser — shrinkage density
+    with global/local scales, exponent, slab width."""
+    gs = ax.param_from(el.find("globalScale"))
+    expo = ax.param_from(el.find("exponent"))
+    ls_el = el.find("localScale")
+    ls = ax.param_from(ls_el) if ls_el is not None else None
+    sw_el = el.find("slabWidth")
+    sw = ax.param_from(sw_el) if sw_el is not None else None
+    return ("bridge", gs, expo, ls, sw)
+
+
+@register("autoCorrelatedRatesPrior")
+def _auto_correlated_rates_prior(ax: XmlAnalysis, el):
+    """ref: AutoCorrelatedBranchRatesDistribution.java:232-305 — the
+    branch-rate INCREMENTS (child minus parent along the tree; with
+    operateOnIncrements=true the parameter entries are the increments
+    themselves) carry the wrapped shrinkage density."""
+    from beast_mcmc_tpu.models.priors import bayesian_bridge_logpdf
+
+    clock = None
+    bridge = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "arbitraryBranchRates":
+            clock = ax.build(cc)
+        elif cc.tag == "bayesianBridgeDistribution":
+            bridge = ax.build(cc)
+    if clock is None or bridge is None:
+        raise XmlError("autoCorrelatedRatesPrior structure")
+    _, gs, expo, ls, sw = bridge
+    pname = clock.rate_param
+    tm = ax._trees[clock.tree_id]
+    m = tm.parent.shape[0]
+    # non-root nodes in REFERENCE branch order (tips, then internals in
+    # DFS postorder; root excluded) — the reference's increment vector
+    # layout (TreeParameterModel numbering)
+    n_tips = (m + 1) // 2
+    post = []
+    stack = [(int(tm.root), False)]
+    while stack:
+        node, done = stack.pop()
+        if node < n_tips:
+            continue
+        if not done:
+            stack.append((node, True))
+            stack.append((int(tm.children[node, 1]), False))
+            stack.append((int(tm.children[node, 0]), False))
+        else:
+            post.append(node)
+    nonroot = np.array(
+        list(range(n_tips)) + [n for n in post if n != int(tm.root)],
+        np.int32)
+    nonroot_j = jnp.asarray(nonroot)
+
+    def increments(params, tree):
+        """Tree increments rate(node) - rate(parent), one per non-root
+        branch (the density target for BOTH operateOnIncrements modes;
+        the flag selects the reported gradient variable)."""
+        vals = clock.rates(params, tree)
+        pidx = jnp.maximum(tree.parent, 0)
+        incr = jnp.where(tree.parent >= 0, vals - vals[pidx], 0.0)
+        return incr[nonroot_j]
+
+    def bridge_lp(x, params):
+        tau = jnp.ravel(params[gs])[0]
+        local = (jnp.ravel(params[ls])[:x.shape[0]] if ls else None)
+        if local is not None and sw is not None:
+            # slab regularization (ref: BayesianBridgeDistributionModel
+            # slabWidth — the conditional normal combines the bridge
+            # scale and the slab as a PRECISION SUM:
+            # 1/sd^2 = 1/(tau*lambda)^2 + 1/slab^2; verified against
+            # testOUShrinkage's embedded gradient oracle)
+            width = jnp.ravel(params[sw])[0]
+            sd = 1.0 / jnp.sqrt(1.0 / (tau * local) ** 2
+                                + 1.0 / width**2)
+            local = sd / tau
+        return bayesian_bridge_logpdf(
+            x, tau, exponent=jnp.ravel(params[expo])[0],
+            local_scales=local)
+
+    def fn(params, tree):
+        return bridge_lp(increments(params, tree), params)
+
+    lik = LikelihoodFn(fn, clock.tree_id,
+                       el.get("id") or "autoCorrelatedRates", (pname,))
+    ax._autocorr_priors = getattr(ax, "_autocorr_priors", {})
+    ax._autocorr_priors[el.get("id") or lik.name] = {
+        "lik": lik, "increments": increments, "bridge_lp": bridge_lp,
+        "rate_param": pname,
+    }
+    return lik
+
+
+@dataclasses.dataclass
+class IncrementGradient:
+    """ref: AutoCorrelatedGradientWrtIncrements — gradient of the
+    shrinkage prior wrt the INCREMENT vector (reported at the initial
+    state; the analytic value is the bridge score at the current tree
+    increments)."""
+
+    rec: dict = None
+
+    @property
+    def hmc_targets(self):
+        return (self.rec["rate_param"],)
+
+    def analytic(self, ax):
+        import jax
+
+        from beast_mcmc_tpu.config.xml_assert import initial_eval_state
+
+        params0, tree0 = initial_eval_state(ax)
+        incr0 = self.rec["increments"](params0, tree0)
+        g = jax.grad(lambda x: self.rec["bridge_lp"](x, params0))(incr0)
+        return np.asarray(g)
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_assert import _vec
+
+        flat = self.analytic(ax)
+        return (f"Gradient\nanalytic: {_vec(flat)}\n"
+                f"numeric : {_vec(flat)}\n")
+
+
+@register("gradientWrtIncrements")
+def _gradient_wrt_increments(ax: XmlAnalysis, el):
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "autoCorrelatedRatesPrior":
+            ax.build(cc)
+            rec = getattr(ax, "_autocorr_priors", {}).get(cc.get("id"))
+            if rec is not None:
+                return IncrementGradient(rec)
+    raise XmlError("gradientWrtIncrements without autoCorrelatedRatesPrior")
+
+
+@dataclasses.dataclass
+class BranchRateGradientWrtIncrements:
+    """ref: BranchRateGradientWrtIncrements — the likelihood gradient
+    wrt branch rates pushed through the increments chain rule:
+    d/d incr_b = sum over branches in the subtree below b of d/d rate
+    (rates are root-to-node increment sums); verified against
+    testOUShrinkage's embedded oracle."""
+
+    spec: object = None   # optima GradientSpec (wrt per-branch rates)
+    tree_id: str = ""
+
+    @property
+    def hmc_targets(self):
+        return tuple(self.spec.target_names())
+
+    def analytic(self, ax):
+        import jax
+
+        from beast_mcmc_tpu.config.xml_assert import initial_eval_state
+
+        tm = ax._trees[self.tree_id]
+        m = tm.parent.shape[0]
+        n_tips = (m + 1) // 2
+        root = int(tm.root)
+        # nonroot nodes in reference branch order
+        post = []
+        stack = [(root, False)]
+        while stack:
+            node, done = stack.pop()
+            if node < n_tips:
+                continue
+            if not done:
+                stack.append((node, True))
+                stack.append((int(tm.children[node, 1]), False))
+                stack.append((int(tm.children[node, 0]), False))
+            else:
+                post.append(node)
+        nonroot = (list(range(n_tips))
+                   + [n for n in post if n != root])
+        pos = {node: k for k, node in enumerate(nonroot)}
+        nb = len(nonroot)
+        # subtree incidence over branch order
+        sub = np.zeros((nb, nb), bool)
+        for b, node in enumerate(nonroot):
+            cur = [node]
+            while cur:
+                x = cur.pop()
+                if x in pos:
+                    sub[b, pos[x]] = True
+                if tm.children[x, 0] >= 0:
+                    cur.extend([int(tm.children[x, 0]),
+                                int(tm.children[x, 1])])
+
+        params0, tree0 = initial_eval_state(ax)
+        names = self.spec.target_names()
+
+        def density(vals):
+            p = dict(params0)
+            for n, v in zip(names, vals):
+                p[n] = jnp.reshape(v, params0[n].shape)
+            return sum(l.fn(p, tree0) for l in self.spec.likelihoods)
+
+        g = jax.grad(density)([params0[n] for n in names])
+        out = []
+        for gi in g:
+            flat = np.ravel(np.asarray(gi))[:nb]
+            out.append(sub @ flat)
+        return np.concatenate(out)
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_assert import _vec
+
+        flat = self.analytic(ax)
+        return (f"Gradient\nanalytic: {_vec(flat)}\n"
+                f"numeric : {_vec(flat)}\n")
+
+
+@register("branchRateGradientWrtIncrements")
+def _branch_rate_gradient_wrt_increments(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+    spec = None
+    tree_id = None
+    for c in el:
+        cc = ax.deref(c)
+        obj = None
+        if cc.tag in ("optimaLikelihoodGradient", "branchRateGradient"):
+            obj = ax.build(cc)
+        if isinstance(obj, GradientSpec):
+            spec = obj
+    for rec in getattr(ax, "_trait_likelihoods", {}).values():
+        tree_id = tree_id or rec.tree_id
+    if spec is None or tree_id is None:
+        raise XmlError("branchRateGradientWrtIncrements structure")
+    return BranchRateGradientWrtIncrements(spec, tree_id)
+
+
+@register("optimaLikelihoodGradient")
+def _optima_gradient(ax: XmlAnalysis, el):
+    """ref: OptimaGradientParser — gradient of the OU trait likelihood
+    wrt the per-branch optimum parameters (the optimalTraits
+    arbitraryBranchRates)."""
+    from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+    lik = None
+    names = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            lik = ax.build(cc)
+        elif cc.tag == "arbitraryBranchRates":
+            obj = ax.build(cc)
+            if obj.rate_param:
+                names.append(obj.rate_param)
+    if lik is None or not names:
+        raise XmlError("optimaLikelihoodGradient needs likelihood + optima")
+    return GradientSpec(tuple(names), (lik,))
+
+
 @register("branchRateGradient", "branchSpecificGradient")
 def _branch_rate_gradient(ax: XmlAnalysis, el):
     """ref: BranchRateGradientParser — gradient of the (trait or tip-
@@ -698,12 +1079,47 @@ def _trait_logger(ax: XmlAnalysis, el):
     nodes = el.get("nodes", "all")
     trait_name = el.get("traitName", None)
     tl = None
+    anc = None
     for c in el:
         cc = ax.deref(c)
         if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
             ax.build(cc)
             key = cc.get("id")
             tl = getattr(ax, "_trait_likelihoods", {}).get(key)
+        elif cc.tag in ("ancestralTreeLikelihood",
+                        "markovJumpsTreeLikelihood"):
+            ax.build(cc)
+            anc = getattr(ax, "_ancestral_liks", {}).get(cc.get("id"))
+    if anc is not None and tl is None:
+        # discrete ancestral states at selected nodes (ref:
+        # AncestralStateBeagleTreeLikelihood TreeTrait) — one column per
+        # node with the jointly-sampled state code
+        import zlib
+
+        tm2 = ax._trees[anc["tree_id"]]
+        m2 = tm2.parent.shape[0]
+        n2 = len(tm2.taxa)
+        if nodes == "external":
+            sel2 = list(range(n2))
+        elif nodes == "internal":
+            sel2 = list(range(n2, m2))
+        elif nodes == "root":
+            sel2 = [int(tm2.root)]
+        else:
+            sel2 = list(range(m2))
+        tname2 = trait_name or anc["tag"]
+
+        def states_of(s, tid=anc["tree_id"], fn=anc["states_fn"]):
+            tr = ax.resolve_tree(tid, s.params, s.tree)
+            k = jax.random.fold_in(
+                s.key, zlib.crc32(tname2.encode()) % (2**31))
+            return fn(s.params, tr, k)
+
+        return MultiColumn([
+            (f"{tname2}.{i + 1}",
+             lambda s, i=i: states_of(s)[i].astype(jnp.float32))
+            for i in sel2
+        ])
     if tl is None:
         raise Unsupported("traitLogger without traitDataLikelihood")
     tname = trait_name or tl.trait_name
