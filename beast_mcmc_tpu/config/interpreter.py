@@ -654,6 +654,15 @@ class XmlAnalysis:
                  lambda s, i=i, j=j, o=obj: o.fn(s.params)[i, j])
                 for i in range(obj.dim) for j in range(obj.dim)
             ]
+        if isinstance(obj, JointTipAlias):
+            # one mirrored value: log the first tree's copy
+            tid0, tip0 = obj.targets[0]
+            return [(nm, lambda s, t=tid0, i=tip0: self.resolve_tree(
+                t, s.params, s.tree).heights[i])]
+        if type(obj).__name__ == "IntegratedFactorModel":
+            # density counted inside the companion traitDataLikelihood
+            return [(nm, lambda s: jnp.asarray(0.0,
+                                               s.tree.heights.dtype))]
         if callable(obj):  # statistics
             return [(nm, obj)]
         raise Unsupported(f"cannot log <{el2.tag}>")
@@ -687,9 +696,15 @@ class XmlAnalysis:
             name = exp.get("name")
             expected = float(exp.get("value"))
             if name not in table:
-                raise XmlError(
-                    f"expectation names unknown column {name!r} in {fname}"
-                )
+                # the reference silently skips expectations whose name
+                # matches no trace (TraceAnalysisParser.java:86-90 only
+                # acts inside the name-equality branch)
+                import warnings
+
+                warnings.warn(
+                    f"expectation {name!r} matches no column in {fname} "
+                    f"(skipped, reference semantics)")
+                continue
             samples = table[name][burn:]
             st = analyze(samples)
             err = abs(st.mean - expected)
@@ -1057,6 +1072,29 @@ def _mvn_prior(ax: XmlAnalysis, el):
         return tot
 
     return LikelihoodFn(fn, None, "multivariateNormalPrior")
+
+
+@dataclasses.dataclass
+class JointTipAlias:
+    """<jointParameter> over leaf-height views of several trees."""
+
+    targets: tuple = ()  # (tree_id, tip_index)
+
+
+@register("jointParameter")
+def _joint_parameter(ax: XmlAnalysis, el):
+    """ref: JointParameterParser — one value mirrored across several
+    parameters; here specifically the shared-tip-age case (leaf-height
+    views across unlinked gene trees)."""
+    targets = []
+    for c in el:
+        cc = ax.deref(c)
+        obj = ax.build(cc)
+        if isinstance(obj, TreeAlias) and obj.kind == "leaf_height":
+            targets.append((obj.tree_id, obj.tip_index))
+        else:
+            raise Unsupported("jointParameter over non-tip parameters")
+    return JointTipAlias(tuple(dict.fromkeys(targets)))
 
 
 @register("compoundParameter")
@@ -2889,6 +2927,49 @@ class ActiveEntryScaleOperator:
                 (-jnp.log(s)).astype(dt))
 
 @dataclasses.dataclass
+class JointTipHeightOperator:
+    """Uniform move of a shared tip age across SEVERAL trees (ref:
+    JointParameter over leafHeight parameters, the tip-date sampling
+    setup of testJointTipAges): draw U(0, min over trees of the tip's
+    parent height) and write the height into every tree."""
+
+    ax: object = None
+    targets: tuple = ()  # (tree_id, tip_index) pairs
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = False
+    modifies_params = None
+
+    def modified_params(self):
+        return tuple(self.ax.tree_key(tid, "heights")
+                     for tid, _ in self.targets)
+
+    def initial_adapt(self):
+        return 0.0
+
+    def tuning(self, adapt_value):
+        return None
+
+    def propose(self, params, tree, key, tuning):
+        upper = None
+        for tid, tip in self.targets:
+            t = self.ax.resolve_tree(tid, params, tree)
+            ph = t.heights[t.parent[tip]]
+            upper = ph if upper is None else jnp.minimum(upper, ph)
+        u = jax.random.uniform(key, (), tree.heights.dtype)
+        new_h = u * upper
+        for tid, tip in self.targets:
+            t = self.ax.resolve_tree(tid, params, tree)
+            heights = t.heights.at[tip].set(new_h)
+            if self.ax._tree_binding.get(tid, "state") == "state":
+                tree = tree.replace(heights=heights)
+            else:
+                params = {**params,
+                          self.ax.tree_key(tid, "heights"): heights}
+        return params, tree, jnp.asarray(0.0, tree.heights.dtype)
+
+
+@dataclasses.dataclass
 class MultiTreeUpDownOperator:
     """upDown over parameters AND the internal heights of SEVERAL trees
     (state-resident or params-resident) — the EBSP/multilocus form of
@@ -2972,6 +3053,17 @@ def _compound_likelihood(ax: XmlAnalysis, el):
         if isinstance(obj, ClockModel):
             # a branch-rate model inside <likelihood> contributes nothing
             # itself (its density is in the rate construction)
+            continue
+        if isinstance(obj, JointTipAlias):
+            # one mirrored value: log the first tree's copy
+            tid0, tip0 = obj.targets[0]
+            return [(nm, lambda s, t=tid0, i=tip0: self.resolve_tree(
+                t, s.params, s.tree).heights[i])]
+        if type(obj).__name__ == "IntegratedFactorModel":
+            # the factor data density is already INSIDE the companion
+            # traitDataLikelihood's integrated marginal (the reference
+            # splits p(data|factors) and p(factors|tree) across the two
+            # elements; models/factor.py computes the product directly)
             continue
         if (isinstance(obj, tuple) and obj
                 and obj[0] in ("subst", "subst_q")):
@@ -3303,6 +3395,13 @@ def _build_operator(ax: XmlAnalysis, el):
         ), tid
 
     if tag == "uniformOperator":
+        for c in el:
+            cc = ax.deref(c)
+            if cc.tag == "jointParameter":
+                ja = ax.build(cc)
+                return JointTipHeightOperator(
+                    ax=ax, targets=ja.targets, weight=w
+                ), ja.targets[0][0]
         kind, obj, tid = _op_target(ax, el)
         if kind == "alias" and obj.kind in ("internal_heights",
                                             "all_heights"):
@@ -3358,6 +3457,28 @@ def _build_operator(ax: XmlAnalysis, el):
         for op_i in inner_ops:
             op_i.weight = w / len(inner_ops)
         return inner_ops, None
+
+    if tag in ("regressionGibbsEffectOperator",
+               "regressionGibbsPrecisionOperator",
+               "regressionMetropolizedIndicatorOperator"):
+        # ref: RegressionGibbsEffectOperator etc. — conjugate draws for
+        # GLM blocks; substituted by posterior-preserving walk/scale/flip
+        # moves on the same targets
+        kind, obj, tid = _op_target(ax, el)
+        if tag.endswith("PrecisionOperator"):
+            return O.ScaleOperator(parameter=obj.name, weight=w,
+                                   scale_factor=0.75), tid
+        if tag.endswith("IndicatorOperator"):
+            return O.BitFlipOperator(parameter=obj.name, weight=w), tid
+        return O.RandomWalkOperator(parameter=obj.name, weight=w,
+                                    window=0.3), tid
+
+    if tag == "fireParameterChanged":
+        # ref: FireParameterChangedOperator — model-graph cache poke; the
+        # functional chain re-evaluates everything, so a no-op accept
+        from beast_mcmc_tpu.config.xml_hmc import _IdentityOperator
+
+        return _IdentityOperator(weight=w), None
 
     if tag == "patternWeightIncrementOperator":
         # ref: PatternWeightIncrementOperator — online-BEAST data

@@ -22,6 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from beast_mcmc_tpu.config.interpreter import (
+    LikelihoodFn,
     Param,
     Unsupported,
     XmlAnalysis,
@@ -302,11 +303,19 @@ def _log_rate_substitution_model(ax: XmlAnalysis, el):
 
 @register("glmModel")
 def _glm_model(ax: XmlAnalysis, el):
-    """ref: GeneralizedLinearModelParser (logLinear family) — log-rates
-    are X @ beta; X columns are the designMatrix's parameter children,
-    one per predictor; optional <indicator> spike-and-slab mask."""
-    if el.get("family") not in (None, "logLinear"):
-        raise Unsupported(f"glmModel family {el.get('family')!r}")
+    """ref: GeneralizedLinearModelParser. family=logLinear (default):
+    returns the rate-builder tuple for substitution models. family=
+    logNormal: a regression LIKELIHOOD — dependent y ~ logNormal with
+    log-mean X beta (indicator-masked) and the scaleVariables precision
+    (models/regression.glm_loglik)."""
+    from beast_mcmc_tpu.config.interpreter import (
+        CompoundParam,
+        _text_values,
+    )
+
+    family = el.get("family") or "logLinear"
+    if family not in ("logLinear", "logNormal"):
+        raise Unsupported(f"glmModel family {family!r}")
     coef = None
     design_cols = []
     ind = None
@@ -316,22 +325,47 @@ def _glm_model(ax: XmlAnalysis, el):
     for c in iv:
         cc = ax.deref(c)
         if cc.tag == "parameter":
-            coef = ax.param_from(cc)
+            obj = ax.build(cc)
+            coef = obj.name if hasattr(obj, "name") else coef
         elif cc.tag == "designMatrix":
             for p in cc:
                 pp = ax.deref(p)
                 if pp.tag == "parameter":
-                    from beast_mcmc_tpu.config.interpreter import (
-                        _text_values,
-                    )
-
                     design_cols.append(_text_values(pp))
         elif cc.tag == "indicator":
             ind = ax.param_from(cc)
     if coef is None or not design_cols:
         raise XmlError("glmModel needs coefficients + designMatrix")
     design = np.stack(design_cols, axis=1)  # [R, P]
-    return ("glm", design, coef, ind)
+    if family == "logLinear":
+        return ("glm", design, coef, ind)
+    # logNormal regression likelihood
+    dv = el.find("dependentVariables")
+    if dv is None:
+        raise XmlError("glmModel logNormal without dependentVariables")
+    dep_obj = ax.build(ax.deref(next(iter(dv))))
+    dep_names = (tuple(dep_obj.names) if isinstance(dep_obj, CompoundParam)
+                 else (dep_obj.name,))
+    sv = el.find("scaleVariables")
+    prec_name = ax.param_from(sv) if sv is not None else None
+    design_j = jnp.asarray(design)
+
+    def fn(params, tree):
+        y = jnp.concatenate(
+            [jnp.ravel(params[n]) for n in dep_names])
+        beta = jnp.ravel(params[coef])
+        if ind is not None:
+            beta = beta * jnp.ravel(params[ind])
+        mu = design_j.astype(y.dtype) @ beta
+        tau = (jnp.ravel(params[prec_name])[0] if prec_name
+               else jnp.asarray(1.0, y.dtype))
+        ly = jnp.log(y)
+        return jnp.sum(
+            0.5 * jnp.log(tau) - 0.5 * jnp.log(2 * jnp.pi)
+            - ly - 0.5 * tau * (ly - mu) ** 2)
+
+    return LikelihoodFn(fn, None, el.get("id") or "glmModel",
+                        dep_names)
 
 
 @register("glmSubstitutionModel", "oldGLMSubstitutionModel")

@@ -501,7 +501,7 @@ def _hmc_targets(ax: XmlAnalysis, el) -> List[str]:
     names = []
     for c in el:
         cc = ax.deref(c)
-        if cc.tag == "parameter":
+        if cc.tag in ("parameter", "maskedParameter"):
             obj = ax.build(cc)
             if isinstance(obj, Param):
                 names.append(obj.name)

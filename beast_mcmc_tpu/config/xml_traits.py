@@ -253,6 +253,47 @@ def _repeated_measures(ax: XmlAnalysis, el):
                             mp, None, mp.dim)
 
 
+@dataclasses.dataclass
+class IntegratedFactorModel:
+    """ref: IntegratedFactorAnalysisLikelihood — P-dim tip data loaded
+    onto K latent factors diffusing on the tree; residual precision per
+    trait; factors + internal states integrated in closed form
+    (models/factor.py)."""
+
+    trait_param: str = ""
+    trait_name: str = ""
+    tree_id: str = ""
+    loadings: MatrixParam = None
+    precision: str = ""
+    nugget: float = 0.0
+
+
+@register("integratedFactorModel")
+def _integrated_factor_model(ax: XmlAnalysis, el):
+    tree_id = None
+    trait_param = None
+    loadings = None
+    prec = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+        elif cc.tag == "traitParameter":
+            trait_param = ax.param_from(cc)
+        elif cc.tag == "loadings":
+            for d_el in cc:
+                dd = ax.deref(d_el)
+                if dd.tag != "parameter":
+                    loadings = matrix_param_of(ax, dd)
+        elif cc.tag == "precision":
+            prec = ax.param_from(cc)
+    if None in (tree_id, trait_param, loadings, prec):
+        raise XmlError("integratedFactorModel structure")
+    return IntegratedFactorModel(
+        trait_param, el.get("traitName", "X"), tree_id, loadings, prec,
+        _attr(el, "nugget", 0.0, float))
+
+
 # ---------------------------------------------------------------------------
 # the trait data likelihood
 # ---------------------------------------------------------------------------
@@ -375,6 +416,7 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     tree_scale_name = None
     optimal_fns = None
     elastic: Optional[MatrixParam] = None
+    factor_model: Optional[IntegratedFactorModel] = None
 
     for c in el:
         cc = ax.deref(c)
@@ -412,7 +454,8 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
         elif tag in ("conjugateRootPrior", "jitter"):
             continue
         elif tag == "integratedFactorModel":
-            raise Unsupported("integratedFactorModel data model")
+            factor_model = ax.build(cc)
+            tree_id = tree_id or factor_model.tree_id
         elif tag in ("ancestralTraitTreeModel",):
             raise Unsupported(f"<{tag}> tree model")
 
@@ -423,6 +466,52 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
         raise XmlError("traitDataLikelihood without diffusion model")
     if tree_id is None:
         raise XmlError("traitDataLikelihood without treeModel")
+
+    if factor_model is not None:
+        # integrated factor route: K latent factors (diffusion precision
+        # = Lambda) x P-dim data through the loadings
+        fm = factor_model
+        root_spec = _conjugate_root(ax, el, diffusion.dim)
+        meta_f = _trait_meta(ax, tree_id, fm.trait_param, fm.trait_name)
+        n_tips_f = meta_f["n_tips"]
+        p_dim = meta_f["dim"]
+        miss_f = jnp.asarray(np.asarray(meta_f["missing"], bool))
+
+        def fn_factor(params, tree):
+            from beast_mcmc_tpu.models.factor import (
+                integrated_factor_loglikelihood,
+            )
+
+            dt = tree.heights.dtype
+            tips = jnp.reshape(params[fm.trait_param],
+                               (n_tips_f, p_dim)).astype(dt)
+            loadings = fm.loadings.fn(params).astype(dt).T  # [K, P]
+            gamma = jnp.ravel(params[fm.precision]).astype(dt)
+            if fm.nugget:
+                gamma = 1.0 / (1.0 / gamma + fm.nugget)
+            lam = diffusion.prec.fn(params).astype(dt)
+            if root_spec is not None and root_spec[0] == "conj":
+                mu0 = jnp.ravel(params[root_spec[1]]).astype(dt)
+                k0 = jnp.ravel(params[root_spec[2]])[0].astype(dt)
+            else:
+                mu0 = None
+                k0 = 1.0
+            return integrated_factor_loglikelihood(
+                tips, miss_f, tree.parent, tree.children, tree.heights,
+                tree.root, loadings, gamma, factor_precision=lam,
+                root_prior_mean=mu0, root_prior_sample_size=k0,
+            )
+
+        lik = LikelihoodFn(fn_factor, tree_id,
+                           el.get("id") or "traitLikelihood",
+                           (fm.trait_param,))
+        tl = TraitLikelihood(lik, tree_id, fm.trait_param, fm.trait_name,
+                             n_tips_f, p_dim,
+                             np.asarray(meta_f["missing"], bool), None)
+        ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
+        ax._trait_likelihoods[el.get("id") or lik.name] = tl
+        return tl
+
     if trait_param is None:
         raise Unsupported("traitDataLikelihood without traitParameter")
 
