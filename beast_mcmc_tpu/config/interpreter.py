@@ -1682,6 +1682,15 @@ def _tree_model(ax: XmlAnalysis, el):
                 ax._params[pname] = Param(name=pname, value=vals0)
                 ax._built[id(p)] = ax._params[pname]
                 continue
+            # the DATA wins over the declared traitDimension (ref:
+            # TreeTraitParserUtilities re-reads the attributes and sizes
+            # the parameter from them)
+            first = next((ax._taxon_attrs.get(nm, {}).get(tname)
+                          for nm in names
+                          if ax._taxon_attrs.get(nm, {}).get(tname)),
+                         None)
+            if first is not None and len(first) != d:
+                d = len(first)
             vals = np.zeros((len(names), d))
             mask = np.zeros((len(names), d), bool)
             for i, nm in enumerate(names):
@@ -3051,8 +3060,14 @@ def _compound_likelihood(ax: XmlAnalysis, el):
     for c in el:
         obj = ax.build(c)
         if isinstance(obj, ClockModel):
-            # a branch-rate model inside <likelihood> contributes nothing
-            # itself (its density is in the rate construction)
+            # a branch-rate model inside <likelihood> contributes its
+            # rate-evolution density if it has one (ACLikelihood), else
+            # nothing (the density is in the rate construction)
+            dens = getattr(obj, "density", None)
+            if dens is not None:
+                parts.append(LikelihoodFn(dens, obj.tree_id,
+                                          ax.deref(c).get("id") or "ac"))
+                tree_id = tree_id or obj.tree_id
             continue
         if isinstance(obj, JointTipAlias):
             # one mirrored value: log the first tree's copy
@@ -3144,10 +3159,11 @@ def _rate_statistic(ax: XmlAnalysis, el):
     clock = None
     for c in el:
         cc = ax.deref(c)
-        if cc.tag in ("strictClockBranchRates", "discretizedBranchRates",
-                      "continuousBranchRates", "localClockModel",
-                      "randomLocalClockModel"):
-            clock = ax.build(cc)
+        if cc.tag in ("treeModel", "starTreeModel"):
+            continue
+        obj = ax.build(cc)
+        if isinstance(obj, ClockModel):
+            clock = obj
     if clock is None:
         raise XmlError("rateStatistic without a branch-rate model")
 
@@ -3357,6 +3373,14 @@ def _build_operator(ax: XmlAnalysis, el):
                 ), tid
             raise Unsupported(f"scaleOperator on {obj.kind}")
         scale_all = _attr(el, "scaleAll", False, bool)
+        if kind == "compound":
+            return [
+                O.ScaleOperator(parameter=n, weight=w / len(obj.names),
+                                scale_factor=sf,
+                                mode="all" if scale_all else "random",
+                                lower=0.0)
+                for n in obj.names
+            ], None
         return O.ScaleOperator(
             parameter=obj.name, weight=w, scale_factor=sf,
             mode="all" if scale_all else "random",
@@ -3529,6 +3553,8 @@ def _build_operator(ax: XmlAnalysis, el):
                     tid = obj.tree_id
                     (up_trees if c.tag == "up" else down_trees).append(
                         obj.tree_id)
+                elif isinstance(obj, CompoundParam):
+                    (up if c.tag == "up" else down).extend(obj.names)
                 else:
                     (up if c.tag == "up" else down).append(obj.name)
         if len(set(up_trees + down_trees)) > 1:

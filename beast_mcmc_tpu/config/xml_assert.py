@@ -141,6 +141,29 @@ def report_of(ax: XmlAnalysis, el) -> str:
         return obj.report(ax)
     if isinstance(obj, LikelihoodFn):
         v = _resolving(ax, obj)
+        tl = getattr(ax, "_trait_likelihoods", {}).get(el.get("id"))
+        if tl is not None and tl.channels is not None:
+            # continuous-data report extras (ref:
+            # ContinuousDataLikelihoodDelegate.getReport:446 — "Trait
+            # variance" is the inverse diffusion precision; "datum" the
+            # flat tip data vector)
+            import numpy as _np
+
+            params0, tree0 = initial_eval_state(ax)
+            # "datum" lists only the OBSERVED entries, taxon-major (ref:
+            # ContinuousTraitDataModel report via missing-filtered data)
+            flat = _np.ravel(_np.asarray(params0[tl.trait_param]))
+            miss = _np.ravel(_np.asarray(tl.missing, bool))
+            datum = flat[~miss[:flat.size]] if miss.size else flat
+            extra = ""
+            if getattr(tl, "diffusion_prec", None) is not None:
+                var = _np.linalg.inv(
+                    _np.asarray(tl.diffusion_prec.fn(params0))).T
+                rows = "\n".join(
+                    "  ".join(str(x) for x in r) for r in var)
+                extra += f"Trait variance:\n{rows}\n\n"
+            extra += f"datum : {', '.join(str(x) for x in datum)}\n"
+            return (f"logDatumLikelihood: {v}\n{extra}{v}\n")
         # covers the corpus regexes: the class-paren form and a bare line
         return (f"dr.evomodel.treedatalikelihood.TreeDataLikelihood({v})\n"
                 f"logDatumLikelihood: {v}\n"

@@ -579,8 +579,78 @@ def _simple_tree(ax: XmlAnalysis, el):
 
 
 # ---------------------------------------------------------------------------
-# stochastic Dollo (ALS / MSSD)
+# autocorrelated relaxed clock (Rannala & Yang)
 # ---------------------------------------------------------------------------
+
+
+@register("ACLikelihood")
+def _ac_likelihood(ax: XmlAnalysis, el):
+    """ref: oldevomodel/clock/ACLikelihood.java:65-93 — per-node rates
+    evolve along branches: child ~ logNormal(log parent - var t/2,
+    var t) (or normal); the element is BOTH the branch-rate model and
+    the rate-evolution density."""
+    from beast_mcmc_tpu.config.interpreter import ClockModel
+
+    dist = el.get("distribution", "logNormal")
+    episodic = _attr(el, "episodic", False, bool)
+    tm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+    rates_n = ax.param_from(_child_of(el, "rates"))
+    root_el = el.find("rootRate")
+    root_n = ax.param_from(root_el) if root_el is not None else None
+    var_n = ax.param_from(_child_of(el, "variance"))
+    m = tm.parent.shape[0]
+    root = int(tm.root)
+    # size the node-rate vector (one per non-root node)
+    p = ax._params[rates_n]
+    if np.atleast_1d(p.value).size != m - 1:
+        ax._params[rates_n] = dataclasses.replace(
+            p, value=np.full(m - 1, 1.0))
+    if root_n is not None:
+        pr = ax._params[root_n]
+        if np.atleast_1d(pr.value).size != 1:
+            ax._params[root_n] = dataclasses.replace(
+                pr, value=np.asarray(1.0))
+
+    idx = jnp.asarray(
+        np.where(np.arange(m) > root, np.arange(m) - 1,
+                 np.arange(m)).clip(0, m - 2))
+
+    def node_rates(params):
+        r = jnp.ravel(params[rates_n])[idx]
+        rr = (jnp.ravel(params[root_n])[0] if root_n
+              else jnp.asarray(1.0, r.dtype))
+        return jnp.where(jnp.arange(m) == root, rr, r)
+
+    def rates(params, tree):
+        return node_rates(params)
+
+    def density(params, tree):
+        r = node_rates(params)
+        dt = tree.heights.dtype
+        var0 = jnp.ravel(params[var_n])[0].astype(dt)
+        pidx = jnp.maximum(tree.parent, 0)
+        t = jnp.where(tree.parent >= 0,
+                      tree.heights[pidx] - tree.heights, 0.0)
+        var = var0 if episodic else var0 * t
+        var = jnp.maximum(var, 1e-300)
+        parent_r = r[pidx]
+        if dist == "logNormal":
+            mu = jnp.log(parent_r) - var / 2.0
+            lp = (-jnp.log(r) - 0.5 * jnp.log(2 * jnp.pi * var)
+                  - (jnp.log(r) - mu) ** 2 / (2.0 * var))
+        else:
+            lp = (-0.5 * jnp.log(2 * jnp.pi * var)
+                  - (r - parent_r) ** 2 / (2.0 * var))
+        return jnp.sum(jnp.where(tree.parent >= 0, lp, 0.0))
+
+    clock = ClockModel("autocorrelated", tm.tree_id, rates,
+                       rate_param=rates_n)
+    clock.density = density
+    return clock
 
 
 @register("mutationDeathModel")

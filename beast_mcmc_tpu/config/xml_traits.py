@@ -358,6 +358,7 @@ class TraitLikelihood:
     # (params, tree) -> (q [M,D,D], r [M,D], sigma [M,D,D], mu0, v0)
     channels: Callable = None
     rate_param: Optional[str] = None  # branch-rate model's free parameter
+    diffusion_prec: Optional[MatrixParam] = None
 
 
 def _conjugate_root(ax: XmlAnalysis, el, d: int):
@@ -535,6 +536,110 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     tm = ax._trees[tree_id]
     m = tm.parent.shape[0]
     miss_j = jnp.asarray(missing)
+    integrated = _attr(el, "integratedProcess", False, bool)
+
+    if integrated:
+        # Integrated OU: augmented state z = (position, velocity) with
+        # generator G = [[0, I], [0, -A]], velocity noise Sigma_w =
+        # Lambda^-1, input b = [0; A theta] (ref:
+        # IntegratedOUDiffusionModelDelegate.java; channels computed
+        # EXACTLY per branch by Van Loan's augmented matrix exponential).
+        # Tips observe positions only (velocities marginalized as
+        # missing dims); the conjugate root prior is over the 2D state.
+        d2 = 2 * d
+
+        def channels(params, tree):
+            dt = tree.heights.dtype
+            lam = prec.fn(params).astype(dt)
+            sig_w = jnp.linalg.inv(lam)
+            pidx = jnp.maximum(tree.parent, 0)
+            t_raw = jnp.where(tree.parent >= 0,
+                              tree.heights[pidx] - tree.heights, 0.0)
+            eye_d = jnp.eye(d, dtype=dt)
+            if elastic is not None:
+                a_mat = elastic.fn(params).astype(dt)
+            else:
+                a_mat = jnp.zeros((d, d), dt)
+            theta = jnp.zeros((m, d), dt)
+            if optimal_fns is not None:
+                theta = jnp.stack([
+                    jnp.broadcast_to(jnp.ravel(jnp.asarray(
+                        f(params, tree), dt)), (m,))
+                    for f in optimal_fns], axis=1)
+            g_mat = jnp.zeros((d2, d2), dt)
+            g_mat = g_mat.at[:d, d:].set(eye_d)
+            g_mat = g_mat.at[d:, d:].set(-a_mat)
+            l_sig = jnp.zeros((d2, d2), dt).at[d:, d:].set(sig_w)
+
+            def branch(t, th):
+                # Van Loan: expm([[-G, L Sw L'],[0, G']] t) ->
+                # Phi = F3', Sigma = F3' F2
+                c_top = jnp.concatenate([-g_mat, l_sig], axis=1)
+                c_bot = jnp.concatenate(
+                    [jnp.zeros((d2, d2), dt), g_mat.T], axis=1)
+                big = jnp.concatenate([c_top, c_bot], axis=0) * t
+                e_big = jax.scipy.linalg.expm(big)
+                f3 = e_big[d2:, d2:]
+                f2 = e_big[:d2, d2:]
+                phi = f3.T
+                sig = phi @ f2
+                sig = 0.5 * (sig + sig.T)
+                # affine input b = [0; A theta]: r = int e^{G s} ds b via
+                # the (z, 1) augmentation
+                b_vec = jnp.concatenate(
+                    [jnp.zeros((d,), dt), a_mat @ th])
+                aug = jnp.zeros((d2 + 1, d2 + 1), dt)
+                aug = aug.at[:d2, :d2].set(g_mat)
+                aug = aug.at[:d2, d2].set(b_vec)
+                e_aug = jax.scipy.linalg.expm(aug * t)
+                r = e_aug[:d2, d2]
+                return phi, r, sig
+
+            qs, rs, sigs = jax.vmap(branch)(t_raw, theta)
+            # numerical floor so root/zero-length branches stay valid
+            sigs = sigs + 1e-10 * jnp.eye(d2, dtype=dt)[None]
+            if root_spec[0] in ("conj", "conj_multi"):
+                if root_spec[0] == "conj":
+                    mu0 = jnp.ravel(params[root_spec[1]]).astype(dt)
+                else:
+                    mu0 = jnp.concatenate([
+                        jnp.ravel(params[n]).astype(dt)
+                        for n in root_spec[1]])
+                k0 = jnp.ravel(params[root_spec[2]])[0].astype(dt)
+                v_blk = jnp.zeros((d2, d2), dt)
+                v_blk = v_blk.at[:d, :d].set(sig_w)
+                v_blk = v_blk.at[d:, d:].set(sig_w)
+                v0 = v_blk / k0
+            else:
+                mu0 = jnp.asarray(root_spec[1], dt)
+                mu0 = jnp.resize(mu0, (d2,))
+                v0 = jnp.linalg.inv(jnp.asarray(root_spec[2], dt))
+            mu0 = jnp.resize(mu0, (d2,))
+            return qs, rs, sigs, mu0, v0
+
+        def fn(params, tree):
+            from beast_mcmc_tpu.models.continuous import (
+                affine_gaussian_tree_loglikelihood,
+            )
+
+            qs, rs, sigs, mu0, v0 = channels(params, tree)
+            pos = jnp.reshape(params[trait_param], (n_tips, d))
+            tips = jnp.concatenate(
+                [pos, jnp.zeros((n_tips, d), pos.dtype)], axis=1)
+            miss_aug = jnp.concatenate(
+                [miss_j, jnp.ones((n_tips, d), bool)], axis=1)
+            return affine_gaussian_tree_loglikelihood(
+                tips, miss_aug, tree.parent, tree.children, tree.heights,
+                tree.root, qs, rs, sigs, mu0, v0)
+
+        lik = LikelihoodFn(fn, tree_id, el.get("id") or "traitLikelihood",
+                           (trait_param,))
+        tl = TraitLikelihood(lik, tree_id, trait_param, trait_name,
+                             n_tips, d, missing, channels,
+                             diffusion_prec=diffusion.prec)
+        ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
+        ax._trait_likelihoods[el.get("id") or lik.name] = tl
+        return tl
 
     def channels(params, tree):
         dt = tree.heights.dtype
@@ -645,7 +750,8 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     tl = TraitLikelihood(lik, tree_id, trait_param, trait_name,
                          n_tips, d, missing, channels,
                          rate_param=getattr(rate_model, "rate_param", None)
-                         if rate_model is not None else None)
+                         if rate_model is not None else None,
+                         diffusion_prec=diffusion.prec)
     ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
     ax._trait_likelihoods[el.get("id") or lik.name] = tl
     return tl
