@@ -102,12 +102,12 @@ def read_checkpoint(path: str) -> ChkptState:
             parent = np.full(node_count, -1, np.int32)
             children = np.full((node_count, 2), -1, np.int32)
             traits_rows: Dict[int, List[float]] = {}
-            for _ in range(edge_count):
+            # exactly edge_count-1 rows: the root has no edge line
+            # (ref: BeastCheckpointer.java:779 loop bound edgeCount - 1)
+            for _ in range(edge_count - 1):
                 if i >= n or not lines[i].strip():
                     break
                 row = lines[i].split("\t")
-                # edge rows have >= 3 columns; the section may be shorter
-                # than node_count (the root has no edge line)
                 if len(row) < 3:
                     break
                 i += 1

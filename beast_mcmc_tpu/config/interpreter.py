@@ -676,13 +676,60 @@ class XmlAnalysis:
         raise Unsupported(f"cannot log alias kind {a.kind}")
 
     # -- traceAnalysis ------------------------------------------------------
+    @staticmethod
+    def _read_log_table(path):
+        """Parse a Tracer-format tab-delimited log from disk into the
+        in-memory table shape (ref: TraceAnalysisParser.java:70 reads the
+        named file with a FileReader; dr.inference.trace.LogFileTraces)."""
+        header = None
+        rows = []
+        with open(path) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split("\t")
+                if header is None:
+                    header = parts
+                    continue
+                try:
+                    rows.append([float(x) for x in parts])
+                except ValueError:
+                    continue
+        if header is None or not rows:
+            raise XmlError(f"empty or headerless log file {path!r}")
+        arr = np.asarray(rows, np.float64)
+        table = {name: arr[:, j] for j, name in enumerate(header)}
+        states = table.pop("state", table.pop(header[0], None))
+        sps = int(states[1] - states[0]) if states is not None and len(
+            states) > 1 else 1
+        table["_states_per_sample"] = np.array([max(1, sps)])
+        return table
+
     def _run_trace_analysis(self, el, tolerance_se):
         from beast_mcmc_tpu.inference.trace import analyze
 
         fname = el.get("fileName")
         if fname not in self.results:
-            raise XmlError(f"traceAnalysis of unknown log {fname!r}")
-        table = self.results[fname]
+            # the reference's TraceAnalysisParser reads the NAMED FILE
+            # from disk (TraceAnalysisParser.java:70 new FileReader) —
+            # some corpus XMLs point <traceAnalysis> at a SIBLING file's
+            # log (e.g. testPiecewiseExponential.xml:308 reads
+            # testLinearBSP.log). Read it from the working dir if present;
+            # warn-and-skip if the sibling run hasn't produced it.
+            import os as _os
+            import warnings
+
+            path = _os.path.join(self.workdir, fname)
+            if _os.path.exists(path):
+                table = self._read_log_table(path)
+            else:
+                warnings.warn(
+                    f"traceAnalysis log {fname!r} is not this run's output "
+                    f"and does not exist on disk (skipped)")
+                return None
+        else:
+            table = self.results[fname]
         states_per_sample = int(table["_states_per_sample"][0])
         burn_states = int(_attr(el, "burnIn", -1, int) * self.scale)
         if burn_states < 0:
@@ -3070,10 +3117,9 @@ def _compound_likelihood(ax: XmlAnalysis, el):
                 tree_id = tree_id or obj.tree_id
             continue
         if isinstance(obj, JointTipAlias):
-            # one mirrored value: log the first tree's copy
-            tid0, tip0 = obj.targets[0]
-            return [(nm, lambda s, t=tid0, i=tip0: self.resolve_tree(
-                t, s.params, s.tree).heights[i])]
+            # a mirrored tip-height view contributes no density to the
+            # compound likelihood (the tie is a reparameterization)
+            continue
         if type(obj).__name__ == "IntegratedFactorModel":
             # the factor data density is already INSIDE the companion
             # traitDataLikelihood's integrated marginal (the reference

@@ -242,8 +242,12 @@ def svs_connectivity_prior(ax, el_id: str):
         adj = adj.at[iu].set(ind[:n_half])
         adj = adj.at[(iu[1], iu[0])].set(
             ind[n_half:] if n_rates == 2 * n_half else ind[:n_half])
-        # undirected reachability is the reference's practical criterion
-        adj = adj | adj.T
+        if n_rates != 2 * n_half:
+            # reversible case: the graph is undirected by construction
+            adj = adj | adj.T
+        # non-reversible: require all-pairs DIRECTED reachability (strong
+        # connectivity), matching connectedAndWellConditioned's rejection
+        # of weakly-connected indicator configurations
         steps = int(np.ceil(np.log2(max(k, 2))))
         for _ in range(steps):
             adj = jnp.einsum("ij,jk->ik", adj.astype(jnp.int32),

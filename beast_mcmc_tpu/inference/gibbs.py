@@ -17,6 +17,7 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from beast_mcmc_tpu.utils.accum import prefix_sum
 
 from beast_mcmc_tpu.inference.operators import Operator
 
@@ -149,7 +150,7 @@ class GmrfBlockUpdateOperator(Operator):
         # skyride: field entry i governs the interval ending at the i-th
         # coalescent event
         f = self.n_taxa - 1
-        coal_before = jnp.cumsum(is_coal.astype(jnp.int32))
+        coal_before = prefix_sum(is_coal.astype(jnp.int32))
         idx = jnp.minimum(coal_before[:-1], f - 1)
         w = jnp.zeros((f,), dt).at[idx].add(expo)
         return w, jnp.ones((f,), dt)

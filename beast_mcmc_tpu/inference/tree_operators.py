@@ -27,6 +27,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from beast_mcmc_tpu.utils.accum import prefix_sum
 import numpy as np
 
 from beast_mcmc_tpu.inference.operators import (
@@ -63,7 +64,7 @@ def intersecting_edges(parent, heights, smask, h):
 def sample_masked(key, mask):
     """(uniform index among mask==True, count). Undefined index if count
     is 0 — callers must gate on count."""
-    c = jnp.cumsum(mask.astype(jnp.int32))
+    c = prefix_sum(mask.astype(jnp.int32))
     count = c[-1]
     k = jax.random.randint(key, (), 0, jnp.maximum(count, 1))
     idx = jnp.argmax(c == (k + 1)).astype(jnp.int32)

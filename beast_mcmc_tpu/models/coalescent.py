@@ -22,6 +22,7 @@ from typing import Callable, Tuple
 import jax
 import numpy as np
 import jax.numpy as jnp
+from beast_mcmc_tpu.utils.accum import prefix_sum
 
 
 def coalescent_intervals(heights: jnp.ndarray, n_taxa: int):
@@ -38,7 +39,10 @@ def coalescent_intervals(heights: jnp.ndarray, n_taxa: int):
     order = jnp.lexsort((-delta, heights))
     times = heights[order]
     deltas = delta[order]
-    lineages = jnp.cumsum(deltas)
+    # log-depth prefix sum: jnp.cumsum lowers to a quadratic-window
+    # reduce_window when vmapped inside a while-loop on TPU (v5e scoped
+    # VMEM OOM at ~123 events x 8 chains); associative_scan stays O(M)
+    lineages = jax.lax.associative_scan(jnp.add, deltas)
     is_coal = deltas < 0
     return times, lineages, is_coal
 
@@ -161,7 +165,12 @@ def skygrid_loglik(
     # event terms: -gamma(cell containing each coalescent time)
     # an event exactly AT a grid point belongs to the cell BELOW it (ref:
     # SingleTreeGriddedNodesTimeline merged-timeline convention — upper
-    # endpoint inclusive), hence side="left"
+    # endpoint inclusive), hence side="left". NOTE: this is the PARITY
+    # TARGET; the classic GMRFSkygridLikelihood loop
+    # (`while (nextTime < gridPoints[idx])`) puts an exact grid-point hit
+    # in the cell ABOVE — old-skygrid runs can differ on such hits. The
+    # Gibbs block update's sufficient statistics (inference/gibbs.py
+    # _suff_stats) deliberately use the same side="left" convention.
     cell_idx = jnp.searchsorted(cut_points, times, side="left")
     event_term = -jnp.sum(jnp.where(is_coal, log_pop_sizes[cell_idx], 0.0))
     return interval_term + event_term
@@ -204,8 +213,8 @@ def bayesian_skyline_loglik(
     dt = heights.dtype
     times, lineages, is_coal = coalescent_intervals(heights, n_taxa)
     # index of the next coalescent event for each interval start
-    coal_before = jnp.cumsum(is_coal.astype(jnp.int32))  # events at <= times[i]
-    cum_groups = jnp.cumsum(group_sizes)
+    coal_before = prefix_sum(is_coal.astype(jnp.int32))  # events at <= times[i]
+    cum_groups = prefix_sum(group_sizes)
     # group of coalescent event j (0-based): first k with cum_groups[k] > j
     def group_of(j):
         return jnp.searchsorted(cum_groups, j, side="right").astype(jnp.int32)
@@ -299,7 +308,7 @@ def sir_coalescent_loglik(
     # trapezoid cumulative intensity on the grid
     cum = jnp.concatenate([
         jnp.zeros((1,), dt),
-        jnp.cumsum(0.5 * (inv_ne[1:] + inv_ne[:-1]) * jnp.diff(t_grid)),
+        prefix_sum(0.5 * (inv_ne[1:] + inv_ne[:-1]) * jnp.diff(t_grid)),
     ])
 
     def log_pop(t):
@@ -362,7 +371,7 @@ def gmrf_skyride_loglik(
     coalescences)."""
     dt = heights.dtype
     times, lineages, is_coal = coalescent_intervals(heights, n_taxa)
-    coal_before = jnp.cumsum(is_coal.astype(jnp.int32))
+    coal_before = prefix_sum(is_coal.astype(jnp.int32))
     next_event = jnp.minimum(coal_before[:-1], n_taxa - 2)
     gamma = log_pops[next_event]
     k = lineages[:-1]
@@ -432,12 +441,12 @@ def piecewise_exponential_loglik(
     lambdas = jnp.atleast_1d(jnp.asarray(lambdas, dt))
     widths = jnp.asarray(widths, dt)
     k = max(thetas.shape[0], lambdas.shape[0])
-    starts = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(widths)])
+    starts = jnp.concatenate([jnp.zeros(1, dt), prefix_sum(widths)])
     lam = jnp.broadcast_to(lambdas, (k,))
     if thetas.shape[0] == 1:
         # chained: N at epoch start = N0 * exp(-sum lam_j w_j)
         decay = jnp.concatenate([jnp.zeros(1, dt),
-                                 jnp.cumsum(lam[:-1] * widths)])
+                                 prefix_sum(lam[:-1] * widths)])
         th = thetas[0] * jnp.exp(-decay)
     else:
         th = jnp.broadcast_to(thetas, (k,))
@@ -447,7 +456,7 @@ def piecewise_exponential_loglik(
 
     # full-epoch intensities for epochs 0..K-2
     full = safe_expm1_over(lam[:-1], widths) / th[:-1]
-    cum_full = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(full)])
+    cum_full = jnp.concatenate([jnp.zeros(1, dt), prefix_sum(full)])
 
     def epoch_of(t):
         return jnp.clip(
@@ -513,7 +522,7 @@ def bayesian_skyline_linear_loglik(
     times, lineages, is_coal = coalescent_intervals(heights, n_taxa)
     n_events = n_taxa - 1
     coal_times = jnp.sort(heights[n_taxa:])
-    cum = jnp.cumsum(group_sizes)  # [K]
+    cum = prefix_sum(group_sizes)  # [K]
     k_groups = group_sizes.shape[0]
     t0 = jnp.min(heights[:n_taxa])
     # group boundary times: starts[k] (k=0 -> t0), ends[k] = coal time of
@@ -684,7 +693,7 @@ def grouped_skyride_gmrf_prior(
     if covariates is not None:
         resid = resid - covariates @ beta
     coal = jnp.sort(heights[n_taxa:])
-    cum = jnp.cumsum(group_sizes)
+    cum = prefix_sum(group_sizes)
     n_events = n_taxa - 1
     ends = coal[jnp.clip(cum - 1, 0, n_events - 1)]
     t0 = jnp.min(heights[:n_taxa])
@@ -967,7 +976,7 @@ def multi_epoch_exponential_loglik(heights, n_taxa: int, n0,
     # log N at epoch starts
     log_n_start = jnp.concatenate([
         jnp.zeros((1,), fdt),
-        jnp.cumsum(-rates[:-1] * (hi[:-1] - lo[:-1]))]) + jnp.log(n0)
+        prefix_sum(-rates[:-1] * (hi[:-1] - lo[:-1]))]) + jnp.log(n0)
 
     def log_pop(t):
         te = t[..., None]

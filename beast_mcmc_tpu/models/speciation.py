@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from beast_mcmc_tpu.utils.accum import prefix_sum
 from jax.scipy.special import gammaln
 
 
@@ -217,7 +218,7 @@ def episodic_serial_birth_death_loglik(
     logq_ends = jax.vmap(lambda i: logq(i, (i + 1).astype(dt) * width))(
         jnp.arange(k)
     )
-    prefix = jnp.concatenate([jnp.zeros((1,), dt), jnp.cumsum(logq_ends)])
+    prefix = jnp.concatenate([jnp.zeros((1,), dt), prefix_sum(logq_ends)])
 
     def idx_of(t):
         return jnp.clip((t / width).astype(jnp.int32), 0, k - 1)

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from beast_mcmc_tpu.utils.accum import prefix_sum
 from jax.scipy.special import gammaln
 
 
@@ -85,7 +86,7 @@ def sample_state_history(key, q: jnp.ndarray, t, start, end,
     # --- jump times: n sorted uniforms on [0,t] via exponential spacings;
     # dwell_i = time in states[i] (interval i -> i+1, last one ends at t) ---
     e = jax.random.exponential(k_times, (nmax + 1,), dtype=dt_)
-    cs = jnp.cumsum(e)
+    cs = prefix_sum(e)
     denom = cs[n]  # sum of the first n+1 spacings
     jump_t = jnp.where(idx <= n, t * cs[:nmax] / denom, t)  # [nmax]
     bounds = jnp.concatenate(

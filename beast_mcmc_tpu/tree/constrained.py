@@ -25,6 +25,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from beast_mcmc_tpu.utils.accum import prefix_sum
 
 from beast_mcmc_tpu.inference.operators import (
     NEG_INF,
@@ -310,7 +311,7 @@ class ConstrainedUniformSPROperator(Operator):
 
         # uniform point over the total length measure
         u = jax.random.uniform(k2, (), fdt) * total
-        cum = jnp.cumsum(seg)
+        cum = prefix_sum(seg)
         j = jnp.argmax(cum > u).astype(ip.dtype)
         into = u - (cum[j] - seg[j])  # offset inside segment j
         new_height = seg_lo[j] + into

@@ -106,3 +106,17 @@ stable_dot.defvjp(_stable_dot_fwd, _stable_dot_bwd)
 def stable_sum(x: jnp.ndarray) -> jnp.ndarray:
     """sum(x) accumulated high (see stable_dot)."""
     return stable_dot(jnp.ones_like(jnp.ravel(x)), jnp.ravel(x))
+
+
+def prefix_sum(x, axis: int = -1):
+    """Inclusive prefix sum via log-depth associative scan.
+
+    Drop-in for jnp.cumsum on the device hot path: under vmap inside a
+    while-loop on TPU, jnp.cumsum lowers to a reduce_window with a
+    quadratic window that blows the v5e 16MB scoped-VMEM limit at ~1k
+    elements x 8 chains (observed: BENCH_r03 AOT OOM). associative_scan
+    stays O(n) work / O(log n) depth and lowers to plain adds.
+    """
+    import jax
+
+    return jax.lax.associative_scan(jnp.add, x, axis=axis)

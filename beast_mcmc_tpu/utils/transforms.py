@@ -24,6 +24,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from beast_mcmc_tpu.utils.accum import prefix_sum
 
 
 class Transform:
@@ -204,7 +205,7 @@ class PositiveOrderedTransform(Transform):
         return jnp.log(incr)
 
     def inverse(self, y):
-        return jnp.cumsum(jnp.exp(y))
+        return prefix_sum(jnp.exp(y))
 
     def log_det_jacobian_inverse(self, y):
         # triangular Jacobian, diagonal exp(y)
@@ -225,7 +226,7 @@ class SimplexTransform(Transform):
         x = jnp.atleast_1d(x)
         k = self.k
         rem = 1.0 - jnp.concatenate(
-            [jnp.zeros((1,), x.dtype), jnp.cumsum(x[:-1])])
+            [jnp.zeros((1,), x.dtype), prefix_sum(x[:-1])])
         z = x[:-1] / rem[:-1]
         offs = jnp.log(jnp.arange(k - 1, 0, -1).astype(x.dtype))
         return jnp.log(z) - jnp.log1p(-z) + offs

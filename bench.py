@@ -292,56 +292,71 @@ def main():
     jax = _setup()
     extras = {}
 
+    def section(key, fn, digits=2):
+        """EVERY bench section is fault-isolated: one compile failure must
+        never zero the whole round again (BENCH_r03 lesson)."""
+        try:
+            v = fn()
+            extras[key] = round(v, digits) if isinstance(v, float) else v
+            return v
+        except Exception as e:
+            extras[key.replace("_states_per_sec", "") + "_error"] = (
+                f"{type(e).__name__}: {e}"[:300])
+            return None
+
     # --- headline: benchmark2 single chain
-    b2 = measure_single("gtr_gamma", 62, 5565, 2048)
+    try:
+        b2 = measure_single("gtr_gamma", 62, 5565, 2048)
+    except Exception as e:
+        extras["headline_error"] = f"{type(e).__name__}: {e}"[:300]
+        b2 = 0.0
 
     # --- benchmark1 shape: 1,441 taxa, 3 HKY codon partitions, 198
     # patterns each (593 total, benchmark1.xml)
-    extras["benchmark1_states_per_sec"] = round(
-        measure_single("hky_codon3", 1441, 198, 256), 2
-    )
+    section("benchmark1_states_per_sec",
+            lambda: measure_single("hky_codon3", 1441, 198, 256))
 
     # --- Makona shape: 1,610 taxa GTR+G4, 2,048 patterns -> streaming peel
-    mak = measure_single("gtr_gamma", 1610, 2048, 256)
-    extras["makona_states_per_sec"] = round(mak, 2)
-    mak_flops = peeling_flops(1610, 4, 4, 2048)
-    extras["makona_likelihood_gflop_per_eval"] = round(mak_flops / 1e9, 3)
-    # VPU-bound workload: report utilization against both peaks
-    extras["makona_implied_tflops"] = round(mak * mak_flops / 1e12, 3)
+    mak = section("makona_states_per_sec",
+                  lambda: measure_single("gtr_gamma", 1610, 2048, 256))
+    if mak:
+        mak_flops = peeling_flops(1610, 4, 4, 2048)
+        extras["makona_likelihood_gflop_per_eval"] = round(mak_flops / 1e9, 3)
+        # VPU-bound workload: report utilization against both peaks
+        extras["makona_implied_tflops"] = round(mak * mak_flops / 1e12, 3)
 
     # --- multi-chain aggregate (benchmark2 shape): chain-batched
-    # Pallas (lax.map; the single-chip optimum) + vmapped scan
+    # Pallas grid vs lax.map vs vmapped scan
     mc = {}
     for n_chains in (1, 8):
-        mc[str(n_chains)] = round(
-            measure_multichain("gtr_gamma", 62, 5565, n_chains, 128), 2
+        try:
+            mc[str(n_chains)] = round(
+                measure_multichain("gtr_gamma", 62, 5565, n_chains, 128), 2
+            )
+        except Exception as e:
+            mc[str(n_chains)] = f"ERR: {type(e).__name__}: {e}"[:200]
+    try:
+        mc["8_vmap_scan"] = round(
+            measure_multichain("gtr_gamma", 62, 5565, 8, 128, "vmap"), 2
         )
-    mc["8_vmap_scan"] = round(
-        measure_multichain("gtr_gamma", 62, 5565, 8, 128, "vmap"), 2
-    )
+    except Exception as e:
+        mc["8_vmap_scan"] = f"ERR: {type(e).__name__}: {e}"[:200]
     extras["multichain_states_per_sec"] = mc
 
     # --- thorney: node-height sampling on a 10^4-tip constrained tree
-    extras["thorney_10k_tips_states_per_sec"] = round(
-        measure_thorney(10_000, 512), 2
-    )
+    section("thorney_10k_tips_states_per_sec",
+            lambda: measure_thorney(10_000, 512))
 
     # --- Makona-1610 JOINT analysis from the XML surface
-    try:
-        extras["makona_joint_states_per_sec"] = round(
-            measure_makona_joint(), 2)
-    except Exception as e:  # keep the headline alive
-        extras["makona_joint_error"] = f"{type(e).__name__}: {e}"[:200]
+    section("makona_joint_states_per_sec", lambda: measure_makona_joint())
 
     # --- on-chip Pallas/scan parity (VERDICT r2 weak #4)
-    try:
-        extras["onchip_pallas_scan_deviation"] = round(
-            assert_onchip_pallas_parity(), 6)
-    except AssertionError as e:
-        extras["onchip_pallas_scan_deviation"] = f"FAIL: {e}"
+    section("onchip_pallas_scan_deviation",
+            lambda: assert_onchip_pallas_parity(), digits=6)
 
     # --- f32 on-chip deviation (self-check; ref tolerance 0.1)
-    extras["f32_full_eval_max_deviation"] = measure_f32_deviation()
+    section("f32_full_eval_max_deviation", lambda: measure_f32_deviation(),
+            digits=6)
 
     # --- CPU baseline probe (subprocess, benchmark2 single-chain)
     vs_baseline = 0.0
