@@ -85,6 +85,19 @@ class Param:
 
 
 @dataclasses.dataclass
+class DerivedParam:
+    """A parameter that is a pure FUNCTION of the sampled params (ref:
+    TransformedParameterParser — the value is transform(inner), never
+    sampled directly). Injected into the params dict before every
+    density/logger evaluation (XmlAnalysis.inject_derived)."""
+
+    name: str
+    fn: Callable  # params -> array
+    value: np.ndarray = None  # initial value (for column headers etc.)
+    base: str = None  # underlying sampled param (operators target this)
+
+
+@dataclasses.dataclass
 class TreeAlias:
     """A <parameter> that is a VIEW of the tree state (rootHeight /
     nodeHeights / leafHeight blocks of <treeModel>,
@@ -165,6 +178,9 @@ class XmlAnalysis:
                 self._ids[el.get("id")] = el
         self._built: Dict[int, object] = {}
         self._tree_binding: Dict[str, str] = {}  # tid -> "state"|"params"
+        self._tree_views: Dict[str, object] = {}  # tid -> TreeState view fn
+        self._star_trees: set = set()  # tids with the star height tie
+        self._derived_params: Dict[str, Callable] = {}  # name -> fn(params)
         self._params: Dict[str, Param] = {}
         self._aliases: Dict[str, TreeAlias] = {}
         self._trees: Dict[str, TreeModel] = {}
@@ -199,15 +215,20 @@ class XmlAnalysis:
 
     def resolve_tree(self, tid, params, tree):
         if self._tree_binding.get(tid, "state") == "state":
-            return tree
-        from beast_mcmc_tpu.tree.topology import TreeState
+            out = tree
+        else:
+            from beast_mcmc_tpu.tree.topology import TreeState
 
-        return TreeState(
-            parent=params[self.tree_key(tid, "parent")],
-            children=params[self.tree_key(tid, "children")],
-            heights=params[self.tree_key(tid, "heights")],
-            root=params[self.tree_key(tid, "root")],
-        )
+            out = TreeState(
+                parent=params[self.tree_key(tid, "parent")],
+                children=params[self.tree_key(tid, "children")],
+                heights=params[self.tree_key(tid, "heights")],
+                root=params[self.tree_key(tid, "root")],
+            )
+        # runtime reparameterization views (e.g. starTreeModel's
+        # internal-heights-read-as-root tie, StarTreeModel.getNodeHeight)
+        view = self._tree_views.get(tid)
+        return view(out) if view is not None else out
 
     # -- id/idref resolution (ref: XMLParser id/idref object store) --------
     def deref(self, el: ET.Element) -> ET.Element:
@@ -229,19 +250,26 @@ class XmlAnalysis:
         obj = builder(self, el)
         if (
             isinstance(obj, LikelihoodFn)
-            and obj.tree_id
             and el.tag not in ("posterior", "prior", "likelihood", "joint",
                                "booleanLikelihood")
         ):
             inner, tid = obj.fn, obj.tree_id
-            obj = LikelihoodFn(
-                lambda p, t, _f=inner, _tid=tid: _f(
-                    p, self.resolve_tree(_tid, p, t)
-                ),
-                obj.tree_id,
-                obj.name,
-                obj.data_params,
-            )
+            if tid:
+                obj = LikelihoodFn(
+                    lambda p, t, _f=inner, _tid=tid: _f(
+                        self.inject_derived(p), self.resolve_tree(_tid, p, t)
+                    ),
+                    obj.tree_id,
+                    obj.name,
+                    obj.data_params,
+                )
+            else:
+                obj = LikelihoodFn(
+                    lambda p, t, _f=inner: _f(self.inject_derived(p), t),
+                    obj.tree_id,
+                    obj.name,
+                    obj.data_params,
+                )
         self._built[key] = obj
         return obj
 
@@ -253,6 +281,10 @@ class XmlAnalysis:
                    prefix="anon") -> str:
         """Build/locate the <parameter> beneath (or at) el; returns name."""
         el = self.deref(el)
+        if el.tag in ("maskedParameter", "transformedParameter",
+                      "transformedMultivariateParameter"):
+            obj = self.build(el)
+            return obj.name  # Param or DerivedParam view
         if el.tag != "parameter":
             p = el.find("parameter")
             if p is None:
@@ -279,6 +311,8 @@ class XmlAnalysis:
                 raise XmlError(f"no <parameter> under <{el.tag}>")
             el = self.deref(p)
         obj = self.build(el)
+        if isinstance(obj, DerivedParam):
+            return obj.name  # resolved at eval time via inject_derived
         if isinstance(obj, TreeAlias):
             raise XmlError("tree-view parameter where real parameter expected")
         if isinstance(obj, CompoundParam):
@@ -297,6 +331,17 @@ class XmlAnalysis:
 
     def value_of(self, name: str) -> np.ndarray:
         return self._params[name].value
+
+    def inject_derived(self, params):
+        """Overlay derived (transformed/masked-view) parameter values on
+        the sampled params dict — insertion order respects declaration
+        order, so a derived param may reference earlier derived ones."""
+        if not self._derived_params:
+            return params
+        out = dict(params)
+        for name, fn in self._derived_params.items():
+            out[name] = fn(out)
+        return out
 
     # -- running ------------------------------------------------------------
     def run(self, tolerance_se: float = 3.0, full_eval_steps: int = 100):
@@ -338,6 +383,7 @@ class XmlAnalysis:
         raise XmlError("<mcmc> has no posterior/likelihood child")
 
     def _run_mcmc(self, el, full_eval_steps):
+        self._mcmc_ran = True  # state-dependent asserts downgrade after
         from beast_mcmc_tpu.inference.mcmc import (
             full_evaluation_check,
             init_mcmc_state,
@@ -654,6 +700,18 @@ class XmlAnalysis:
                  lambda s, i=i, j=j, o=obj: o.fn(s.params)[i, j])
                 for i in range(obj.dim) for j in range(obj.dim)
             ]
+        if isinstance(obj, DerivedParam):
+            val0 = np.atleast_1d(np.asarray(obj.value)) if (
+                obj.value is not None) else None
+            if val0 is not None and val0.size > 1:
+                return [
+                    (f"{nm}{i + 1}",
+                     lambda s, i=i, f=obj.fn: jnp.ravel(
+                         f(self.inject_derived(s.params)))[i])
+                    for i in range(val0.size)
+                ]
+            return [(nm, lambda s, f=obj.fn: jnp.reshape(
+                f(self.inject_derived(s.params)), ()))]
         if isinstance(obj, JointTipAlias):
             # one mirrored value: log the first tree's copy
             tid0, tip0 = obj.targets[0]
@@ -1528,10 +1586,30 @@ def _child_of(el, tag):
 # -- trees --------------------------------------------------------------
 
 
+def _scale_start_tree(n_tips, parent, heights, root, root_height):
+    """Scale INTERNAL heights so the root lands at root_height, then
+    push any internal below its tallest child back up (ref:
+    CoalescentSimulator.attemptToScaleTree:132-142 +
+    MutableTree.Utils.correctHeightsForTips)."""
+    s = root_height / heights[root]
+    heights[n_tips:] *= s
+    for _ in range(len(heights)):  # bottom-up fixpoint, host-side
+        changed = False
+        for i in range(len(heights)):
+            p = parent[i]
+            if p >= 0 and heights[p] < heights[i]:
+                heights[p] = heights[i]
+                changed = True
+        if not changed:
+            break
+    return heights
+
+
 @register("coalescentTree", "coalescentSimulator")
 def _coalescent_tree(ax: XmlAnalysis, el):
     from beast_mcmc_tpu.tree.topology import simulate_coalescent_tree
 
+    ax._rng_used = True  # start tree is a seeded-RNG draw; see xml_assert
     taxa, demo, subtrees = None, None, []
     for c in el:
         cc = ax.deref(c)
@@ -1553,6 +1631,9 @@ def _coalescent_tree(ax: XmlAnalysis, el):
         parent, children, heights, root = simulate_coalescent_tree(
             ax._rng, tips, pop_size=pop
         )
+        rh = _attr(el, "rootHeight", -1.0, float)
+        if rh > 0:
+            heights = _scale_start_tree(len(tips), parent, heights, root, rh)
         return (names, tips, parent, children, heights, root)
     # nested constrained simulation (monophyly construction, ref:
     # CoalescentSimulator.java:simulateTree over subtree roots): simulate
@@ -1614,6 +1695,9 @@ def _coalescent_tree(ax: XmlAnalysis, el):
             for k in range(2):
                 children[gi, k] = umap[int(uc[ui, k])]
     root = umap[int(ur)]
+    rh = _attr(el, "rootHeight", -1.0, float)
+    if rh > 0:
+        heights = _scale_start_tree(n_total, parent, heights, root, rh)
     tips = heights[:n_total].copy()
     return (names, tips, parent, children, heights, root)
 
@@ -3350,6 +3434,9 @@ def _op_target(ax, el):
                 continue
             if isinstance(obj, Param):
                 return ("param", obj, None)
+            if isinstance(obj, DerivedParam) and obj.base:
+                # masked/transformed view: operators walk the base
+                return ("param", ax._params[obj.base], None)
             if isinstance(obj, TreeAlias):
                 return ("alias", obj, obj.tree_id)
     raise XmlError(f"operator <{el.tag}> has no target")
@@ -3410,6 +3497,10 @@ def _build_operator(ax: XmlAnalysis, el):
         kind, obj, tid = _op_target(ax, el)
         if kind == "alias":
             if obj.kind == "root_height":
+                if tid in ax._star_trees:
+                    n = len(ax.build(ax._ids[tid]).taxa)
+                    return O.StarRootHeightScaleOperator(
+                        weight=w, scale_factor=sf, n_taxa=n), tid
                 return O.RootHeightScaleOperator(weight=w, scale_factor=sf), tid
             if obj.kind in ("internal_heights", "all_heights"):
                 return T.ScaleNodeHeightOperator(weight=w, scale_factor=sf), tid

@@ -499,24 +499,59 @@ def _nj_tree(ax: XmlAnalysis, el):
 
 @register("starTreeModel")
 def _star_tree_model(ax: XmlAnalysis, el):
-    """ref: StarTreeModelParser — every internal node height is tied to
-    the root height. Built as a treeModel whose internal heights are
-    flattened to the root's at parse time; the corpus files keep the
-    root fixed (root-height operators are commented out), so the tie
-    needs no runtime propagation here."""
+    """ref: StarTreeModelParser + StarTreeModel.getNodeHeight — every
+    internal node height READS as the root height at runtime (the tie is
+    a reparameterization, not an initial condition: operators may move
+    the root or shuffle internal heights, and every likelihood must see
+    the star view). Registered as a tree view applied in resolve_tree."""
+    import jax.numpy as jnp
+
     from beast_mcmc_tpu.config.interpreter import _tree_model
 
     tm = _tree_model(ax, el)
     n = len(tm.taxa)
     root_h = tm.heights[tm.root]
-    tm.heights[n:] = root_h
+    tm.heights[n:] = root_h  # consistent initial state
+
+    def star_view(ts, n_taxa=n):
+        idx = jnp.arange(ts.heights.shape[0])
+        h = jnp.where(idx < n_taxa, ts.heights, ts.heights[ts.root])
+        return ts.replace(heights=h)
+
+    tid = el.get("id")
+    if tid:
+        ax._tree_views[tid] = star_view
+        ax._star_trees.add(tid)
     return tm
 
 
 @register("starTreeLikelihood")
 def _star_tree_likelihood(ax: XmlAnalysis, el):
-    """ref: dr.evomodel.treelikelihood.StarTreeLikelihood — the plain
-    peeled likelihood on the star topology."""
+    """The peeled likelihood with the STAR height tie on its tree model.
+
+    No such parser exists in the reference registry (the corpus files
+    that use it pair it with either <starTreeModel> or a plain
+    <treeModel>); the evident intent is StarTreeModel.getNodeHeight's
+    runtime tie, so the tie view is registered for the referenced tree
+    even when the tree element itself is a plain <treeModel>."""
+    import jax.numpy as jnp
+
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("treeModel", "starTreeModel"):
+            tid = cc.get("id")
+            if tid and tid not in ax._tree_views:
+                tm = ax.build(cc)
+                n = len(tm.taxa)
+
+                def star_view(ts, n_taxa=n):
+                    idx = jnp.arange(ts.heights.shape[0])
+                    h = jnp.where(idx < n_taxa, ts.heights,
+                                  ts.heights[ts.root])
+                    return ts.replace(heights=h)
+
+                ax._tree_views[tid] = star_view
+                ax._star_trees.add(tid)
     return _tree_likelihood(ax, el)
 
 
@@ -1005,15 +1040,103 @@ def _half_normal_prior(ax: XmlAnalysis, el):
     return LikelihoodFn(fn, None, el.get("id") or "halfNormal")
 
 
+def _inner_value_fn(ax: XmlAnalysis, el):
+    """(fn(params)->array, base_param_name) for a parameter-ish child:
+    plain <parameter> reads it; a masked/derived view reads through its
+    view function."""
+    from beast_mcmc_tpu.config.interpreter import DerivedParam
+
+    cc = ax.deref(el)
+    obj = ax.build(cc) if cc.tag in _BUILDERS_VIEW else None
+    if isinstance(obj, DerivedParam):
+        return obj.fn, (obj.base or obj.name)
+    name = ax.param_from(cc)
+    return (lambda p, n=name: p[n]), name
+
+
+_BUILDERS_VIEW = ("maskedParameter", "transformedParameter",
+                  "transformedMultivariateParameter")
+
+
+@register("transformedParameter", "transformedMultivariateParameter")
+def _transformed_parameter(ax: XmlAnalysis, el):
+    """ref: TransformedParameterParser — value = transform(inner), or
+    transform.inverse(inner) when inverse="true"
+    (TransformedParameter.java:72-84). Registered as a DerivedParam
+    injected into the params dict before every density evaluation."""
+    from beast_mcmc_tpu.config.interpreter import DerivedParam
+    from beast_mcmc_tpu.config.xml_hmc import transform_of_el
+
+    inverse = (el.get("inverse") or "false").lower() == "true"
+    base_fn, base_name = None, None
+    tr = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("transform", "LKJTransform", "inverseTransform"):
+            tr = transform_of_el(ax, cc)
+        elif base_fn is None:
+            try:
+                base_fn, base_name = _inner_value_fn(ax, cc)
+            except (XmlError, Unsupported):
+                continue
+    if base_fn is None:
+        raise XmlError(f"<{el.tag}> without inner parameter")
+    if tr is None:
+        tr = None  # identity view
+
+    def fn(params):
+        x = base_fn(params)
+        if tr is None:
+            return x
+        return tr.inverse(x) if inverse else tr.forward(x)
+
+    name = el.get("id") or f"transformed.{base_name}"
+    dp = DerivedParam(name, fn)
+    ax._derived_params[name] = fn
+    # remember the base so operators targeting this element can walk the
+    # underlying sampled parameter in transformed space
+    ax._transformed_bases = getattr(ax, "_transformed_bases", {})
+    ax._transformed_bases[name] = (base_name, tr, inverse)
+    return dp
+
+
 @register("maskedParameter")
 def _masked_parameter(ax: XmlAnalysis, el):
     """ref: MaskedParameterParser — a parameter with a 0/1 mask applied.
-    The full parameter stays the sampled object; the masked VIEW is what
-    priors/gradients score. Returns the underlying Param (operators act
-    on the full vector; scoring through the mask requires the caller to
-    build this element's own density)."""
-    inner = ax.param_from(el)
-    return ax._params[inner]
+    The full parameter stays the sampled object; with an explicit <mask>
+    the element is a DerivedParam VIEW of the mask==1 entries (what
+    priors/means/gradients score); without one it degrades to the
+    underlying Param (operators always act on the base vector)."""
+    from beast_mcmc_tpu.config.interpreter import DerivedParam, _text_values
+
+    # the inner parameter is the direct child (the mask's parameter is
+    # nested under <mask>); resolving via the child avoids re-entering
+    # this builder through param_from(el)
+    inner_el = el.find("parameter")
+    if inner_el is None:
+        inner_el = next(c for c in el if ax.deref(c).tag != "mask")
+    inner = ax.param_from(inner_el)
+    mask_el = el.find("mask")
+    if mask_el is None:
+        return ax._params[inner]
+    mid = el.get("id") or f"masked{len(ax._derived_params)}.{inner}"
+    complement = _attr(el, "complement", False, bool)
+    mvals = np.ravel(_text_values(ax.deref(_child_of(mask_el, "parameter"))))
+    sel = (mvals <= 0.5) if complement else (mvals > 0.5)
+    idx = np.nonzero(sel)[0]
+    if idx.size == mvals.size:
+        return ax._params[inner]
+
+    if idx.size == 1:
+        i0 = int(idx[0])
+        fn = lambda p, n=inner, i=i0: jnp.ravel(p[n])[i]
+        init = np.ravel(ax.value_of(inner))[i0]
+    else:
+        jidx = jnp.asarray(idx)
+        fn = lambda p, n=inner, ix=jidx: jnp.ravel(p[n])[ix]
+        init = np.ravel(ax.value_of(inner))[idx]
+    ax._derived_params[mid] = fn
+    return DerivedParam(mid, fn, value=init, base=inner)
 
 
 # ---------------------------------------------------------------------------
@@ -1076,3 +1199,98 @@ def _empirical_distribution(ax: XmlAnalysis, el):
         return jnp.sum(-lp if inverse else lp)
 
     return LikelihoodFn(fn, None, el.get("id") or "empirical", (pname,))
+
+
+# ---------------------------------------------------------------------------
+# transformed-parameter random walk
+# ---------------------------------------------------------------------------
+
+
+def _transformed_rw_operator(ax: XmlAnalysis, el, weight):
+    """ref: TransformedParameterRandomWalkOperatorParser — walk on the
+    transformed VALUE space; the sampled base parameter updates through
+    the inverse map with the Jacobian in the Hastings ratio."""
+    from beast_mcmc_tpu.inference.operators import (
+        TransformedRandomWalkOperator,
+    )
+    from beast_mcmc_tpu.utils import transforms as TR
+
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("transformedParameter",
+                      "transformedMultivariateParameter"):
+            dp = ax.build(cc)
+            base, tr, inverse = ax._transformed_bases[dp.name]
+            if tr is None:
+                tr = TR.NoTransform()
+            if inverse:
+                # walking on transform.inverse(x): equivalent transform
+                # with forward/inverse swapped
+                fwd, inv = tr, None
+
+                class _Swapped(TR.Transform):
+                    def forward(self, x, _t=tr):
+                        return _t.inverse(x)
+
+                    def inverse(self, y, _t=tr):
+                        return _t.forward(y)
+
+                tr = _Swapped()
+            return TransformedRandomWalkOperator(
+                parameter=base, transform=tr,
+                window=_attr(el, "windowSize", 1.0, float),
+                weight=weight,
+            ), None
+    raise XmlError("transformedParameterRandomWalkOperator without "
+                   "transformed parameter child")
+
+
+from beast_mcmc_tpu.config.interpreter import register_operator  # noqa: E402
+
+register_operator("transformedParameterRandomWalkOperator")(
+    _transformed_rw_operator)
+
+
+def _ess_operator(ax: XmlAnalysis, el, weight):
+    """ref: EllipticalSliceOperatorParser — rejection-free slice moves on
+    the ellipse of a multivariateNormalPrior-distributed parameter."""
+    from beast_mcmc_tpu.config.interpreter import _text_values
+    from beast_mcmc_tpu.inference.gibbs import EllipticalSliceOperator
+
+    pname, mean, prec = None, None, None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter" and pname is None:
+            pname = ax.param_from(cc)
+        elif cc.tag == "multivariateNormalPrior":
+            mean = _text_values(ax.deref(_child_of(
+                _child_of(cc, "meanParameter"), "parameter")))
+            prec_el = cc.find("precisionMatrix")
+            if prec_el is None:
+                prec_el = cc.find("precisionParameter")
+            for pc in prec_el:
+                pcc = ax.deref(pc)
+                if pcc.tag == "matrixParameter":
+                    prec = np.asarray(ax.build(pcc)).T
+    if pname is None or mean is None:
+        raise XmlError("ellipticalSliceSampler needs parameter + "
+                       "multivariateNormalPrior")
+    if prec is None:
+        prec = np.eye(mean.size)
+    cov = np.linalg.inv(prec)
+    chol = np.linalg.cholesky(cov)
+    prec_c = prec
+
+    def prior_logpdf(v, mu):
+        d = v - mu
+        return -0.5 * d @ jnp.asarray(prec_c, v.dtype) @ d
+
+    return EllipticalSliceOperator(
+        parameter=pname, prior_mean=mean, prior_chol=chol,
+        prior_logpdf=prior_logpdf, weight=weight,
+    ), None
+
+
+from beast_mcmc_tpu.config.interpreter import register_operator as _regop  # noqa: E402,F811
+
+_regop("ellipticalSliceSampler")(_ess_operator)

@@ -505,7 +505,42 @@ def _hmc_targets(ax: XmlAnalysis, el) -> List[str]:
             obj = ax.build(cc)
             if isinstance(obj, Param):
                 names.append(obj.name)
+            elif getattr(obj, "base", None):  # masked view -> walk base
+                names.append(obj.base)
     return names
+
+
+def transform_of_el(ax: XmlAnalysis, el):
+    """Build a utils.transforms.Transform from a transform element
+    (ref: TransformParsers — <transform type="..."/> plus the named
+    forms <LKJTransform dimension="..."/> etc.)."""
+    from beast_mcmc_tpu.utils import transforms as TR
+
+    el = ax.deref(el)
+    if el.tag == "LKJTransform":
+        return TR.LKJCorrelationTransform(d=int(el.get("dimension")))
+    if el.tag == "inverseTransform":
+        inner = transform_of_el(ax, next(iter(el)))
+
+        class _Inv(TR.Transform):
+            def forward(self, x, _t=inner):
+                return _t.inverse(x)
+
+            def inverse(self, y, _t=inner):
+                return _t.forward(y)
+
+        return _Inv()
+    t = el.get("type") or "none"
+    kw = {}
+    if t == "scaledLogit":
+        kw = {"lower": float(el.get("lower", 0.0)),
+              "upper": float(el.get("upper", 1.0))}
+    elif t == "power":
+        kw = {"power": float(el.get("power", 2.0))}
+    elif t == "affine":
+        kw = {"a": float(el.get("scale", 1.0)),
+              "b": float(el.get("shift", el.get("translation", 0.0)))}
+    return TR.parse_transform(t, **kw)
 
 
 def _hmc_log_transform(ax: XmlAnalysis, el, names: Sequence[str]) -> bool:

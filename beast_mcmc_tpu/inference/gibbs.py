@@ -243,3 +243,75 @@ class GmrfBlockUpdateOperator(Operator):
             ).astype(params[self.precision].dtype),
         }
         return new_params, tree, jnp.where(ok, h, -jnp.inf).astype(dt)
+
+
+@dataclasses.dataclass
+class EllipticalSliceOperator(Operator):
+    """Elliptical slice sampler (Murray, Adams & MacKay 2010) for a
+    parameter with a multivariate-normal prior (ref:
+    EllipticalSliceOperator.java:63 drawFromSlice). The ellipse through
+    the current state and a fresh prior draw preserves N(mu, Sigma); the
+    angle is slice-sampled on the LIKELIHOOD f = log_post - log_prior,
+    so the move is rejection-free (Gibbs; logh = +inf).
+
+    In-jit: the bracket-shrinking loop is a lax.while_loop with a trace
+    -time iteration cap; on cap exhaustion the angle collapses to 0
+    (the current state), which is a valid no-op slice outcome."""
+
+    parameter: str = ""
+    prior_mean: Sequence[float] = ()
+    # Cholesky factor of the prior COVARIANCE (host-side constant)
+    prior_chol: object = None
+    # log N(x; mu, Sigma) up to the additive constant
+    prior_logpdf: Optional[Callable] = None
+    max_iters: int = 64
+    adaptable: bool = False
+    _log_post: Optional[Callable] = None
+
+    @property
+    def modifies_params(self):
+        return (self.parameter,)
+
+    def bind_log_posterior(self, log_posterior):
+        self._log_post = log_posterior
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        dt = x.dtype
+        mu = jnp.asarray(self.prior_mean, dt)
+        chol = jnp.asarray(self.prior_chol, dt)
+
+        def f(v):
+            p2 = {**params, self.parameter: v.astype(dt)}
+            return (self._log_post(p2, tree)
+                    - self.prior_logpdf(v, mu))
+
+        k_nu, k_u, k_a, k_loop = jax.random.split(key, 4)
+        nu = chol @ jax.random.normal(k_nu, jnp.shape(x), dt)
+        logy = f(x) + jnp.log(jax.random.uniform(k_u, dtype=dt))
+        a0 = jax.random.uniform(k_a, dtype=dt) * 2.0 * jnp.pi
+        lo0, hi0 = a0 - 2.0 * jnp.pi, a0
+
+        def point(a):
+            return (x - mu) * jnp.cos(a) + nu * jnp.sin(a) + mu
+
+        def cond(carry):
+            a, lo, hi, it, done = carry
+            return (~done) & (it < self.max_iters)
+
+        def body(carry):
+            a, lo, hi, it, _ = carry
+            ok = f(point(a)) > logy
+            lo2 = jnp.where(ok, lo, jnp.where(a < 0, a, lo))
+            hi2 = jnp.where(ok, hi, jnp.where(a < 0, hi, a))
+            key_it = jax.random.fold_in(k_loop, it)
+            a2 = jnp.where(
+                ok, a,
+                lo2 + (hi2 - lo2) * jax.random.uniform(key_it, dtype=dt))
+            return (a2, lo2, hi2, it + 1, ok)
+
+        a_fin, _, _, _, done = jax.lax.while_loop(
+            cond, body, (a0, lo0, hi0, 0, jnp.asarray(False)))
+        a_fin = jnp.where(done, a_fin, jnp.zeros((), dt))
+        new = point(a_fin).astype(dt)
+        return {**params, self.parameter: new}, tree, jnp.inf

@@ -370,6 +370,72 @@ class RootHeightScaleOperator(Operator):
 
 
 @dataclasses.dataclass
+class TransformedRandomWalkOperator(Operator):
+    """Random walk on transform(x): u' = u + U(-w,w) on a random dim,
+    x' = transform^{-1}(u'); Hastings = logdetJ_inv(u') - logdetJ_inv(u)
+    (ref: TransformedParameterRandomWalkOperator.java — the walk happens
+    on the transformed parameter's value space and the underlying
+    parameter is updated through the inverse map)."""
+
+    parameter: str = ""
+    transform: object = None  # utils.transforms.Transform
+    window: float = 1.0
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return math.log(self.window)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        u = jnp.atleast_1d(self.transform.forward(x))
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (), 0, u.shape[0])
+        delta = (jax.random.uniform(k2, dtype=u.dtype) * 2.0 - 1.0) * tuning
+        u2 = u.at[idx].add(delta)
+        x2 = jnp.reshape(self.transform.inverse(u2), jnp.shape(x))
+        logh = (self.transform.log_det_jacobian_inverse(u2)
+                - self.transform.log_det_jacobian_inverse(u))
+        ok = jnp.all(jnp.isfinite(jnp.atleast_1d(x2)))
+        logh = jnp.where(ok, logh, NEG_INF)
+        return {**params, self.parameter: x2}, tree, logh
+
+
+@dataclasses.dataclass
+class StarRootHeightScaleOperator(Operator):
+    """Scale the single tied height of a star tree: ALL internal nodes
+    move with the root (ref: StarTreeModel.getNodeHeight — internal
+    heights read as the root height, so the root is the only internal
+    degree of freedom; one-dim scale Hastings -log s). Lower bound is
+    the oldest tip."""
+
+    n_taxa: int = 0
+    scale_factor: float = 0.75
+    adaptable: bool = True
+
+    modifies_params = ()  # tree-only proposal
+
+    def initial_adapt(self) -> float:
+        return math.log((1.0 / self.scale_factor - 1.0))
+
+    def tuning(self, adapt_value):
+        return 1.0 / (jnp.exp(adapt_value) + 1.0)
+
+    def propose(self, params, tree, key, tuning):
+        s = _scale_draw(key, tuning)
+        new_h = tree.heights[tree.root] * s
+        idx = jnp.arange(tree.heights.shape[0])
+        lo = jnp.max(jnp.where(idx < self.n_taxa, tree.heights, -jnp.inf))
+        ok = new_h > lo
+        heights = jnp.where(idx < self.n_taxa, tree.heights, new_h)
+        tree = tree.replace(heights=heights)
+        logh = jnp.where(ok, -jnp.log(s), NEG_INF)
+        return params, tree, logh
+
+
+@dataclasses.dataclass
 class NarrowExchangeOperator(Operator):
     """ref: ExchangeOperator.java narrow — swap a node with its uncle when
     the uncle is younger than the node's parent. Symmetric (logq 0)."""

@@ -24,6 +24,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from beast_mcmc_tpu.utils.accum import prefix_sum
 
 
@@ -260,6 +261,63 @@ class SimplexTransform(Transform):
 
         _, lds = jax.lax.scan(body, jnp.asarray(1.0, y.dtype), (z, u))
         return jnp.sum(lds)
+
+
+@dataclasses.dataclass
+class LKJCorrelationTransform(Transform):
+    """Correlation-matrix off-diagonals (row-major upper triangle,
+    length d(d-1)/2) <-> unconstrained canonical partial correlations
+    (ref: dr.util.LKJTransformConstrained — CPC construction; the
+    z-space walk is what transformedParameterRandomWalkOperator uses).
+
+    inverse: z -> tanh -> CPCs -> Cholesky-factor rows -> R = L L^T.
+    forward: R -> chol -> CPCs -> atanh. Static dimension d, host loops
+    unrolled at trace time (d is small: operator targets are <= ~10)."""
+
+    d: int = 2
+
+    def _tri(self):
+        iu = np.triu_indices(self.d, 1)
+        return iu
+
+    def inverse(self, z):
+        d = self.d
+        z = jnp.ravel(z)
+        c = jnp.tanh(z)
+        iu = self._tri()
+        # cpc[i][j] for j<i (lower triangle by construction rows)
+        cpc = {}
+        for k in range(len(iu[0])):
+            i, j = int(iu[0][k]), int(iu[1][k])  # i < j
+            cpc[(i, j)] = c[k]  # L row j, column i uses cpc[(i, j)]
+        rows = []
+        for i in range(d):
+            row = []
+            rem = 1.0
+            for j in range(i):
+                lij = cpc[(j, i)] * jnp.sqrt(rem)
+                row.append(lij)
+                rem = rem * (1.0 - cpc[(j, i)] ** 2)
+            row.append(jnp.sqrt(rem))
+            row.extend([jnp.zeros(()) ] * (d - i - 1))
+            rows.append(jnp.stack(row))
+        L = jnp.stack(rows)
+        R = L @ L.T
+        return R[iu]
+
+    def forward(self, x):
+        d = self.d
+        iu = self._tri()
+        R = jnp.eye(d, dtype=jnp.result_type(x, 1.0))
+        R = R.at[iu].set(x).at[(iu[1], iu[0])].set(x)
+        L = jnp.linalg.cholesky(R)
+        zs = []
+        for k in range(len(iu[0])):
+            i, j = int(iu[0][k]), int(iu[1][k])
+            # L row `col` index `row`: recover cpc[(i,j)] with i<j
+            denom = jnp.sqrt(1.0 - jnp.sum(L[j, :i] ** 2))
+            zs.append(jnp.arctanh(L[j, i] / denom))
+        return jnp.stack(zs)
 
 
 @dataclasses.dataclass
