@@ -65,7 +65,12 @@ def _attr(el, name, default=None, cast=str):
 
 
 def _text_values(el) -> np.ndarray:
-    return np.array([float(x) for x in (el.get("value") or "").split()])
+    # "NA" parses as NaN (ref: XMLObject.java:46 missingValue — missing
+    # covariates/values are NaN-flagged and imputed/masked downstream)
+    return np.array([
+        float("nan") if x.upper() == "NA" else float(x)
+        for x in (el.get("value") or "").split()
+    ])
 
 
 # ---------------------------------------------------------------------------
@@ -95,6 +100,7 @@ class DerivedParam:
     fn: Callable  # params -> array
     value: np.ndarray = None  # initial value (for column headers etc.)
     base: str = None  # underlying sampled param (operators target this)
+    idx: object = None  # flat indices into base for masked index views
 
 
 @dataclasses.dataclass
@@ -700,6 +706,12 @@ class XmlAnalysis:
                  lambda s, i=i, j=j, o=obj: o.fn(s.params)[i, j])
                 for i in range(obj.dim) for j in range(obj.dim)
             ]
+        if type(obj).__name__ == "GradientSpec":
+            # log the live analytic gradient (ref: GradientWrtParameter
+            # Provider implements Loggable — columns of the gradient)
+            cols = self._gradient_columns(nm, obj)
+            if cols is not None:
+                return cols
         if isinstance(obj, DerivedParam):
             val0 = np.atleast_1d(np.asarray(obj.value)) if (
                 obj.value is not None) else None
@@ -724,6 +736,51 @@ class XmlAnalysis:
         if callable(obj):  # statistics
             return [(nm, obj)]
         raise Unsupported(f"cannot log <{el2.tag}>")
+
+    def _gradient_columns(self, nm, spec):
+        """Live gradient log columns for a GradientSpec (param targets
+        and/or internal node heights)."""
+        import jax
+
+        names = list(spec.target_names())
+        height_tid = getattr(spec, "height_tid", None)
+        if not names and height_tid is None:
+            return None
+        sizes = [int(np.asarray(self._params[n].value).size)
+                 for n in names]
+
+        def grad_flat(s):
+            p = self.inject_derived(s.params)
+
+            def density(vals, hvec):
+                pp = dict(p)
+                for n, v in zip(names, vals):
+                    pp[n] = jnp.reshape(v, jnp.shape(p[n]))
+                t = s.tree
+                if height_tid is not None:
+                    n_tips = (t.heights.shape[0] + 1) // 2
+                    t = t.replace(
+                        heights=t.heights.at[n_tips:].set(hvec))
+                return sum(l.fn(pp, t) for l in spec.likelihoods)
+
+            vals0 = [p[n] for n in names]
+            n_tips = (s.tree.heights.shape[0] + 1) // 2
+            h0 = s.tree.heights[n_tips:]
+            gv, gh = jax.grad(density, argnums=(0, 1))(vals0, h0)
+            flats = [jnp.ravel(g) for g in gv]
+            if height_tid is not None:
+                flats.append(jnp.ravel(gh))
+            return jnp.concatenate(flats) if flats else jnp.zeros((0,))
+
+        n_h = 0
+        if height_tid is not None:
+            tm = self.build(self._ids[height_tid])
+            n_h = len(tm.taxa) - 1
+        total = sum(sizes) + n_h
+        return [
+            (f"{nm}{i + 1}", lambda s, i=i: grad_flat(s)[i])
+            for i in range(total)
+        ]
 
     def _alias_reader(self, a: TreeAlias):
         R = lambda s: self.resolve_tree(a.tree_id, s.params, s.tree)
@@ -2679,6 +2736,9 @@ def _targets_of(ax, el) -> List:
                         [jnp.ravel(params[n]) for n in ns]))
             elif isinstance(obj, Param):
                 outs.append(lambda params, tree, n=obj.name: params[n])
+            elif isinstance(obj, DerivedParam):
+                outs.append(
+                    lambda params, tree, f=obj.fn: f(params))
             elif (hasattr(obj, "fn") and hasattr(obj, "names")
                   and hasattr(obj, "dim")):
                 # MatrixParam view (matrixParameter etc.): the prior
@@ -3525,6 +3585,19 @@ def _build_operator(ax: XmlAnalysis, el):
         ), tid
 
     if tag == "randomWalkOperator":
+        # a masked view walks ONLY the mask==1 entries of the base
+        # (ref: MaskedParameter proxies just those dims to the operator)
+        for c in el:
+            cc2 = ax.deref(c)
+            if cc2.tag == "maskedParameter":
+                mobj = ax.build(cc2)
+                if isinstance(mobj, DerivedParam) and mobj.idx is not None:
+                    return O.SubsetRandomWalkOperator(
+                        parameter=mobj.base,
+                        indices=tuple(int(i) for i in mobj.idx),
+                        weight=w,
+                        window=_attr(el, "windowSize", 1.0, float),
+                    ), None
         kind, obj, tid = _op_target(ax, el)
         window = _attr(el, "windowSize", 1.0, float)
         if kind == "alias":
@@ -3726,9 +3799,11 @@ def _build_operator(ax: XmlAnalysis, el):
                     return O.BitFlipOperator(parameter=rec[1], weight=w), None
         raise Unsupported("bitFlipInSubstitutionModelOperator structure")
 
-    if tag == "gmrfBlockUpdateOperator":
+    if tag in ("gmrfBlockUpdateOperator", "gmrfGridBlockUpdateOperator"):
         # the REAL conditioned-Gaussian block update (ref:
-        # GMRFSkyrideBlockUpdateOperator.java:245-345) for ungrouped
+        # GMRFSkyrideBlockUpdateOperator.java:245-345; the Grid variant
+        # is GMRFSkygridBlockUpdateOperatorParser — same update on the
+        # gridded field) for ungrouped
         # skyride/skygrid fields; grouped fields keep the
         # posterior-preserving scale+walk substitution
         pops = prec = None

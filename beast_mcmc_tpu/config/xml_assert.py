@@ -83,19 +83,33 @@ def _vec(x) -> str:
 
 def gradient_report(ax: XmlAnalysis, spec) -> str:
     """analytic (jax.grad) + numeric (central differences) gradient of
-    the spec's likelihood sum wrt its target parameters."""
-    names = spec.target_names()
-    if not names:
+    the spec's likelihood sum wrt its target parameters (and/or the
+    internal node heights when spec.height_tid is set — the reference's
+    NodeHeightProxyParameter target, root included)."""
+    names = list(spec.target_names())
+    height_tid = getattr(spec, "height_tid", None)
+    if not names and height_tid is None:
         raise Unsupported("gradient without resolvable target parameters")
     params0, tree0 = initial_eval_state(ax)
+    h_idx = None
+    if height_tid is not None:
+        n_tips = (tree0.heights.shape[0] + 1) // 2
+        h_idx = jnp.arange(n_tips, tree0.heights.shape[0])
 
     def density(vals):
         p = dict(params0)
-        for n, v in zip(names, vals):
-            p[n] = jnp.reshape(v, params0[n].shape)
-        return sum(lik.fn(p, tree0) for lik in spec.likelihoods)
+        t = tree0
+        k = 0
+        for n in names:
+            p[n] = jnp.reshape(vals[k], params0[n].shape)
+            k += 1
+        if h_idx is not None:
+            t = t.replace(heights=t.heights.at[h_idx].set(vals[k]))
+        return sum(lik.fn(p, t) for lik in spec.likelihoods)
 
     vals0 = [params0[n] for n in names]
+    if h_idx is not None:
+        vals0.append(tree0.heights[h_idx])
     analytic = jax.grad(lambda vs: density(vs))(vals0)
     flat_a = np.concatenate([np.ravel(np.asarray(a)) for a in analytic])
 
@@ -105,7 +119,7 @@ def gradient_report(ax: XmlAnalysis, spec) -> str:
 
     def unflat(x):
         out, off = [], 0
-        for n, sz in zip(names, sizes):
+        for sz in sizes:
             out.append(jnp.asarray(x[off:off + sz]))
             off += sz
         return out

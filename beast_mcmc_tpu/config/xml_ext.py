@@ -1117,6 +1117,31 @@ def _masked_parameter(ax: XmlAnalysis, el):
         inner_el = next(c for c in el if ax.deref(c).tag != "mask")
     inner = ax.param_from(inner_el)
     mask_el = el.find("mask")
+    if mask_el is None and _attr(el, "build", False, bool):
+        # build="true" isNaMissing="true": mask = NaN positions; the
+        # NaNs are REPLACED by the fill value (default 0, `value` attr
+        # cycled) so the chain starts finite
+        # (ref: MaskedParameterParser.java:60-86)
+        base = ax._params[inner]
+        vals = np.ravel(np.asarray(base.value, float)).copy()
+        if _attr(el, "isNaMissing", False, bool):
+            na = np.isnan(vals)
+        else:
+            na = vals == 0.0
+        fill_attr = el.get("value")
+        fill = (np.array([float(x) for x in fill_attr.split()])
+                if fill_attr else np.array([0.0]))
+        n_na = int(na.sum())
+        vals[na] = np.resize(fill, n_na)
+        base.value = vals.reshape(np.shape(base.value))
+        mvals = na.astype(float)
+        mid = el.get("id") or f"masked{len(ax._derived_params)}.{inner}"
+        sel = mvals > 0.5
+        idx = np.nonzero(sel)[0]
+        jidx = jnp.asarray(idx)
+        fn = lambda p, n=inner, ix=jidx: jnp.ravel(p[n])[ix]
+        ax._derived_params[mid] = fn
+        return DerivedParam(mid, fn, value=vals[idx], base=inner, idx=idx)
     if mask_el is None:
         return ax._params[inner]
     mid = el.get("id") or f"masked{len(ax._derived_params)}.{inner}"
@@ -1136,7 +1161,7 @@ def _masked_parameter(ax: XmlAnalysis, el):
         fn = lambda p, n=inner, ix=jidx: jnp.ravel(p[n])[ix]
         init = np.ravel(ax.value_of(inner))[idx]
     ax._derived_params[mid] = fn
-    return DerivedParam(mid, fn, value=init, base=inner)
+    return DerivedParam(mid, fn, value=init, base=inner, idx=idx)
 
 
 # ---------------------------------------------------------------------------
@@ -1294,3 +1319,106 @@ def _ess_operator(ax: XmlAnalysis, el, weight):
 from beast_mcmc_tpu.config.interpreter import register_operator as _regop  # noqa: E402,F811
 
 _regop("ellipticalSliceSampler")(_ess_operator)
+
+
+def _mvn_operator(ax: XmlAnalysis, el, weight):
+    """ref: MVNOperatorParser (RandomWalkIntegerOperator sibling) — MVN
+    random-walk x' = x + sf * L z with proposal covariance either an
+    explicit <varMatrix> or (X^T X)^{-1} of a design matrix
+    (formXtXInverse="true"); symmetric, Hastings 0."""
+    from beast_mcmc_tpu.inference.operators import MvnRandomWalkOperator
+
+    sf = _attr(el, "scaleFactor", 1.0, float)
+    form_xtx = _attr(el, "formXtXInverse", False, bool)
+    pname = None
+    var = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter" and pname is None:
+            pname = ax.param_from(cc)
+        elif cc.tag == "varMatrix":
+            vname = ax.param_from(cc)
+            var = np.asarray(ax.value_of(vname), float)
+    if pname is None or var is None:
+        raise XmlError("mvnOperator needs parameter + varMatrix")
+    d = int(np.ravel(ax.value_of(pname)).size)
+    if form_xtx:
+        x = var.reshape(-1, d)
+        cov = np.linalg.inv(x.T @ x)
+    else:
+        cov = var.reshape(d, d)
+    chol = np.linalg.cholesky(cov)
+    return MvnRandomWalkOperator(
+        parameter=pname, chol=chol, scale_factor=sf, weight=weight,
+    ), None
+
+
+_regop("mvnOperator")(_mvn_operator)
+
+
+@register("designMatrix")
+def _design_matrix(ax: XmlAnalysis, el):
+    """ref: DesignMatrixParser — a matrix whose columns are the child
+    parameters. Resolves to the single underlying Param when there is
+    one child (the common GLM idref form), else a materialized constant
+    of the concatenated columns."""
+    names = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            names.append(ax.param_from(cc))
+    if len(names) == 1:
+        return ax._params[names[0]]
+    vals = np.concatenate([np.ravel(ax.value_of(n)) for n in names])
+    key = el.get("id") or f"design{len(ax._params)}"
+    if key not in ax._params:
+        ax._params[key] = Param(key, vals)
+    return ax._params[key]
+
+
+@register("productStatistic")
+def _product_statistic(ax: XmlAnalysis, el):
+    """ref: ProductStatistic — elementwise product across the child
+    parameters (dimension-matched), or the product of all elements when
+    elementwise="false"."""
+    names = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            names.append(ax.param_from(cc))
+    if not names:
+        raise XmlError("productStatistic without parameters")
+    elementwise = _attr(el, "elementwise", True, bool)
+    dims = [int(np.ravel(ax.value_of(n)).size) for n in names]
+    same = len(set(dims)) == 1
+
+    class _Prod:
+        columns = None
+
+        def __init__(self):
+            if elementwise and same and dims[0] > 1:
+                nm = el.get("id") or "product"
+                self.columns = [
+                    (f"{nm}{i + 1}", self._col(i)) for i in range(dims[0])
+                ]
+
+        @staticmethod
+        def _col(i):
+            def f(s):
+                out = jnp.ones(())
+                for n in names:
+                    out = out * jnp.ravel(s.params[n])[i]
+                return out
+
+            return f
+
+        def __call__(self, s):
+            prod = None
+            for n in names:
+                v = jnp.ravel(s.params[n])
+                prod = v if prod is None else prod * v
+            if elementwise and same:
+                return prod
+            return jnp.prod(prod)
+
+    return _Prod()

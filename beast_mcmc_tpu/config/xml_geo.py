@@ -326,6 +326,7 @@ def _glm_model(ax: XmlAnalysis, el):
     iv = el.find("independentVariables")
     if iv is None:
         raise XmlError("glmModel without independentVariables")
+    design_names = []
     for c in iv:
         cc = ax.deref(c)
         if cc.tag == "parameter":
@@ -335,6 +336,11 @@ def _glm_model(ax: XmlAnalysis, el):
             for p in cc:
                 pp = ax.deref(p)
                 if pp.tag == "parameter":
+                    # LIVE column: missing (NA) covariates are filled +
+                    # SAMPLED through a build="true" maskedParameter
+                    # (ref: MaskedParameterParser.java:60-86), so the
+                    # design must read from params at eval time
+                    design_names.append(ax.param_from(pp))
                     design_cols.append(_text_values(pp))
         elif cc.tag == "indicator":
             ind = ax.param_from(cc)
@@ -342,7 +348,7 @@ def _glm_model(ax: XmlAnalysis, el):
         raise XmlError("glmModel needs coefficients + designMatrix")
     design = np.stack(design_cols, axis=1)  # [R, P]
     if family == "logLinear":
-        return ("glm", design, coef, ind)
+        return ("glm", (design, tuple(design_names)), coef, ind)
     # logNormal regression likelihood
     dv = el.find("dependentVariables")
     if dv is None:
@@ -392,15 +398,19 @@ def _glm_substitution_model(ax: XmlAnalysis, el):
         raise XmlError("glmSubstitutionModel needs rootFrequencies+glmModel")
     k = dt_obj.state_count if dt_obj is not None else int(
         np.ravel(ax.value_of(fname)).size)
-    _, design, coef, ind = glm
+    _, design_pack, coef, ind = glm
+    design, design_names = design_pack
     normalize = _attr(el, "normalize", True, bool)
-    design_j = jnp.asarray(design)
+    n_rates = design.shape[0]
 
     def rates_of(params):
         beta = jnp.ravel(params[coef])
         if ind is not None:
             beta = beta * jnp.ravel(params[ind])
-        return jnp.exp(design_j.astype(beta.dtype) @ beta)
+        cols = [jnp.ravel(params[n])[:n_rates].astype(beta.dtype)
+                for n in design_names]
+        design_j = jnp.stack(cols, axis=1)
+        return jnp.exp(design_j @ beta)
 
     def freqs(params):
         f = params[fname]

@@ -399,11 +399,17 @@ def _wishart_prior(ax: XmlAnalysis, el):
 class GradientSpec:
     param_names: Tuple[str, ...] = ()
     likelihoods: Tuple[LikelihoodFn, ...] = ()
+    # set for node-height gradients: the tree whose INTERNAL heights
+    # (root included — NodeHeightProxyParameter includeRoot=true) are
+    # the differentiation target
+    height_tid: str = None
 
     def target_names(self) -> Tuple[str, ...]:
         """Explicit parameters, else the scored data parameters."""
         if self.param_names:
             return self.param_names
+        if self.height_tid is not None:
+            return ()  # height gradients have no named-param targets
         return tuple(dict.fromkeys(
             n for lik in self.likelihoods for n in lik.data_params))
 
@@ -442,6 +448,7 @@ def _gradient(ax: XmlAnalysis, el):
     names: List[str] = []
     liks: List[LikelihoodFn] = []
     reportables = []
+    height_tids: List[str] = []
     for c in el:
         cc = ax.deref(c)
         if cc.tag == "parameter":
@@ -455,6 +462,8 @@ def _gradient(ax: XmlAnalysis, el):
         elif isinstance(obj, GradientSpec):
             names.extend(obj.target_names())
             liks.extend(obj.likelihoods)
+            if obj.height_tid:
+                height_tids.append(obj.height_tid)
         elif hasattr(obj, "analytic"):
             reportables.append(obj)
     if reportables and not liks:
@@ -464,7 +473,47 @@ def _gradient(ax: XmlAnalysis, el):
     # duplicate targets across joint terms collapse (ref: JointGradient
     # sums same-parameter contributions); duplicate likelihood objects
     # must NOT collapse — each term scores once
-    return GradientSpec(tuple(dict.fromkeys(names)), tuple(liks))
+    return GradientSpec(tuple(dict.fromkeys(names)), tuple(liks),
+                        height_tid=height_tids[0] if height_tids else None)
+
+
+@register("nodeHeightGradient")
+def _node_height_gradient(ax: XmlAnalysis, el):
+    """ref: NodeHeightGradientParser — gradient of the tree data
+    likelihood wrt ALL internal node heights (NodeHeightProxyParameter
+    includeRoot=true; NodeHeightGradientForDiscreteTrait.java:71).
+    jax.grad through the peeling kernel replaces the reference's
+    BEAGLE pre-order edge-derivative pass."""
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("treeDataLikelihood", "treeLikelihood",
+                      "compoundLikelihood"):
+            lik = ax.build(cc)
+            if not isinstance(lik, LikelihoodFn) or lik.tree_id is None:
+                raise XmlError("nodeHeightGradient needs a tree likelihood")
+            return GradientSpec((), (lik,), height_tid=lik.tree_id)
+    raise XmlError("nodeHeightGradient without a likelihood child")
+
+
+@register("coalescentGradient")
+def _coalescent_gradient(ax: XmlAnalysis, el):
+    """ref: CoalescentGradientParser — gradient of a coalescent
+    likelihood wrt an explicit <wrt> parameter, else wrt the tree's
+    internal node heights."""
+    lik = None
+    wrt = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "wrt":
+            wrt = ax.param_from(cc)
+        elif cc.tag in ("coalescentLikelihood", "gmrfSkyGridLikelihood",
+                        "skyGridLikelihood"):
+            lik = ax.build(cc)
+    if lik is None or not isinstance(lik, LikelihoodFn):
+        raise XmlError("coalescentGradient without a coalescent child")
+    if wrt is not None:
+        return GradientSpec((wrt,), (lik,))
+    return GradientSpec((), (lik,), height_tid=lik.tree_id)
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +620,32 @@ def _gradient_specs(ax: XmlAnalysis, el) -> List[GradientSpec]:
 
 @register_operator("hamiltonianMonteCarloOperator")
 def _hmc_operator(ax: XmlAnalysis, el, weight):
-    from beast_mcmc_tpu.inference.hmc import HmcOperator
+    from beast_mcmc_tpu.config.interpreter import TreeAlias
+    from beast_mcmc_tpu.inference.hmc import (
+        HmcOperator,
+        NodeHeightHmcOperator,
+    )
+
+    # a node-heights target routes to the ratios-transform HMC (ref:
+    # NodeHeightTransform.java:42 — the reference reparameterizes
+    # internal heights as ratios; tree/transforms.py is our map and
+    # jax.grad differentiates through it, so an explicit
+    # <nodeHeightGradient> child is consumed implicitly)
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("parameter", "nodeHeightProxyParameter"):
+            obj = ax.build(cc) if cc.tag == "parameter" else None
+            if cc.tag == "nodeHeightProxyParameter" or (
+                    isinstance(obj, TreeAlias)
+                    and obj.kind in ("internal_heights", "all_heights")):
+                tid = obj.tree_id if obj is not None else None
+                return NodeHeightHmcOperator(
+                    weight=weight,
+                    n_leapfrog=_attr(el, "nSteps", 10, int),
+                    step_size=_attr(el, "stepSize", 0.02, float),
+                    mass=_attr(el, "drawVariance", 1.0, float),
+                    adaptable=_attr(el, "autoOptimize", True, bool),
+                ), tid
 
     specs = _gradient_specs(ax, el)
     names = _hmc_targets(ax, el)

@@ -45,7 +45,11 @@ class Alignment:
             raise ValueError("taxa/sequences length mismatch")
         lens = {len(s) for s in sequences}
         if len(lens) != 1:
-            raise ValueError(f"unequal sequence lengths: {sorted(lens)}")
+            # pad short sequences with gaps to the longest (ref:
+            # SimpleAlignment.java:304-313 — getState past a sequence's
+            # length returns the gap state)
+            width = max(lens)
+            sequences = [s + "-" * (width - len(s)) for s in sequences]
         states = np.stack([datatype.encode(s) for s in sequences])
         return cls(list(taxa), states, datatype, dates)
 

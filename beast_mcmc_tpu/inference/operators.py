@@ -581,7 +581,8 @@ class BitFlipOperator(Operator):
     uses_prior_on_sum: bool = True
 
     def propose(self, params, tree, key, tuning):
-        x = params[self.parameter]
+        x0 = params[self.parameter]
+        x = jnp.atleast_1d(x0)
         dim = x.shape[0]
         fdt = tree.heights.dtype
         pos = jax.random.randint(key, (), 0, dim)
@@ -597,7 +598,8 @@ class BitFlipOperator(Operator):
             )
         else:
             logq = jnp.asarray(0.0, fdt)
-        return {**params, self.parameter: flipped}, tree, logq
+        return ({**params, self.parameter: flipped.reshape(jnp.shape(x0))},
+                tree, logq)
 
 
 @dataclasses.dataclass
@@ -737,3 +739,60 @@ class CompoundWeightedDeltaOperator(Operator):
                 jnp.shape(params[p])
             )
         return out, tree, jnp.where(ok, 0.0, NEG_INF).astype(dt)
+
+
+@dataclasses.dataclass
+class MvnRandomWalkOperator(Operator):
+    """MVN random walk with a fixed proposal Cholesky (ref:
+    MVNOperator — scaleFactor * L z added to the whole vector;
+    symmetric proposal)."""
+
+    parameter: str = ""
+    chol: object = None  # [D, D] host-side
+    scale_factor: float = 1.0
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return math.log(self.scale_factor)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        flat = jnp.ravel(x)
+        l = jnp.asarray(self.chol, flat.dtype)
+        z = jax.random.normal(key, flat.shape, flat.dtype)
+        new = flat + tuning * (l @ z)
+        return ({**params, self.parameter: new.reshape(jnp.shape(x))},
+                tree, jnp.zeros((), tree.heights.dtype))
+
+
+@dataclasses.dataclass
+class SubsetRandomWalkOperator(Operator):
+    """Random walk restricted to a fixed index subset of a vector
+    parameter (ref: MaskedParameter + RandomWalkOperator — the mask==1
+    entries are the operator's whole world; e.g. sampling NA-missing
+    GLM covariates, MaskedParameterParser.java build="true")."""
+
+    parameter: str = ""
+    indices: Sequence[int] = ()
+    window: float = 1.0
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        return math.log(self.window)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        x = params[self.parameter]
+        flat = jnp.ravel(x)
+        idx = jnp.asarray(self.indices)
+        k1, k2 = jax.random.split(key)
+        j = idx[jax.random.randint(k1, (), 0, idx.shape[0])]
+        delta = (jax.random.uniform(k2, dtype=flat.dtype) * 2.0 - 1.0) * tuning
+        new = flat.at[j].add(delta)
+        return ({**params, self.parameter: new.reshape(jnp.shape(x))},
+                tree, jnp.zeros((), tree.heights.dtype))

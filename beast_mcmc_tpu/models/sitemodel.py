@@ -35,7 +35,18 @@ def discrete_gamma_rates(
     With p_invariant, category 0 is the invariant one (rate exactly 0).
     The gamma rates are the category-median quantiles, normalized so the
     full mixture has mean rate 1; mu rescales all rates.
+
+    Internally computed in f64 when x64 is on, cast to `dtype` on
+    return: the cast makes the result BIT-IDENTICAL whether it is
+    computed in the derived cache's operator branch or the
+    full-evaluation self-check's fresh fusion context (the f32
+    self-check depends on this — accum.py policy).
     """
+    out_dtype = dtype
+    import jax as _jax
+
+    if _jax.config.jax_enable_x64:
+        dtype = jnp.float64
     alpha = jnp.asarray(alpha, dtype)
     k = n_categories
     # Chebyshev-tabulated log-quantiles (ops.special): the scale 1/alpha
@@ -57,7 +68,7 @@ def discrete_gamma_rates(
         )
     if mu is not None:
         rates = rates * jnp.asarray(mu, dtype)
-    return rates, weights
+    return rates.astype(out_dtype), weights.astype(out_dtype)
 
 
 def invariant_only_rates(p_invariant, mu=None, dtype=jnp.float64):

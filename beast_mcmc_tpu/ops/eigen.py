@@ -26,7 +26,10 @@ _JACOBI_MAX_STATES = 64
 
 
 def _sym_eigh(a: jnp.ndarray):
-    if a.shape[-1] <= _JACOBI_MAX_STATES and a.ndim == 2:
+    # f64 goes through XLA's eigh: correct under TPU f64 emulation,
+    # whereas the Jacobi kernel's f64 matmuls are not supported there
+    if (a.shape[-1] <= _JACOBI_MAX_STATES and a.ndim == 2
+            and a.dtype != jnp.float64):
         return jacobi_eigh(a)
     return jnp.linalg.eigh(a)
 
@@ -64,7 +67,20 @@ def reversible_eigen(rates_symmetric: jnp.ndarray, freqs: jnp.ndarray) -> EigenS
     reversible Q, so a real `eigh` suffices: Q = (D^{-1} V) W (V^T D).
     Replaces the reference's general eigensolvers for every reversible
     model (HKY/GTR/TN93/empirical AA/reversible codon/general).
+
+    Computed in f64 when x64 is on, cast back to the input dtype: the
+    f64->f32 rounding makes the EigenSystem bit-identical across fusion
+    contexts (derived-cache branch vs full-evaluation recompute), which
+    the on-chip f32 self-check tolerance depends on (accum.py policy;
+    ref tolerance 0.1, MarkovChain.java:55). The matrices are [S,S]
+    (4-61), so the emulated-f64 cost is noise next to the peel.
     """
+    import jax
+
+    out_dt = jnp.result_type(rates_symmetric, freqs)
+    if jax.config.jax_enable_x64:
+        rates_symmetric = rates_symmetric.astype(jnp.float64)
+        freqs = freqs.astype(jnp.float64)
     q = normalized_q(rates_symmetric, freqs)
     sqrt_pi = jnp.sqrt(freqs)
     a = q * (sqrt_pi[..., :, None] / sqrt_pi[..., None, :])
@@ -72,7 +88,8 @@ def reversible_eigen(rates_symmetric: jnp.ndarray, freqs: jnp.ndarray) -> EigenS
     w, v = _sym_eigh(a)
     u = v / sqrt_pi[..., :, None]
     u_inv = jnp.swapaxes(v, -1, -2) * sqrt_pi[..., None, :]
-    return EigenSystem(values=w, U=u, U_inv=u_inv)
+    return EigenSystem(values=w.astype(out_dt), U=u.astype(out_dt),
+                       U_inv=u_inv.astype(out_dt))
 
 
 def eigen_from_q_reversible(q: jnp.ndarray, freqs: jnp.ndarray) -> EigenSystem:

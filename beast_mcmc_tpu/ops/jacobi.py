@@ -75,8 +75,12 @@ def jacobi_eigh(a_mat: jnp.ndarray, sweeps: int = 10):
         r = eye
         r = r.at[p, p].set(c).at[q, q].set(c)
         r = r.at[p, q].set(sn).at[q, p].set(-sn)
-        a = r.T @ a @ r
-        v = v @ r
+        # HIGHEST precision: the default TPU matmul truncates to bf16
+        # mantissas, which loses ~3 digits per rotation and compounds
+        # across sweeps (observed: f32 eigenvalues off by 1e-3 vs eigh)
+        hp = jax.lax.Precision.HIGHEST
+        a = jnp.matmul(jnp.matmul(r.T, a, precision=hp), r, precision=hp)
+        v = jnp.matmul(v, r, precision=hp)
         return (a, v), None
 
     def one_sweep(carry, _):
