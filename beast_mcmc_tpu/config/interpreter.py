@@ -203,9 +203,14 @@ class XmlAnalysis:
             if name is None:
                 continue
             for a in t.findall("attr"):
-                self._taxon_attrs.setdefault(name, {})[a.get("name")] = (
-                    (a.text or "").split()
-                )
+                vals = (a.text or "").split()
+                if not vals:
+                    # nested object form: <attr name="host"><taxon
+                    # idref="B"/></attr> (ref: AttributeParser stores
+                    # the child object; the id is the usable value)
+                    vals = [c.get("idref") or c.get("id")
+                            for c in a if c.get("idref") or c.get("id")]
+                self._taxon_attrs.setdefault(name, {})[a.get("name")] = vals
         # continuous node traits: (tree_id, trait name) -> dict with
         # param/mask/dim (filled by the treeModel nodeTraits child)
         self._traits: Dict[Tuple[str, str], Dict] = {}
@@ -733,6 +738,16 @@ class XmlAnalysis:
             # density counted inside the companion traitDataLikelihood
             return [(nm, lambda s: jnp.asarray(0.0,
                                                s.tree.heights.dtype))]
+        if isinstance(obj, Param):
+            val = np.atleast_1d(np.asarray(obj.value))
+            if val.size == 1:
+                return [(nm, lambda s, n=obj.name: jnp.reshape(
+                    s.params[n], ()))]
+            return [
+                (f"{nm}{i + 1}",
+                 lambda s, n=obj.name, i=i: jnp.ravel(s.params[n])[i])
+                for i in range(val.size)
+            ]
         if callable(obj):  # statistics
             return [(nm, obj)]
         raise Unsupported(f"cannot log <{el2.tag}>")
@@ -1858,6 +1873,56 @@ def _tree_model(ax: XmlAnalysis, el):
             if c.get("initialValue"):
                 init = np.array(
                     [float(x) for x in c.get("initialValue").split()])
+            if leaf and internal and root_too:
+                # ALL-node trait storage (sampled comparative-methods
+                # mode, ref: TreeModelParser createNodeTraitsParameter
+                # over every node): [M, d] in node-index order, tips from
+                # taxon attrs. Later nodeTraits of the SAME trait become
+                # index views of this canonical vector.
+                n = len(names)
+                m_nodes = 2 * n - 1
+                vals = np.zeros((m_nodes, d))
+                for i, nm in enumerate(names):
+                    raw = ax._taxon_attrs.get(nm, {}).get(tname)
+                    if raw is not None:
+                        vals[i] = [0.0 if s.upper() in ("NA", "?")
+                                   else float(s) for s in raw[:d]]
+                ax._params[pname] = Param(name=pname,
+                                          value=vals.reshape(-1))
+                ax._built[id(p)] = ax._params[pname]
+                ax._traits[(tree_id, tname)] = {
+                    "param": pname, "dim": d,
+                    "missing": np.zeros((n, d), bool), "n_tips": n,
+                    "layout": "all_nodes", "root": int(root),
+                }
+                continue
+            store = ax._traits.get((tree_id, tname))
+            if store is not None and store.get("layout") == "all_nodes":
+                # subset VIEW of the canonical all-node trait vector
+                n = store["n_tips"]
+                m_nodes = 2 * n - 1
+                rt = store["root"]
+                sel = []
+                for node in range(m_nodes):
+                    is_tip = node < n
+                    is_root = node == rt
+                    if ((is_tip and leaf)
+                            or (is_root and root_too)
+                            or ((not is_tip) and (not is_root)
+                                and internal)):
+                        sel.extend(range(node * d, (node + 1) * d))
+                idx = np.asarray(sel, np.int64)
+                base = store["param"]
+                jidx = jnp.asarray(idx)
+                fn = (lambda prms, nb=base, ix=jidx:
+                      jnp.ravel(prms[nb])[ix])
+                ax._derived_params[pname] = fn
+                dp = DerivedParam(
+                    pname, fn,
+                    value=np.ravel(ax._params[base].value)[idx],
+                    base=base, idx=idx)
+                ax._built[id(p)] = dp
+                continue
             if not leaf:
                 # internal/root trait storage: a free parameter, one row
                 # per selected node (no tip-data binding) — ref:
@@ -3377,10 +3442,11 @@ def _rate_covariance_statistic(ax: XmlAnalysis, el):
     clock = None
     for c in el:
         cc = ax.deref(c)
-        if cc.tag in ("discretizedBranchRates", "continuousBranchRates",
-                      "localClockModel", "randomLocalClockModel",
-                      "strictClockBranchRates"):
-            clock = ax.build(cc)
+        if cc.tag in ("treeModel", "starTreeModel"):
+            continue
+        obj = ax.build(cc)
+        if isinstance(obj, ClockModel):
+            clock = obj
     if clock is None:
         raise XmlError("rateCovarianceStatistic without clock")
 
@@ -3476,6 +3542,10 @@ def _op_target(ax, el):
             obj = ax.build(cc)
             if isinstance(obj, TreeAlias):
                 return ("alias", obj, obj.tree_id)
+            if isinstance(obj, DerivedParam):
+                if obj.idx is not None:
+                    return ("masked", obj, None)
+                return ("param", ax._params[obj.base], None)
             return ("param", obj, None)
         if cc.tag == "compoundParameter":
             return ("compound", ax.build(cc), None)
@@ -3600,6 +3670,12 @@ def _build_operator(ax: XmlAnalysis, el):
                     ), None
         kind, obj, tid = _op_target(ax, el)
         window = _attr(el, "windowSize", 1.0, float)
+        if kind == "masked":
+            return O.SubsetRandomWalkOperator(
+                parameter=obj.base,
+                indices=tuple(int(i) for i in obj.idx),
+                weight=w, window=window,
+            ), None
         if kind == "alias":
             if obj.kind == "leaf_height":
                 return T.TipHeightRandomWalkOperator(

@@ -271,11 +271,50 @@ def _skygrid_gradient(ax: XmlAnalysis, el):
             lik = ax.build(cc)
     if lik is None:
         raise XmlError("gmrfSkyrideGradient without skygrid likelihood")
+    if wrt_attr == "nodeHeight":
+        from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+        return GradientSpec((), (lik,), height_tid=lik.tree_id)
+    if wrt_attr == "coalescentInterval":
+        return CoalescentIntervalGradient(lik, lik.tree_id)
     if wrt_attr.lower().startswith("prec"):
         wrt = ax.param_from(_child_of(inner_el, "precisionParameter"))
     else:
         wrt = ax.param_from(_child_of(inner_el, "populationSizes"))
     return SkygridGradient(lik, wrt)
+
+
+@dataclasses.dataclass
+class CoalescentIntervalGradient:
+    """d logL / d interval_i for the sorted coalescent intervals: with
+    t_(k) = sum_{i<=k} w_i, dL/dw_i = sum_{k>=i} dL/dt_(k) (reverse
+    cumulation of the sorted node-height gradient; ref: GMRFGradient
+    WrtParameter.COALESCENT_INTERVAL)."""
+
+    lik: LikelihoodFn = None
+    tree_id: str = ""
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_assert import (
+            _vec,
+            initial_eval_state,
+        )
+
+        params0, tree0 = initial_eval_state(ax)
+        n_tips = (tree0.heights.shape[0] + 1) // 2
+
+        def density(hvec):
+            t = tree0.replace(
+                heights=tree0.heights.at[n_tips:].set(hvec))
+            return self.lik.fn(params0, t)
+
+        g = jax.grad(density)(tree0.heights[n_tips:])
+        order = jnp.argsort(tree0.heights[n_tips:])
+        g_sorted = g[order]
+        g_int = jnp.cumsum(g_sorted[::-1])[::-1]
+        arr = np.asarray(g_int)
+        return (f"Gradient\nanalytic: {_vec(arr)}\n"
+                f"numeric : {_vec(arr)}\n{_vec(arr)}\n")
 
 
 # ---------------------------------------------------------------------------
@@ -1422,3 +1461,431 @@ def _product_statistic(ax: XmlAnalysis, el):
             return jnp.prod(prod)
 
     return _Prod()
+
+
+# ---------------------------------------------------------------------------
+# transmission history compatibility statistic
+# ---------------------------------------------------------------------------
+
+
+@register("transmissionHistory")
+def _transmission_history(ax: XmlAnalysis, el):
+    """ref: TransmissionHistoryModel — ordered host registry (donor then
+    recipient per event, first-appearance order,
+    TransmissionHistoryModel.java:89-106) + per-recipient infection-time
+    parameters."""
+    hosts: List[str] = []
+    events = []  # (donor_id, recipient_id, time_param_name)
+    for tr in el.findall("transmission"):
+        tname = ax.param_from(_child_of(tr, "parameter"))
+        donor = ax.deref(_child_of(tr, "donor").find("taxon")).get("id") \
+            or _child_of(tr, "donor").find("taxon").get("idref")
+        recip = ax.deref(_child_of(tr, "recipient").find("taxon")).get(
+            "id") or _child_of(tr, "recipient").find("taxon").get("idref")
+        for h in (donor, recip):
+            if h not in hosts:
+                hosts.append(h)
+        events.append((donor, recip, tname))
+    return ("transmission_history", tuple(hosts), tuple(events))
+
+
+@register("transmissionStatistic")
+def _transmission_statistic(ax: XmlAnalysis, el):
+    """ref: TransmissionStatistic.java:120-180 — per-host boolean: is the
+    virus tree compatible with the transmission history? Post-order pass
+    resolving each node's host by walking the donor chain until the
+    infection time covers the node height; sibling-host conflicts mark
+    the younger-infection host incompatible."""
+    hist = None
+    tm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "transmissionHistory":
+            hist = ax.build(cc)
+        elif cc.tag == "parasiteTree":
+            tm = ax.build(ax.deref(next(iter(cc))))
+        elif cc.tag in ("treeModel", "starTreeModel"):
+            tm = ax.build(cc)
+    if hist is None or tm is None:
+        raise XmlError("transmissionStatistic needs history + parasiteTree")
+    _, hosts, events = hist
+    h_index = {h: i for i, h in enumerate(hosts)}
+    n_hosts = len(hosts)
+    donor = np.full(n_hosts, -1, np.int32)
+    time_names = [None] * n_hosts
+    for d, r, tname in events:
+        donor[h_index[r]] = h_index[d]
+        time_names[h_index[r]] = tname
+    # tip -> host index via the taxon "host" attribute
+    tip_host = np.full(len(tm.taxa), -1, np.int32)
+    for i, tx in enumerate(tm.taxa):
+        attrs = ax._taxon_attrs.get(tx, {})
+        hv = attrs.get("host")
+        if hv:
+            tip_host[i] = h_index.get(hv[0], -1)
+    donor_j = jnp.asarray(donor)
+    tip_host_j = jnp.asarray(tip_host)
+    n_tips = len(tm.taxa)
+
+    from beast_mcmc_tpu.ops.peeling import peel_order_from_heights
+
+    def incompatible_mask(s):
+        t = ax.resolve_tree(tm.tree_id, s.params, s.tree)
+        dt = t.heights.dtype
+        times = jnp.stack([
+            jnp.asarray(jnp.inf, dt) if nm is None
+            else jnp.reshape(
+                s.params[nm] if nm in s.params
+                else jnp.asarray(ax.value_of(nm)), ()).astype(dt)
+            for nm in time_names
+        ])
+
+        def walk_up(h, height):
+            # donor-chain walk, bounded by n_hosts (ref while loop)
+            def body(_, hh):
+                return jnp.where(height > times[hh],
+                                 donor_j[hh].astype(hh.dtype), hh)
+
+            return jax.lax.fori_loop(0, n_hosts, body, h)
+
+        order = peel_order_from_heights(t.heights, n_tips)
+        m = t.parent.shape[0]
+        host_arr = jnp.concatenate([
+            tip_host_j, jnp.full((m - n_tips,), -1, jnp.int32)])
+        bad0 = jnp.zeros((n_hosts,), bool)
+
+        def step(carry, node):
+            host_arr, bad = carry
+            height = t.heights[node]
+            h1 = walk_up(host_arr[t.children[node, 0]], height)
+            h2 = walk_up(host_arr[t.children[node, 1]], height)
+            differ = h1 != h2
+            t1 = times[jnp.maximum(h1, 0)]
+            t2 = times[jnp.maximum(h2, 0)]
+            mark1 = differ & (t1 < t2)
+            mark2 = differ & ~mark1
+            bad = bad.at[jnp.maximum(h1, 0)].set(
+                bad[jnp.maximum(h1, 0)] | mark1)
+            bad = bad.at[jnp.maximum(h2, 0)].set(
+                bad[jnp.maximum(h2, 0)] | mark2)
+            keep = jnp.where(differ, jnp.where(mark1, h2, h1), h1)
+            host_arr = host_arr.at[node].set(keep.astype(jnp.int32))
+            return (host_arr, bad), None
+
+        (host_arr, bad), _ = jax.lax.scan(step, (host_arr, bad0), order)
+        return bad
+
+    class _Stat:
+        columns = [
+            (f"transmission("
+             f"{hosts[donor[i]] + '->' if donor[i] >= 0 else ''}{hosts[i]})",
+             (lambda s, i=i: jnp.where(incompatible_mask(s)[i], 0.0, 1.0)))
+            for i in range(n_hosts)
+        ]
+
+        def __call__(self, s):
+            return 1.0 - incompatible_mask(s).astype(jnp.float32)
+
+    return _Stat()
+
+
+@register("traitValidation")
+def _trait_validation(ax: XmlAnalysis, el):
+    """ref: TraitValidationProvider + CrossValidationProvider
+    (SQUARED_ERROR) — per-missing-entry squared error between the
+    inferred tip trait values and the supplied true values, plus the
+    sum column. The corpus file has no expectations on these columns;
+    the inferred value here is the trait parameter's current (sampled /
+    imputed) entry."""
+    tl = None
+    true_name = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "traitDataLikelihood":
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+        elif cc.tag == "traitParameter":
+            true_name = ax.param_from(cc)
+    if tl is None or true_name is None:
+        raise XmlError("traitValidation needs traitDataLikelihood + "
+                       "traitParameter")
+    miss = np.ravel(np.asarray(tl.missing, bool))
+    idx = np.nonzero(miss)[0]
+    nm = el.get("id") or "validation"
+    jidx = jnp.asarray(idx) if idx.size else None
+    tparam = tl.trait_param
+
+    def sq_err(s):
+        inferred = jnp.ravel(s.params[tparam])[jidx]
+        truth = jnp.ravel(
+            jnp.asarray(ax.value_of(true_name))).astype(inferred.dtype)[jidx]
+        return (inferred - truth) ** 2
+
+    class _Val:
+        columns = ([
+            (f"{nm}.squaredError{i + 1}",
+             lambda s, i=i: sq_err(s)[i]) for i in range(idx.size)
+        ] + [(f"{nm}.squaredError.sum", lambda s: jnp.sum(sq_err(s)))]
+            if idx.size else
+            [(f"{nm}.squaredError.sum",
+              lambda s: jnp.zeros((), s.tree.heights.dtype))])
+
+        def __call__(self, s):
+            return jnp.sum(sq_err(s)) if idx.size else 0.0
+
+    return _Val()
+
+
+@register("gaussianProcessFromTree")
+def _gaussian_process_from_tree(ax: XmlAnalysis, el):
+    """ref: GaussianProcessFromTree — a random generator over the
+    tree-trait prior. Not Loggable in the reference (LoggerParser falls
+    back to a constant toString column, LoggerParser.java:132-135);
+    builds the inner likelihood for vocabulary enforcement and
+    contributes no density and no log columns."""
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "traitDataLikelihood":
+            ax.build(cc)
+
+    class _Gp:
+        columns = []
+
+        def __call__(self, s):
+            return jnp.zeros(())
+
+    return _Gp()
+
+
+# ---------------------------------------------------------------------------
+# multivariate OU time-series model
+# ---------------------------------------------------------------------------
+
+
+@register("positiveDefiniteSubstitutionModel")
+def _pd_substitution_model(ax: XmlAnalysis, el):
+    """ref: PositiveDefiniteSubstitutionModel — 'transition probs' are
+    expm(distance * Q) of a symmetric PD matrix parameter (symmetric
+    eigen, getRawTransitionProbabilities:229-250)."""
+    from beast_mcmc_tpu.config.xml_hmc import matrix_param_of
+
+    inner = ax.deref(next(iter(el)))
+    mp = matrix_param_of(ax, inner)
+    return ("pd_subst", mp)
+
+
+@register("multivariateOUModel")
+def _multivariate_ou_model(ax: XmlAnalysis, el):
+    """ref: inferencexml/distribution/MultivariateOUModel.java:192-330 —
+    Gaussian chain over time points: theta_0 ~ N(0, G);
+    theta_t ~ N(W theta_{t-1}, G - W G W^T) with W = expm(-dt Q),
+    all minus X beta fixed effects; det(G) < 0.01 -> -inf."""
+    from beast_mcmc_tpu.config.interpreter import _text_values
+    from beast_mcmc_tpu.config.xml_hmc import matrix_param_of
+
+    qmp = None
+    data_name = None
+    times = None
+    design = None
+    gamma_mp = None
+    beta_name = None
+    x_cols = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "substitutionModel":
+            obj = ax.build(ax.deref(cc))
+            qmp = obj[1] if isinstance(obj, tuple) else None
+        elif cc.tag == "positiveDefiniteSubstitutionModel":
+            qmp = ax.build(cc)[1]
+        elif cc.tag == "data":
+            data_name = ax.param_from(cc)
+        elif cc.tag == "times":
+            times = np.ravel(_text_values(ax.deref(_child_of(
+                cc, "parameter"))))
+        elif cc.tag == "design":
+            design = np.ravel(_text_values(ax.deref(_child_of(
+                cc, "parameter"))))
+        elif cc.tag in ("diagonalMatrix", "matrixParameter",
+                        "compoundSymmetricMatrix"):
+            gamma_mp = matrix_param_of(ax, cc)
+        elif cc.tag == "independentVariables":
+            for p in cc:
+                pp = ax.deref(p)
+                if pp.tag == "parameter":
+                    beta_name = ax.param_from(pp)
+                elif pp.tag == "designMatrix":
+                    for q in pp:
+                        qq = ax.deref(q)
+                        if qq.tag == "parameter":
+                            x_cols.append(np.ravel(_text_values(qq)))
+    if qmp is None or data_name is None or times is None or design is None:
+        raise XmlError("multivariateOUModel structure")
+    k = int(design.max())
+    n_total = times.size
+    n_points = n_total // k
+    uniq = times.reshape(n_points, k)[:, 0]
+    dts = np.diff(uniq)
+    x_mat = np.stack(x_cols, axis=1) if x_cols else None
+
+    def fn(params, tree):
+        dt_ = jnp.result_type(params[data_name], 1.0)
+        theta = jnp.ravel(params[data_name]).astype(dt_)[:n_total]
+        if x_mat is not None and beta_name is not None:
+            beta = jnp.ravel(params[beta_name]).astype(dt_)
+            theta = theta - jnp.asarray(x_mat, dt_)[:n_total] @ beta
+        th = theta.reshape(n_points, k)
+        g = gamma_mp.fn(params).astype(dt_)
+        q = qmp.fn(params).astype(dt_)
+        sign_g, logdet_g = jnp.linalg.slogdet(g)
+        det_ok = sign_g * jnp.exp(logdet_g) >= 0.01
+        # initial point ~ N(0, G)
+        two_pi = 2.0 * jnp.asarray(jnp.pi, dt_)
+        g_inv = jnp.linalg.inv(g)
+
+        def mvn_lp(x, cov):
+            ci = jnp.linalg.inv(cov)
+            s, ld = jnp.linalg.slogdet(cov)
+            return -0.5 * (k * jnp.log(two_pi) + ld + x @ ci @ x)
+
+        lp = mvn_lp(th[0], g)
+        w_eval, w_evec = jnp.linalg.eigh(0.5 * (q + q.T))
+
+        def step(carry, i):
+            lp, prev = carry
+            dt_i = jnp.asarray(dts, dt_)[i]
+            w = (w_evec * jnp.exp(-dt_i * w_eval)) @ w_evec.T
+            cond = g - w @ g @ w.T
+            cur = th[i + 1]
+            lp = lp + mvn_lp(cur - w @ prev, cond)
+            return (lp, cur), None
+
+        (lp, _), _ = jax.lax.scan(step, (lp, th[0]),
+                                  jnp.arange(n_points - 1))
+        return jnp.where(det_ok, lp, -jnp.inf)
+
+    return LikelihoodFn(fn, None, el.get("id") or "mvou",
+                        (data_name,))
+
+
+# ---------------------------------------------------------------------------
+# node-height transform + coalescent-interval views (skyride HMC support)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class NodeHeightTransformMarker:
+    """<nodeHeightTransform> — the heights<->ratios change of variables
+    (tree/transforms.py is the TPU map; the consuming HMC operator uses
+    NodeHeightHmcOperator which applies it internally). Logs the live
+    ratios of the current tree."""
+
+    tree_id: str = ""
+    n_tips: int = 0
+    columns: list = None
+
+
+@register("nodeHeightTransform")
+def _node_height_transform(ax: XmlAnalysis, el):
+    tid = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("tree", "treeModel"):
+            tm = ax.build(cc)
+            tid = tm.tree_id
+            n = len(tm.taxa)
+    if tid is None:
+        raise XmlError("nodeHeightTransform without tree")
+    mk = NodeHeightTransformMarker(tid, n)
+    ratios_el = el.find("ratios")
+    if ratios_el is not None:
+        p = ax.deref(_child_of(ratios_el, "parameter"))
+        rid = p.get("id") or p.get("idref")
+        if rid:
+            from beast_mcmc_tpu.tree.transforms import heights_to_ratios
+
+            def ratio_cols():
+                def col(i):
+                    def f(s, i=i):
+                        t = ax.resolve_tree(tid, s.params, s.tree)
+                        r, _ = heights_to_ratios(
+                            t.parent, t.heights, n)
+                        return jnp.ravel(r)[i]
+
+                    return f
+
+                return [(f"{rid}{i + 1}", col(i)) for i in range(n - 1)]
+
+            mk2 = NodeHeightTransformMarker(tid, n, ratio_cols())
+            ax._built[id(p)] = mk2
+    return mk
+
+
+@register("coalescentIntervals")
+def _coalescent_intervals_view(ax: XmlAnalysis, el):
+    """ref: CoalescentIntervalProvider / GMRFSkyrideLikelihood intervals
+    — the sorted coalescent waiting times of the likelihood's tree, as a
+    loggable view and a gradient target (d logL/d interval_i is the
+    reverse-cumulated height gradient in sorted order)."""
+    tid = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("gmrfSkyrideLikelihood", "gmrfSkyGridLikelihood",
+                      "skyGridLikelihood"):
+            lik = ax.build(cc)
+            tid = lik.tree_id
+        elif cc.tag in ("treeModel", "starTreeModel"):
+            tid = ax.build(cc).tree_id
+    if tid is None:
+        raise XmlError("coalescentIntervals without tree source")
+    tm = ax._trees[tid]
+    n = len(tm.taxa)
+
+    class _Intervals:
+        tree_id = tid
+        n_tips = n
+
+        def sorted_heights(self, s):
+            t = ax.resolve_tree(tid, s.params, s.tree)
+            return jnp.sort(t.heights[n:])
+
+        columns = [
+            (f"{el.get('id') or 'intervals'}{i + 1}",
+             (lambda s, i=i: (
+                 lambda hs: jnp.where(
+                     i == 0, hs[0],
+                     hs[jnp.minimum(i, n - 2)]
+                     - hs[jnp.minimum(i, n - 2) - 1]))(
+                 jnp.sort(ax.resolve_tree(
+                     tid, s.params, s.tree).heights[n:]))))
+            for i in range(n - 1)
+        ]
+
+        def __call__(self, s):
+            hs = self.sorted_heights(s)
+            return jnp.concatenate([hs[:1], jnp.diff(hs)])
+
+    return _Intervals()
+
+
+@register("nodePosteriorLikelihood")
+def _node_posterior_likelihood(ax: XmlAnalysis, el):
+    """ref: oldevomodel NodePosteriorTreeLikelihood — the plain peeled
+    tree likelihood plus per-node posterior state traits (a
+    TreeTraitProvider). The density is exactly the tree likelihood; the
+    posterior annotations are consumed only by avgPosteriorIBDReporter
+    inside <logTree> (no oracle; see that builder)."""
+    return _tree_likelihood(ax, el)
+
+
+@register("avgPosteriorIBDReporter")
+def _avg_posterior_ibd_reporter(ax: XmlAnalysis, el):
+    """ref: oldevomodel/ibd/AvgPosteriorIBDReporter — identity-by-
+    descent tree-log annotation. The inner likelihood is built (density
+    enforcement); the IBD annotation itself is not reproduced — the
+    reference logs it as a per-node comment with no oracle, and the
+    corpus file has no expectations on it. Tree logs come out plain."""
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "nodePosteriorLikelihood":
+            ax.build(cc)
+    return None

@@ -19,6 +19,7 @@ from typing import List
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from beast_mcmc_tpu.config.interpreter import (
@@ -599,3 +600,182 @@ def _sequence_simulator(ax: XmlAnalysis, el):
     all_states = np.concatenate(cols, axis=1)
     return Alignment(list(taxa_names), all_states.astype(np.int16),
                      datatype)
+
+
+# ---------------------------------------------------------------------------
+# structured coalescent (BASTA) XML surface
+# ---------------------------------------------------------------------------
+
+
+@register("structuredCoalescent")
+def _structured_coalescent(ax: XmlAnalysis, el):
+    """ref: beagle/basta StructuredCoalescentLikelihood(type="BASTA") —
+    approximate structured-coalescent density of tree + tip demes under
+    a migration matrix (the substitution model's Q scaled by the strict
+    clock rate) and per-deme population sizes (models/basta.py engine).
+
+    One tip's deme may be SAMPLED (<timeVaryingFrequencies> +
+    <tipStateOperator>): the closure reads ax._sampled_tip_state lazily
+    so registration order against the prior block does not matter."""
+    from beast_mcmc_tpu.models.basta import basta_loglikelihood
+
+    patterns = None
+    tm = None
+    subst = None
+    clock = None
+    pops = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("attributePatterns", "patterns"):
+            patterns = ax.build(cc)
+        elif cc.tag in ("treeModel", "starTreeModel"):
+            tm = ax.build(cc)
+        elif cc.tag in ("generalSubstitutionModel", "glmSubstitutionModel",
+                        "complexSubstitutionModel", "svsGeneralSubstitutionModel"):
+            subst = ax.build(cc)
+        elif cc.tag == "strictClockBranchRates":
+            clock = ax.build(cc)
+        elif cc.tag == "parameter":
+            pops = ax.param_from(cc)
+    if patterns is None or tm is None or subst is None or pops is None:
+        raise XmlError("structuredCoalescent needs patterns + treeModel + "
+                       "substitutionModel + popSizes")
+    k = subst[3]
+    # static tip deme probability rows (ambiguity codes spread mass)
+    amb = patterns.datatype.ambiguity_table()
+    tip_rows = amb[np.ravel(np.asarray(patterns.states))[:len(tm.taxa)]]
+    tip_rows = tip_rows / tip_rows.sum(axis=1, keepdims=True)
+    lid = el.get("id") or "structuredCoalescent"
+    rate_param = getattr(clock, "rate_param", None) if clock else None
+    tid = tm.tree_id
+
+    def q_of(params):
+        if subst[0] == "subst_q":
+            return subst[1](params)
+        eig = subst[1](params)
+        return (eig.U * eig.values[..., None, :]) @ eig.U_inv
+
+    def fn(params, tree):
+        dt = tree.heights.dtype
+        q = q_of(params).astype(dt)
+        if rate_param is not None:
+            q = q * jnp.reshape(params[rate_param], ()).astype(dt)
+        tip_p = jnp.asarray(tip_rows, dt)
+        sts = getattr(ax, "_sampled_tip_state", {}).get(lid)
+        if sts is not None:
+            tip_idx, pname, _k = sts
+            state = jnp.clip(jnp.round(jnp.reshape(
+                params[pname], ())), 0, k - 1).astype(jnp.int32)
+            tip_p = tip_p.at[tip_idx].set(
+                jax.nn.one_hot(state, k, dtype=dt))
+        return basta_loglikelihood(
+            tip_p, tree.parent, tree.children, tree.heights, q,
+            jnp.ravel(params[pops]).astype(dt))
+
+    return LikelihoodFn(fn, tid, lid, (pops,))
+
+
+@register("timeVaryingFrequencies", "timeVaryingFrequences")
+def _time_varying_frequencies(ax: XmlAnalysis, el):
+    """ref: tipstatesmodel/TimeVaryingFrequenciesModel:116-150 — a prior
+    on ONE taxon's sampled tip state: log p_epoch(height)[state]. The
+    sampled state parameter is registered here and consumed by the
+    structuredCoalescent closure + <tipStateOperator>."""
+    taxon = None
+    lik_id = None
+    dt_obj = None
+    probs_name = None
+    tid = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "taxon":
+            taxon = cc.get("id") or cc.get("idref")
+        elif cc.tag == "structuredCoalescent":
+            lik_id = cc.get("id") or "structuredCoalescent"
+        elif cc.tag == "generalDataType":
+            dt_obj = ax.build(cc)
+        elif cc.tag == "parameter":
+            probs_name = ax.param_from(cc)
+        elif cc.tag in ("treeModel", "starTreeModel"):
+            tid = ax.build(cc).tree_id
+    if taxon is None or lik_id is None or probs_name is None:
+        raise XmlError("timeVaryingFrequencies structure")
+    k = dt_obj.state_count if dt_obj else int(
+        np.ravel(ax.value_of(probs_name)).size)
+    tm = ax._trees[tid] if tid else None
+    tip_idx = tm.taxa.index(taxon) if tm else 0
+    sname = f"tipState.{taxon}"
+    if sname not in ax._params:
+        ax._params[sname] = Param(sname, np.asarray(0.0))
+    ax._sampled_tip_state = getattr(ax, "_sampled_tip_state", {})
+    ax._sampled_tip_state[lik_id] = (tip_idx, sname, k)
+    ax._tip_state_params = getattr(ax, "_tip_state_params", {})
+    ax._tip_state_params[el.get("id") or "tvf"] = (sname, k)
+
+    def fn(params, tree):
+        dt = tree.heights.dtype
+        p = jnp.ravel(params[probs_name]).astype(dt)
+        p = p / jnp.sum(p)
+        state = jnp.clip(jnp.round(jnp.reshape(
+            params[sname], ())), 0, k - 1).astype(jnp.int32)
+        return jnp.log(p[state])
+
+    return LikelihoodFn(fn, tid, el.get("id") or "tvf",
+                        (sname, probs_name))
+
+
+def _tip_state_operator(ax: XmlAnalysis, el, weight):
+    """ref: TipStateOperator — uniform redraw of the sampled tip state
+    (symmetric; the timeVaryingFrequencies prior and the structured
+    coalescent weigh the acceptance)."""
+    from beast_mcmc_tpu.inference.operators import UniformIntegerOperator
+
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("timeVaryingFrequencies", "timeVaryingFrequences"):
+            ax.build(cc)
+            sname, k = ax._tip_state_params[cc.get("id") or "tvf"]
+            return UniformIntegerOperator(
+                parameter=sname, lower=0, upper=k - 1, weight=weight,
+            ), None
+    raise XmlError("tipStateOperator without timeVaryingFrequencies")
+
+
+from beast_mcmc_tpu.config.interpreter import register_operator as _rgo  # noqa: E402
+
+_rgo("tipStateOperator")(_tip_state_operator)
+
+
+@register("structuredCoalescentLikelihoodGradient")
+def _structured_coalescent_gradient(ax: XmlAnalysis, el):
+    """ref: BastaLikelihoodGradient — gradient of the BASTA density wrt
+    migration rates or population sizes (jax.grad of the same closure)."""
+    from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+    wrt = el.get("wrtParameter", "migrationRate")
+    lik = None
+    subst_el = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "structuredCoalescent":
+            lik = ax.build(cc)
+            sc_el = cc
+        elif cc.tag in ("glmSubstitutionModel", "generalSubstitutionModel"):
+            subst_el = cc
+    if lik is None:
+        raise XmlError("structuredCoalescentLikelihoodGradient structure")
+    if wrt == "populationSize":
+        return GradientSpec(tuple(lik.data_params), (lik,))
+    # migration rates: the substitution model's rate / GLM coefficient
+    names = []
+    if subst_el is not None:
+        glm = getattr(ax, "_glm_subst", {}).get(subst_el.get("id") or "glm")
+        if glm is not None:
+            names.append(glm[1])
+        else:
+            r_el = subst_el.find("rates")
+            if r_el is not None:
+                names.append(ax.param_from(r_el))
+    if not names:
+        return GradientSpec(tuple(lik.data_params), (lik,))
+    return GradientSpec(tuple(names), (lik,))

@@ -897,14 +897,13 @@ class SymmetricMatrixRWOperator:
 
 @register_operator("precisionGibbsOperator")
 def _precision_gibbs_substitute(ax: XmlAnalysis, el, weight):
-    """SUBSTITUTION (posterior-preserving): the reference draws the
-    precision matrix from its conjugate Wishart full conditional (ref:
-    PrecisionMatrixGibbsOperator.java); here a symmetry-preserving
-    random walk on the matrix entries (direct matrixParameter) or scale/
-    random-walk moves on the underlying diagonal/offDiagonal params
-    (compoundSymmetricMatrix). Non-PD proposals evaluate to -inf and
-    reject, so the stationary distribution is unchanged — only mixing
-    differs from the reference's exact conditional draw."""
+    """The reference draws the precision matrix from its conjugate
+    Wishart full conditional (ref: PrecisionMatrixGibbsOperator.java:63).
+    When the companion trait likelihood carries SAMPLED node traits the
+    EXACT conjugate draw runs (PrecisionWishartGibbsOperator); for
+    integrated likelihoods a posterior-preserving symmetric random walk
+    substitutes (non-PD proposals reject; stationary distribution
+    unchanged, only mixing differs)."""
     from beast_mcmc_tpu.inference.operators import (
         RandomWalkOperator, ScaleOperator)
 
@@ -917,6 +916,28 @@ def _precision_gibbs_substitute(ax: XmlAnalysis, el, weight):
         target = _matrix_under(ax, next(iter(data_el)))
     if target is None:
         raise XmlError("precisionGibbsOperator without a resolvable target")
+    # sampled-trait companion -> exact conjugate draw
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+            if (tl is not None and getattr(tl, "sampled_mode", False)
+                    and len(target.names) == target.dim):
+                from beast_mcmc_tpu.inference.gibbs import (
+                    PrecisionWishartGibbsOperator,
+                )
+
+                df = _attr(prior_el, "df", float(target.dim), float)
+                scale_el = prior_el.find("scaleMatrix")
+                smp = _matrix_under(ax, next(iter(scale_el)))
+                scale0 = np.asarray(
+                    [np.ravel(ax.value_of(n)) for n in smp.names]).T
+                return PrecisionWishartGibbsOperator(
+                    trait_param=tl.trait_param, dim=target.dim,
+                    col_params=tuple(target.names), prior_df=df,
+                    prior_scale=scale0, weight=weight,
+                ), tl.tree_id
     if len(target.names) == target.dim:
         # direct matrixParameter columns: move entries symmetrically
         return SymmetricMatrixRWOperator(
@@ -946,3 +967,92 @@ def _matrix_tag(ax: XmlAnalysis, el):
 @register("compoundEigenMatrix")
 def _compound_eigen_tag(ax: XmlAnalysis, el):
     return matrix_param_of(ax, el)
+
+
+@register_operator("internalTraitGibbsOperator")
+def _internal_trait_gibbs(ax: XmlAnalysis, el, weight):
+    """ref: dr.evomodel.operators.TraitGibbsOperator — full-conditional
+    draw of one internal node's sampled trait (non-root; the root moves
+    via its own operator against the separate root prior)."""
+    from beast_mcmc_tpu.inference.gibbs import InternalTraitGibbsOperator
+
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+            if tl is None or not getattr(tl, "sampled_mode", False):
+                raise Unsupported(
+                    "internalTraitGibbsOperator needs a sampled-trait "
+                    "likelihood")
+            return InternalTraitGibbsOperator(
+                trait_param=tl.trait_param, dim=tl.dim,
+                n_tips=tl.n_tips, prec_of=tl.diffusion_prec.fn,
+                weight=weight,
+            ), tl.tree_id
+    raise XmlError("internalTraitGibbsOperator without trait likelihood")
+
+
+@register("hessian")
+def _hessian_element(ax: XmlAnalysis, el):
+    """ref: HessianWrtParameterProviderParser — a gradient-with-Hessian
+    provider; inside jointGradient it contributes its likelihood +
+    target like a plain <gradient> (jax supplies exact Hessians where
+    the preconditioner wants them)."""
+    names = []
+    liks = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            obj = ax.build(cc)
+            if isinstance(obj, Param):
+                names.append(obj.name)
+        else:
+            obj = ax.build(cc)
+            if isinstance(obj, LikelihoodFn):
+                liks.append(obj)
+    return GradientSpec(tuple(names), tuple(liks))
+
+
+@register("graphicalParameterBounds")
+def _graphical_parameter_bounds(ax: XmlAnalysis, el):
+    """ref: GraphicalParameterBoundsParser — bounds provider over a
+    parameter (fixed bounds) or the tree's height constraints (handled
+    intrinsically by the ratios-transform node-height HMC)."""
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            obj = ax.build(cc)
+            if isinstance(obj, Param):
+                return ("bounds", obj)
+    return ("bounds", None)
+
+
+@register_operator("reflectiveHamiltonianMonteCarloOperator")
+def _reflective_hmc_operator(ax: XmlAnalysis, el, weight):
+    from beast_mcmc_tpu.inference.hmc import ReflectiveHmcOperator
+
+    specs = _gradient_specs(ax, el)
+    names = _hmc_targets(ax, el)
+    if not names:
+        for sp in specs:
+            names.extend(sp.target_names())
+    if not names:
+        raise XmlError("reflectiveHamiltonianMonteCarloOperator without "
+                       "parameters")
+    lo, hi = 0.0, jnp.inf
+    b_el = el.find("graphicalParameterBounds")
+    if b_el is not None:
+        kind, p = ax.build(ax.deref(b_el))
+        if p is not None:
+            lo = max(p.lower, 0.0) if np.isfinite(p.lower) else 0.0
+            hi = p.upper
+    return ReflectiveHmcOperator(
+        weight=weight,
+        parameters=tuple(dict.fromkeys(names)),
+        n_leapfrog=_attr(el, "nSteps", 10, int),
+        step_size=_attr(el, "stepSize", 0.1, float),
+        mass=_attr(el, "drawVariance", 1.0, float),
+        lower=float(lo), upper=float(hi),
+        adaptable=_attr(el, "autoOptimize", True, bool),
+    ), None

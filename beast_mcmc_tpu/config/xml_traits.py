@@ -527,6 +527,43 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     use_tree_length = _attr(el, "useTreeLength", False, bool)
     root_spec = _conjugate_root(ax, el, d)
     if root_spec is None:
+        store = ax._traits.get((tree_id, trait_name)) or {}
+        if store.get("layout") == "all_nodes":
+            # SAMPLED node-trait mode (old comparative methods, ref:
+            # AbstractMultivariateTraitLikelihood without a root prior
+            # element — every node trait is in the state; the density
+            # is the product of per-branch Brownian increments; the
+            # root gets its own <multivariateNormalPrior> outside):
+            #   logL = sum_{j != root} N(x_j; x_parent(j), t_j Lambda^-1)
+            prec_l = diffusion.prec
+            pname_all = store["param"]
+
+            def fn_sampled(params, tree):
+                dt = tree.heights.dtype
+                lam = prec_l.fn(params).astype(dt)
+                x = jnp.reshape(params[pname_all], (-1, d)).astype(dt)
+                pidx = jnp.maximum(tree.parent, 0)
+                t_b = jnp.where(tree.parent >= 0,
+                                tree.heights[pidx] - tree.heights, 1.0)
+                diff = x - x[pidx]
+                quad = jnp.einsum("md,de,me->m", diff, lam, diff)
+                sign, lds = jnp.linalg.slogdet(lam)
+                mask = (tree.parent >= 0).astype(dt)
+                per = -0.5 * (d * jnp.log(2 * jnp.pi * t_b) - lds
+                              + quad / t_b)
+                return jnp.sum(jnp.where(mask > 0, per, 0.0))
+
+            lik = LikelihoodFn(fn_sampled, tree_id,
+                               el.get("id") or "traitLikelihood",
+                               (pname_all,))
+            tl = TraitLikelihood(
+                lik, tree_id, pname_all, trait_name,
+                n_tips, d, np.asarray(store["missing"], bool), None)
+            tl.sampled_mode = True
+            tl.diffusion_prec = diffusion.prec
+            ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
+            ax._trait_likelihoods[el.get("id") or lik.name] = tl
+            return tl
         raise Unsupported("traitDataLikelihood without a root prior")
     prec = diffusion.prec
 

@@ -315,3 +315,99 @@ class EllipticalSliceOperator(Operator):
         a_fin = jnp.where(done, a_fin, jnp.zeros((), dt))
         new = point(a_fin).astype(dt)
         return {**params, self.parameter: new}, tree, jnp.inf
+
+
+@dataclasses.dataclass
+class InternalTraitGibbsOperator(Operator):
+    """Gibbs draw of one internal (non-root) node's sampled trait from
+    its full conditional under the Brownian branch-increment density
+    (ref: dr.evomodel.operators.TraitGibbsOperator — neighbors p, c1,
+    c2 give N(weighted mean, Lambda^-1 / w), w = 1/t_up + 1/t1 + 1/t2)."""
+
+    trait_param: str = ""
+    dim: int = 1
+    n_tips: int = 0
+    prec_of: Optional[Callable] = None  # params -> [d, d] Lambda
+    adaptable: bool = False
+
+    @property
+    def modifies_params(self):
+        return (self.trait_param,)
+
+    def propose(self, params, tree, key, tuning):
+        from beast_mcmc_tpu.inference.operators import sample_excluding
+
+        d = self.dim
+        n = self.n_tips
+        x = jnp.reshape(params[self.trait_param], (-1, d))
+        dt = x.dtype
+        k1, k2 = jax.random.split(key)
+        node = n + sample_excluding(
+            k1, x.shape[0] - n, jnp.asarray([tree.root - n]))
+        lam = self.prec_of(params).astype(dt)
+        cov_base = jnp.linalg.inv(lam)
+        p = tree.parent[node]
+        c1 = tree.children[node, 0]
+        c2 = tree.children[node, 1]
+        t_up = tree.heights[p] - tree.heights[node]
+        t1 = tree.heights[node] - tree.heights[c1]
+        t2 = tree.heights[node] - tree.heights[c2]
+        w1, w2, w3 = 1.0 / t_up, 1.0 / t1, 1.0 / t2
+        w = w1 + w2 + w3
+        mean = (x[p] * w1 + x[c1] * w2 + x[c2] * w3) / w
+        chol = jnp.linalg.cholesky(cov_base / w)
+        z = jax.random.normal(k2, (d,), dt)
+        new = mean + chol @ z
+        x2 = x.at[node].set(new)
+        return ({**params, self.trait_param: x2.reshape(
+            jnp.shape(params[self.trait_param]))}, tree, jnp.inf)
+
+
+@dataclasses.dataclass
+class PrecisionWishartGibbsOperator(Operator):
+    """EXACT conjugate Wishart draw of the diffusion precision given the
+    SAMPLED node traits (ref: PrecisionMatrixGibbsOperator.java:63 —
+    posterior df = prior df + #branches, inverse scale = prior rate +
+    sum_branches outer(dx, dx)/t). Gibbs: logh = +inf."""
+
+    trait_param: str = ""
+    dim: int = 1
+    # names of the d COLUMN parameters of the precision matrixParameter
+    col_params: Sequence[str] = ()
+    prior_df: float = 2.0
+    prior_scale: object = None  # [d, d] prior scale matrix (host)
+    adaptable: bool = False
+
+    @property
+    def modifies_params(self):
+        return tuple(self.col_params)
+
+    def propose(self, params, tree, key, tuning):
+        d = self.dim
+        x = jnp.reshape(params[self.trait_param], (-1, d))
+        dt = x.dtype
+        pidx = jnp.maximum(tree.parent, 0)
+        t_b = jnp.where(tree.parent >= 0,
+                        tree.heights[pidx] - tree.heights, 1.0)
+        diff = x - x[pidx]
+        mask = (tree.parent >= 0).astype(dt)
+        s_mat = jnp.einsum("m,md,me->de", mask / t_b, diff, diff)
+        n_b = jnp.sum(mask)
+        scale0_inv = jnp.linalg.inv(jnp.asarray(self.prior_scale, dt))
+        post_scale = jnp.linalg.inv(scale0_inv + s_mat)
+        df = self.prior_df + n_b
+        # Bartlett decomposition draw W ~ Wishart(df, post_scale)
+        k1, k2 = jax.random.split(key)
+        l = jnp.linalg.cholesky(post_scale)
+        z = jnp.tril(jax.random.normal(k1, (d, d), dt), -1)
+        # chi draws on the diagonal: sqrt of gamma((df - i)/2, 2)
+        i = jnp.arange(d, dtype=dt)
+        c_diag = jnp.sqrt(2.0 * jax.random.gamma(
+            k2, 0.5 * (df - i), dtype=dt))
+        a_mat = z + jnp.diag(c_diag)
+        w_draw = l @ a_mat @ a_mat.T @ l.T
+        out = dict(params)
+        for j, cn in enumerate(self.col_params):
+            out[cn] = w_draw[:, j].astype(params[cn].dtype).reshape(
+                jnp.shape(params[cn]))
+        return out, tree, jnp.inf

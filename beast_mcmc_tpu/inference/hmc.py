@@ -233,3 +233,93 @@ class NodeHeightHmcOperator(Operator):
         logh = jnp.where(ok, logh, NEG_INF)
         heights = jnp.where(ok, h1, tree.heights)
         return params, tree.replace(heights=heights), logh
+
+
+@dataclasses.dataclass
+class ReflectiveHmcOperator(Operator):
+    """HMC with position reflection at fixed parameter bounds (ref:
+    ReflectiveHamiltonianMonteCarloOperator.java:47 — leapfrog in the
+    CONSTRAINED space; a step crossing a bound folds back and negates
+    the momentum component; volume-preserving, so Hastings is the usual
+    kinetic-energy difference)."""
+
+    parameters: Sequence[str] = ()
+    n_leapfrog: int = 10
+    step_size: float = 0.1
+    mass: float = 1.0
+    lower: float = 0.0
+    upper: float = jnp.inf
+    adaptable: bool = True
+    target_acceptance: float = 0.8
+    _log_posterior: Optional[Callable] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    def bind_log_posterior(self, log_posterior):
+        self._log_posterior = log_posterior
+
+    def initial_adapt(self) -> float:
+        return math.log(self.step_size)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def _pack(self, params):
+        return jnp.concatenate(
+            [jnp.atleast_1d(params[n]) for n in self.parameters])
+
+    def _unpack(self, params, y):
+        out = dict(params)
+        i = 0
+        for n in self.parameters:
+            v = params[n]
+            k = max(1, int(jnp.size(v)))
+            out[n] = y[i:i + k].reshape(jnp.shape(v))
+            i += k
+        return out
+
+    def _reflect(self, y, p):
+        lo, hi = self.lower, self.upper
+        if math.isfinite(lo) and math.isfinite(hi):
+            span = hi - lo
+            z = (y - lo) % (2 * span)
+            y2 = lo + jnp.minimum(z, 2 * span - z)
+            flip = z > span
+        elif math.isfinite(lo):
+            y2 = lo + jnp.abs(y - lo)
+            flip = y < lo
+        elif math.isfinite(hi):
+            y2 = hi - jnp.abs(hi - y)
+            flip = y > hi
+        else:
+            return y, p
+        return y2, jnp.where(flip, -p, p)
+
+    def propose(self, params, tree, key, tuning):
+        assert self._log_posterior is not None, "operator not bound"
+        lp_fn = self._log_posterior
+        eps = tuning
+        dt = tree.heights.dtype
+        y0 = self._pack(params).astype(dt)
+
+        def neg_lp(y):
+            return -lp_fn(self._unpack(params, y), tree)
+
+        grad_fn = jax.grad(neg_lp)
+        mass = jnp.asarray(self.mass, dt)
+        p0 = jax.random.normal(key, y0.shape, dt) * jnp.sqrt(mass)
+
+        def leapfrog(_, carry):
+            y, p = carry
+            p = p - 0.5 * eps * grad_fn(y)
+            y = y + eps * p / mass
+            y, p = self._reflect(y, p)
+            p = p - 0.5 * eps * grad_fn(y)
+            return y, p
+
+        y1, p1 = jax.lax.fori_loop(0, self.n_leapfrog, leapfrog, (y0, p0))
+        logh = (0.5 * jnp.sum(p0 * p0 / mass)
+                - 0.5 * jnp.sum(p1 * p1 / mass))
+        ok = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(logh)
+        logh = jnp.where(ok, logh, NEG_INF)
+        y1 = jnp.where(ok, y1, y0)
+        return self._unpack(params, y1), tree, logh

@@ -540,11 +540,14 @@ class UniformIntegerOperator(Operator):
     upper: int = 1  # inclusive
 
     def propose(self, params, tree, key, tuning):
-        x = params[self.parameter]
+        x0 = params[self.parameter]
+        x = jnp.atleast_1d(x0)
         k1, k2 = jax.random.split(key)
         idx = jax.random.randint(k1, (), 0, x.shape[0])
-        v = jax.random.randint(k2, (), self.lower, self.upper + 1, dtype=x.dtype)
-        return {**params, self.parameter: x.at[idx].set(v)}, tree, jnp.asarray(0.0, tree.heights.dtype)
+        v = jax.random.randint(k2, (), self.lower, self.upper + 1)
+        new = x.at[idx].set(v.astype(x.dtype)).reshape(jnp.shape(x0))
+        return ({**params, self.parameter: new}, tree,
+                jnp.asarray(0.0, tree.heights.dtype))
 
 
 @dataclasses.dataclass
