@@ -365,6 +365,14 @@ class XmlAnalysis:
         for el in self.root.iter("treeModel"):
             if el.get("id"):
                 self.build(el)
+        # nodeHeightTransform registers its <ratios> parameter as a live
+        # tree view — build them before any logger resolves the bare
+        # parameter element as an (empty) free Param
+        for el in self.root.iter("nodeHeightTransform"):
+            try:
+                self.build(el)
+            except (Unsupported, XmlError):
+                pass
         for el in self.root:
             if el.tag == "mcmc":
                 self._run_mcmc(el, full_eval_steps)
@@ -672,6 +680,11 @@ class XmlAnalysis:
                         for k, i in enumerate(sel)
                     ]
                 return [(nm_a, self._alias_reader(obj))]
+            if getattr(obj, "columns", None) is not None:
+                return list(obj.columns)  # live view (nodeHeight.ratios)
+            if isinstance(obj, DerivedParam):
+                return self._log_columns_derived(ref_name or el2.get("id"),
+                                                 obj)
             name = obj.name
 
             def read(s, name=name):
@@ -718,17 +731,7 @@ class XmlAnalysis:
             if cols is not None:
                 return cols
         if isinstance(obj, DerivedParam):
-            val0 = np.atleast_1d(np.asarray(obj.value)) if (
-                obj.value is not None) else None
-            if val0 is not None and val0.size > 1:
-                return [
-                    (f"{nm}{i + 1}",
-                     lambda s, i=i, f=obj.fn: jnp.ravel(
-                         f(self.inject_derived(s.params)))[i])
-                    for i in range(val0.size)
-                ]
-            return [(nm, lambda s, f=obj.fn: jnp.reshape(
-                f(self.inject_derived(s.params)), ()))]
+            return self._log_columns_derived(nm, obj)
         if isinstance(obj, JointTipAlias):
             # one mirrored value: log the first tree's copy
             tid0, tip0 = obj.targets[0]
@@ -751,6 +754,19 @@ class XmlAnalysis:
         if callable(obj):  # statistics
             return [(nm, obj)]
         raise Unsupported(f"cannot log <{el2.tag}>")
+
+    def _log_columns_derived(self, nm, obj):
+        val0 = np.atleast_1d(np.asarray(obj.value)) if (
+            obj.value is not None) else None
+        if val0 is not None and val0.size > 1:
+            return [
+                (f"{nm}{i + 1}",
+                 lambda s, i=i, f=obj.fn: jnp.ravel(
+                     f(self.inject_derived(s.params)))[i])
+                for i in range(val0.size)
+            ]
+        return [(nm, lambda s, f=obj.fn: jnp.reshape(
+            f(self.inject_derived(s.params)), ()))]
 
     def _gradient_columns(self, nm, spec):
         """Live gradient log columns for a GradientSpec (param targets

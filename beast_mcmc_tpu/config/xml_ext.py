@@ -1808,7 +1808,7 @@ def _node_height_transform(ax: XmlAnalysis, el):
                     def f(s, i=i):
                         t = ax.resolve_tree(tid, s.params, s.tree)
                         r, _ = heights_to_ratios(
-                            t.parent, t.heights, n)
+                            t.parent, t.children, t.heights, t.root, n)
                         return jnp.ravel(r)[i]
 
                     return f
