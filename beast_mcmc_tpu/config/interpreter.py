@@ -2057,6 +2057,36 @@ def _hky_model(ax: XmlAnalysis, el):
     return ("subst", eigen, freqs, 4)
 
 
+@register("jcModel")
+def _jc_model(ax: XmlAnalysis, el):
+    """ref: the JC69 parser — equal rates, equal frequencies."""
+    from beast_mcmc_tpu.models.substitution import hky_eigen
+
+    def freqs(params):
+        return jnp.full((4,), 0.25)
+
+    def eigen(params):
+        return hky_eigen(jnp.asarray(1.0), freqs(params))
+
+    return ("subst", eigen, freqs, 4)
+
+
+@register("taxon")
+def _taxon_standalone(ax: XmlAnalysis, el):
+    """ref: TaxonParser — a standalone taxon resolves to its id (taxa
+    lists read dates/attrs structurally)."""
+    return el.get("id") or el.get("idref")
+
+
+@register("sequence")
+def _sequence_standalone(ax: XmlAnalysis, el):
+    """ref: SequenceParser — (taxon id, character string)."""
+    tx = el.find("taxon")
+    name = (ax.deref(tx).get("id") if tx is not None else None)
+    chars = "".join("".join(el.itertext()).split())
+    return (name, chars)
+
+
 @register("gtrModel")
 def _gtr_model(ax: XmlAnalysis, el):
     from beast_mcmc_tpu.models.substitution import gtr_eigen

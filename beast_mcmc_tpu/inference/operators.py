@@ -799,3 +799,73 @@ class SubsetRandomWalkOperator(Operator):
         new = flat.at[j].add(delta)
         return ({**params, self.parameter: new.reshape(jnp.shape(x))},
                 tree, jnp.zeros((), tree.heights.dtype))
+
+
+@dataclasses.dataclass
+class RateBitExchangeOperator(Operator):
+    """ref: RateBitExchangeOperator.java:26-49 — the rate/indicator
+    vectors split in half; swap the (bit, rate) pair at a random index
+    between the two halves when at least one bit is set; symmetric."""
+
+    bit_parameter: str = ""
+    rate_parameter: str = ""
+
+    @property
+    def modifies_params(self):
+        return (self.bit_parameter, self.rate_parameter)
+
+    def propose(self, params, tree, key, tuning):
+        bits = jnp.ravel(params[self.bit_parameter])
+        rates = jnp.ravel(params[self.rate_parameter])
+        dim = bits.shape[0] // 2
+        idx = jax.random.randint(key, (), 0, dim)
+        ok = (bits[idx] + bits[idx + dim]) >= 1
+        b1, b2 = bits[idx], bits[idx + dim]
+        r1, r2 = rates[idx], rates[idx + dim]
+        bits2 = bits.at[idx].set(b2).at[idx + dim].set(b1)
+        rates2 = rates.at[idx].set(r2).at[idx + dim].set(r1)
+        logh = jnp.where(ok, 0.0, NEG_INF).astype(tree.heights.dtype)
+        return ({**params,
+                 self.bit_parameter: bits2.reshape(
+                     jnp.shape(params[self.bit_parameter])),
+                 self.rate_parameter: rates2.reshape(
+                     jnp.shape(params[self.rate_parameter]))},
+                tree, logh)
+
+
+@dataclasses.dataclass
+class TeamOperator(Operator):
+    """ref: TeamOperator.java:115-128 — draw nPick of the N sub-
+    operators (uniform, without replacement) and apply them in
+    sequence, summing the log-Hastings corrections."""
+
+    sub_operators: Sequence[Operator] = ()
+    n_pick: int = 1
+
+    def modified_params(self):
+        out = []
+        for op in self.sub_operators:
+            mp = op.modified_params()
+            if mp is None:
+                return None
+            out.extend(mp)
+        return tuple(dict.fromkeys(out))
+
+    def propose(self, params, tree, key, tuning):
+        n = len(self.sub_operators)
+        k_perm, key = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, n)
+        logh = jnp.zeros((), tree.heights.dtype)
+        branches = [
+            (lambda p, t, k, op=op: op.propose(p, t, k, op.tuning(
+                jnp.asarray(op.initial_adapt()))))
+            for op in self.sub_operators
+        ]
+        for slot in range(self.n_pick):
+            key, k_op = jax.random.split(key)
+            sel = perm[slot]
+            p2, t2, lh = jax.lax.switch(sel, branches, params, tree, k_op)
+            out = (p2, t2, lh)
+            params, tree = out[0], out[1]
+            logh = logh + jnp.asarray(out[2], logh.dtype)
+        return params, tree, logh

@@ -761,3 +761,159 @@ class GibbsPruneAndRegraftOperator(Operator):
         log_back_prob = jnp.log(back) - jnp.log(total - forward + back)
         logq = jnp.where(count > 0, log_back_prob - log_fwd_prob, NEG_INF)
         return params, regraft(j), logq.astype(fdt)
+
+
+@dataclasses.dataclass
+class TipLeapOperator(Operator):
+    """ref: TipLeapOperatorParser (tipLeap) -> SubtreeLeapOperator
+    restricted to a set of TIP nodes: prune the tip's parent edge and
+    regraft at patristic distance |N(0, size)|; Hastings = |D|/|D'|.
+    tips: static tuple of eligible tip indices (all tips by default)."""
+
+    size: float = 1.0
+    tips: tuple = ()
+    n_tips: int = 0
+    adaptable: bool = True
+    target_acceptance: float = 0.225
+
+    modifies_params = ()
+
+    def initial_adapt(self) -> float:
+        return float(np.log(self.size))
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        fdt = tree.heights.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        delta = jnp.abs(jax.random.normal(k1, dtype=fdt)) * tuning
+        pool = jnp.asarray(self.tips if self.tips
+                           else tuple(range(self.n_tips)))
+        node = pool[jax.random.randint(k2, (), 0, pool.shape[0])]
+
+        parent, children, heights, root = (
+            tree.parent, tree.children, tree.heights, tree.root)
+        par = parent[node]
+        sib = other_child(children, par, node)
+        gp = parent[par]
+        dmask, dheights = _get_destinations(
+            parent, children, heights, node, par, sib, delta
+        )
+        # a tip's parent must stay above the tip
+        dmask = dmask & (dheights > heights[node])
+        j, count = sample_masked(k3, dmask)
+        new_h = dheights[j]
+        jp = parent[j]
+        no_topo = (j == par) | (jp == par)
+
+        def keep(_):
+            return parent, children, root
+
+        def move(_):
+            was_root = gp < 0
+            ch = replace_child(children, jnp.maximum(gp, 0), par, sib)
+            ch = jnp.where(was_root, children, ch)
+            par_arr = parent.at[sib].set(gp)
+            j_is_root = jp < 0
+            ch = replace_child(ch, par, sib, j)
+            ch_attach = replace_child(ch, jnp.maximum(jp, 0), j, par)
+            ch = jnp.where(j_is_root, ch, ch_attach)
+            par_arr = par_arr.at[j].set(par).at[par].set(jp)
+            rt = jnp.where(was_root, sib, root)
+            rt = jnp.where(j_is_root, par, rt).astype(root.dtype)
+            return par_arr, ch, rt
+
+        par_arr, ch, rt = jax.lax.cond(no_topo, keep, move, None)
+        h = heights.at[par].set(jnp.maximum(new_h, heights[node]))
+        new_tree = tree.replace(parent=par_arr, children=ch, heights=h,
+                                root=rt)
+        sib_new = other_child(ch, par, node)
+        rmask, rh = _get_destinations(par_arr, ch, h, node, par, sib_new,
+                                      delta)
+        rmask = rmask & (rh > h[node])
+        rcount = jnp.sum(rmask)
+        logq = jnp.log(count.astype(fdt)) - jnp.log(rcount.astype(fdt))
+        logq = jnp.where((count > 0) & (new_h > heights[node]), logq,
+                         NEG_INF)
+        return params, new_tree, logq
+
+
+@dataclasses.dataclass
+class GibbsSubtreeSwapOperator(Operator):
+    """Likelihood-informed wide subtree swap (ref:
+    src/dr/evomodel/operators/GibbsSubtreeSwap.java:96-160 `wide`):
+    pick node i; enumerate every eligible swap partner j (distinct
+    parents, mutual height compatibility); score each SWAPPED tree by
+    the posterior; draw j ~ softmax; Hastings is the forward/backward
+    Gibbs-weight ratio, with the backward normalizer computed by
+    enumerating partners in the swapped tree. The reference evaluates
+    candidates serially through BEAGLE; here both enumerations are
+    vmapped batched posterior evaluations."""
+
+    modifies_params = ()
+    _log_posterior = None
+
+    def bind_log_posterior(self, log_posterior):
+        self._log_posterior = log_posterior
+
+    def propose(self, params, tree, key, tuning):
+        assert self._log_posterior is not None, (
+            "GibbsSubtreeSwapOperator requires make_mcmc_step binding")
+        m = tree.parent.shape[0]
+        fdt = tree.heights.dtype
+        root = tree.root
+        h = tree.heights
+        k1, k2 = jax.random.split(key)
+        i = sample_excluding(k1, m, root[None])
+        ip = tree.parent[i]
+
+        def swapped(t, a, b):
+            ap = t.parent[a]
+            bp = t.parent[b]
+            parent = t.parent.at[a].set(bp).at[b].set(ap)
+            ch = replace_child(t.children, ap, a, b)
+            ch = replace_child(ch, bp, b, a)
+            return t.replace(parent=parent, children=ch)
+
+        def partner_mask(t, a):
+            apar = t.parent[a]
+            jp = t.parent
+            ok = (
+                (jnp.arange(m) != a)
+                & (jnp.arange(m) != root)
+                & (jp != apar) & (jnp.arange(m) != apar) & (jp != a)
+                & (t.heights < t.heights[apar])
+                & (t.heights[a] < t.heights[jp])
+            )
+            return ok
+
+        cand = partner_mask(tree, i)
+
+        def score(j):
+            return self._log_posterior(params, swapped(tree, i, j))
+
+        idx = jnp.arange(m, dtype=jnp.int32)
+        scores = jnp.where(cand, jax.vmap(score)(idx), NEG_INF)
+        count = jnp.sum(cand)
+        j = jax.random.categorical(k2, scores).astype(jnp.int32)
+        offset = jnp.max(scores)
+        probs = jnp.exp(scores - offset)
+        fwd_total = jnp.sum(probs)
+        fwd = probs[j]
+
+        new_tree = swapped(tree, i, j)
+        # backward: partners of i in the NEW tree, scored by swapping back
+        cand_b = partner_mask(new_tree, i)
+
+        def score_b(k):
+            return self._log_posterior(params, swapped(new_tree, i, k))
+
+        scores_b = jnp.where(cand_b, jax.vmap(score_b)(idx), NEG_INF)
+        probs_b = jnp.exp(scores_b - offset)
+        back_total = jnp.sum(probs_b)
+        back = probs_b[j]  # swapping back with the same partner j
+        logq = (jnp.log(back) - jnp.log(back_total)
+                - (jnp.log(fwd) - jnp.log(fwd_total)))
+        logq = jnp.where(count > 0, logq, NEG_INF)
+        return params, new_tree, logq

@@ -433,3 +433,75 @@ def logit_transformed_normal_kde_logpdf(x, samples, bandwidth=None):
     return (normal_kde_logpdf(logit(x), logit(jnp.asarray(samples)),
                               bandwidth)
             - _sum(jnp.log(x) + jnp.log1p(-x)))
+
+
+def marginalized_alpha_stable_logpdf(x, scale, alpha):
+    """ref: MarginalizedAlphaStableDistribution.java:81-83 —
+    log p = -log(scale) - (|x|/scale)^alpha (unnormalized, used as the
+    Bayesian-bridge marginal)."""
+    scale = jnp.asarray(scale, jnp.result_type(x, 1.0))
+    return _sum(-jnp.log(scale) - (jnp.abs(x) / scale) ** alpha)
+
+
+def multivariate_t_logpdf(x, mean, scale_matrix, df):
+    """Multivariate Student-t (scale-matrix parameterization):
+    logpdf of x ~ t_df(mean, Sigma). (ref: dr.math.distributions
+    MultivariateTDistribution role — scipy.stats.multivariate_t oracle
+    in tests.)"""
+    x = jnp.asarray(x)
+    dt = jnp.result_type(x, 1.0)
+    mu = jnp.asarray(mean, dt)
+    sig = jnp.asarray(scale_matrix, dt)
+    d = mu.shape[-1]
+    nu = jnp.asarray(df, dt)
+    diff = x - mu
+    sol = jnp.linalg.solve(sig, diff)
+    q = diff @ sol
+    sign, logdet = jnp.linalg.slogdet(sig)
+    from jax.scipy.special import gammaln
+
+    return (gammaln(0.5 * (nu + d)) - gammaln(0.5 * nu)
+            - 0.5 * d * (jnp.log(nu) + jnp.log(jnp.pi)) - 0.5 * logdet
+            - 0.5 * (nu + d) * jnp.log1p(q / nu))
+
+
+def multivariate_lognormal_logpdf(x, mu, precision):
+    """ref: MultivariateLogNormalDistribution — log X ~ MVN(mu, P^-1):
+    logpdf(x) = MVN(log x; mu, P) - sum(log x)."""
+    lx = jnp.log(x)
+    return multivariate_normal_logpdf(
+        lx, jnp.asarray(mu, lx.dtype), precision=precision
+    ) - jnp.sum(lx)
+
+
+def kumaraswamy_logpdf(x, a, b):
+    """Kumaraswamy(a, b) on (0,1): log p = log(ab) + (a-1)log x +
+    (b-1)log(1-x^a)."""
+    dt = jnp.result_type(x, 1.0)
+    a = jnp.asarray(a, dt)
+    b = jnp.asarray(b, dt)
+    lp = (jnp.log(a) + jnp.log(b) + (a - 1.0) * jnp.log(x)
+          + (b - 1.0) * jnp.log1p(-(x ** a)))
+    ok = jnp.all((x > 0) & (x < 1))
+    return jnp.where(ok, _sum(lp), -jnp.inf)
+
+
+def point_mass_mixture_logpmf(x, probs, values):
+    """ref: PointMassMixtureDistribution.java:48-70 — discrete mixture
+    over realized vectors: p(x) = sum_j probs[j] * 1[x == values[j]]."""
+    x = jnp.asarray(x)
+    values = jnp.asarray(values, x.dtype)
+    hit = jnp.all(values == x[None, :], axis=1)
+    p = jnp.sum(jnp.where(hit, jnp.asarray(probs, x.dtype), 0.0))
+    return jnp.log(jnp.maximum(p, 1e-300))
+
+
+def frechet_logpdf(x, shape, scale):
+    """Frechet (inverse Weibull): log p = log(a/s) - (1+a) log(x/s)
+    - (x/s)^{-a}."""
+    dt = jnp.result_type(x, 1.0)
+    a = jnp.asarray(shape, dt)
+    s = jnp.asarray(scale, dt)
+    z = x / s
+    lp = jnp.log(a / s) - (1.0 + a) * jnp.log(z) - z ** (-a)
+    return jnp.where(jnp.all(x > 0), _sum(lp), -jnp.inf)

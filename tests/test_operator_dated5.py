@@ -104,11 +104,26 @@ def reference_dist():
     return _dist(_run(ops, 80_000, 0))
 
 
+def _dated5_op(op_cls):
+    from beast_mcmc_tpu.inference.tree_operators import TipLeapOperator
+
+    if op_cls is TipLeapOperator:
+        return TipLeapOperator(weight=5.0, size=0.5, n_tips=5)
+    return op_cls(weight=5.0, size=0.5)
+
+
+def _tip_leap_cls():
+    from beast_mcmc_tpu.inference.tree_operators import TipLeapOperator
+
+    return TipLeapOperator
+
+
 @pytest.mark.parametrize("op_cls", [SubtreeLeapOperator,
-                                    SubtreeJumpOperator])
+                                    SubtreeJumpOperator,
+                                    _tip_leap_cls()])
 def test_leap_jump_match_reference_distribution(op_cls, reference_dist):
     ops = [
-        op_cls(weight=5.0, size=0.5),
+        _dated5_op(op_cls),
         UniformNodeHeightOperator(weight=5.0),
         RootHeightScaleOperator(weight=1.0),
     ]

@@ -125,6 +125,15 @@ OPERATORS = {
     "gibbs_prune_regraft": GibbsPruneAndRegraftOperator(weight=10.0),
 }
 
+from beast_mcmc_tpu.inference.tree_operators import (  # noqa: E402
+    GibbsSubtreeSwapOperator,
+    TipLeapOperator,
+)
+
+OPERATORS["gibbs_subtree_swap"] = GibbsSubtreeSwapOperator(weight=10.0)
+OPERATORS["tip_leap"] = TipLeapOperator(weight=10.0, size=1.0,
+                                        n_tips=N_TAXA)
+
 from beast_mcmc_tpu.tree.constrained import ConstrainedUniformSPROperator
 
 # unconstrained limit (all groups equal) of the thorney USPR — changes
