@@ -2655,6 +2655,14 @@ def _tree_likelihood(ax: XmlAnalysis, el):
     from beast_mcmc_tpu.models.treelikelihood import tree_loglikelihood
     from beast_mcmc_tpu.ops.peeling import pad_patterns
 
+    for c in el:
+        if ax.deref(c).tag == "rewardsAwareBranchModel":
+            from beast_mcmc_tpu.config.xml_ext import (
+                _reward_aware_tree_likelihood,
+            )
+
+            return _reward_aware_tree_likelihood(ax, el, ax.deref(c))
+
     patterns, tm, site, clock = None, None, None, None
     partitions = []
     for c in el:

@@ -1889,3 +1889,126 @@ def _avg_posterior_ibd_reporter(ax: XmlAnalysis, el):
         if cc.tag == "nodePosteriorLikelihood":
             ax.build(cc)
     return None
+
+
+# ---------------------------------------------------------------------------
+# reward-aware branch model (Sericola series)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RewardBranchModel:
+    """<rewardsAwareBranchModel> — per-branch Markov-reward transition
+    densities W(node) = pdf of (end state, total branch reward)
+    (ref: RewardsAwareBranchModel.java:102-130; engine ops/sericola.py).
+    Host-side static: the corpus file evaluates at the initial state."""
+
+    w: np.ndarray = None  # [M, S, S] (root row = I)
+    freqs: np.ndarray = None
+    k: int = 0
+
+    root_row: int = -1
+
+    def report(self, ax) -> str:
+        # ONE header, all branch matrices concatenated (the reference
+        # prints the block after a single "W matrix:" line and the
+        # corpus regex captures the full run of numbers)
+        vals = []
+        for b in range(self.w.shape[0]):
+            if b == self.root_row:
+                continue
+            vals.extend(str(v) for v in np.ravel(self.w[b]))
+        return "W matrix: " + " ".join(vals) + "\n"
+
+
+@register("rewardsAwareBranchModel")
+def _rewards_aware_branch_model(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.config.interpreter import ClockModel, _text_values
+    from beast_mcmc_tpu.ops.sericola import reward_branch_matrices
+
+    clock = None
+    reward_rates = None
+    subst = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "arbitraryBranchRates":
+            clock = ax.build(cc)
+        elif cc.tag == "rewardRates":
+            reward_rates = np.ravel(_text_values(ax.deref(_child_of(
+                cc, "parameter"))))
+        elif cc.tag in ("generalSubstitutionModel",
+                        "complexSubstitutionModel"):
+            subst = ax.build(cc)
+    if clock is None or reward_rates is None or subst is None:
+        raise XmlError("rewardsAwareBranchModel structure")
+    # the underlying CTMC generator at the INITIAL parameter values
+    from beast_mcmc_tpu.config.xml_assert import initial_eval_state
+
+    params0, tree0 = initial_eval_state(ax)
+    if subst[0] == "subst_q":
+        q = np.asarray(subst[1](params0))
+    else:
+        eig = subst[1](params0)
+        q = np.asarray((eig.U * np.asarray(eig.values)[None, :])
+                       @ eig.U_inv)
+    k = subst[3]
+    freqs = np.asarray(subst[2](params0))
+    # per-branch total rewards (the arbitraryBranchRates values) and
+    # branch lengths of the parse-time tree
+    tid = clock.tree_id
+    tm = ax._trees[tid]
+    m = tm.parent.shape[0]
+    import jax.numpy as _jnp
+
+    br = np.asarray(clock.rates(params0, tree0))
+    br = np.broadcast_to(br, (m,))
+    bl = np.where(tm.parent >= 0,
+                  tm.heights[np.maximum(tm.parent, 0)] - tm.heights, 0.0)
+    w = np.zeros((m, k, k))
+    nz = bl > 0
+    w[~nz] = np.eye(k)
+    w[nz] = reward_branch_matrices(
+        q, reward_rates, br[nz], bl[nz])
+    return RewardBranchModel(w=w, freqs=freqs, k=k, root_row=int(tm.root))
+
+
+def _reward_aware_tree_likelihood(ax: XmlAnalysis, el, model_el):
+    """<treeDataLikelihood useRewardAwareBranchModelDelegate="true"> —
+    peeling with the reward densities as the per-branch transition
+    operands (ref: RewardAwareSubstitutionModelDelegate.java)."""
+    from beast_mcmc_tpu.ops.peeling import (
+        peel_loglikelihood,
+        peel_order_from_heights,
+    )
+
+    rm = ax.build(model_el)
+    patterns = None
+    tm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("patterns", "attributePatterns"):
+            patterns = ax.build(cc)
+        elif cc.tag in ("treeModel", "starTreeModel"):
+            tm = ax.build(cc)
+    if patterns is None or tm is None:
+        raise XmlError("reward-aware treeDataLikelihood structure")
+    idx = [patterns.taxa.index(t) for t in tm.taxa]
+    tab = patterns.datatype.ambiguity_table(np.float64)
+    tips = jnp.asarray(np.swapaxes(
+        tab[np.asarray(patterns.states)[idx]], 1, 2))  # [N, S, P]
+    weights = jnp.asarray(np.asarray(patterns.weights, float))
+    w_ops = jnp.asarray(rm.w[:, None])  # [M, C=1, S, S]
+    freqs = jnp.asarray(rm.freqs)
+    cat_w = jnp.ones((1,))
+    tid = tm.tree_id
+
+    def fn(params, tree):
+        order = peel_order_from_heights(tree.heights, len(tm.taxa))
+        return peel_loglikelihood(
+            tips.astype(tree.heights.dtype), tree.children, order,
+            tree.root, w_ops.astype(tree.heights.dtype),
+            freqs.astype(tree.heights.dtype),
+            cat_w.astype(tree.heights.dtype),
+            weights.astype(tree.heights.dtype))
+
+    return LikelihoodFn(fn, tid, el.get("id") or "rewardTreeLikelihood")

@@ -31,6 +31,7 @@ BROKEN_UPSTREAM = {
     # idref="grad.birthRate" but no element anywhere defines that id
     "testMultilocusNPCoalescentLikelihoodTrueData60Temperature.xml":
         "undefined id 'grad.birthRate' (jointGradient:2248)",
+    # (testRewardAwareSubstitutionModel implemented round 4 — removed)
     # the <ancestralTraitTreeModel> that would define
     # 'leafAndAncestorTraits' is commented out (line 47), leaving a
     # dangling idref at line 50 — the reference's parser fails the same

@@ -29,6 +29,7 @@ CI_FILES = [
     "testMultilocusNPCoalescentLikelihoodHetero.xml",
     "testMultilocusNPCoalescentLikelihoodMoreTrees.xml",
     "testParallelNumericGradient.xml",
+    "testRewardAwareSubstitutionModel.xml",
 ]
 
 XFAIL = {
@@ -38,9 +39,6 @@ XFAIL = {
     # in the reference CI matrix either; ci.yml:58 runs tests/TestXML)
     "testMultilocusNPCoalescentLikelihoodTrueData60Temperature.xml":
         "broken upstream: undefined id 'grad.birthRate'",
-    # Sericola-series Markov reward transition densities not implemented
-    "testRewardAwareSubstitutionModel.xml":
-        "rewardsAwareBranchModel (Sericola series) not implemented",
 }
 
 
