@@ -1078,8 +1078,15 @@ def _alignment(ax: XmlAnalysis, el):
         for sub in s:
             if sub.tail:
                 seq += "".join(sub.tail.split())
+        seq = seq.upper()
+        if dt in ("binary", "twoStates"):
+            # tolerate stray characters in binary sequences (corpus typo
+            # 'q' in testNewLatentLiabilityGibbs.xml:17 — the reference's
+            # TwoStates.getState would index out of range on it)
+            seq = "".join(ch for ch in seq
+                          if ch in datatype.char_map)
         taxa.append(name)
-        seqs.append(seq.upper())
+        seqs.append(seq)
         d = tx.find("date")
         if d is not None:
             d = ax.deref(d)

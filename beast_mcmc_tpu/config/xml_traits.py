@@ -44,6 +44,7 @@ from beast_mcmc_tpu.config.interpreter import (
     XmlError,
     _attr,
     _child_of,
+    _text_values,
     register,
 )
 from beast_mcmc_tpu.config.xml_hmc import MatrixParam, matrix_param_of
@@ -1269,6 +1270,19 @@ def _latent_liability_likelihood(ax: XmlAnalysis, el):
     thr_j = jnp.asarray(thr)
     data_j = jnp.asarray(data, jnp.int32)
     free_j = jnp.asarray(free_mask)
+    # per-tip latent interval bounds for the Gibbs operator
+    # (NewLatentLiabilityGibbs validTraitForTip)
+    cuts_np = np.concatenate([
+        np.full((d, 1), -np.inf), thr, np.full((d, 1), np.inf)], axis=1)
+    lo_np = cuts_np[np.arange(d)[None, :], data]
+    hi_np = cuts_np[np.arange(d)[None, :], data + 1]
+    lo_np = np.where(free_mask, -np.inf, lo_np)
+    hi_np = np.where(free_mask, np.inf, hi_np)
+    ax._liability_info = getattr(ax, "_liability_info", {})
+    ax._liability_info[el.get("id") or "liability"] = {
+        "lo": lo_np, "hi": hi_np, "tip_param": tip_param,
+        "n": n, "d": d, "tree_id": tm.tree_id,
+    }
 
     def fn(params, tree):
         latent = jnp.reshape(params[tip_param], (n, d))
@@ -1392,3 +1406,82 @@ def _trait_logger(ax: XmlAnalysis, el):
                 lambda s, i=i, k=k: means_fn(s)[i, k],
             ))
     return MultiColumn(cols)
+
+
+def _tip_time_matrix(tm, pss: float) -> np.ndarray:
+    """T_ij = shared root->mrca path time + 1/pss for the parse-time
+    tree (the tip-joint BM covariance's time factor)."""
+    n = len(tm.taxa)
+    root_h = float(tm.heights[tm.root])
+
+    def ancestors(i):
+        out = {}
+        node = i
+        while node >= 0:
+            out[node] = float(tm.heights[node])
+            node = int(tm.parent[node])
+        return out
+
+    anc = [ancestors(i) for i in range(n)]
+    t = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            shared = [h for nd, h in anc[i].items() if nd in anc[j]]
+            mrca_h = min(shared)
+            t[i, j] = (root_h - mrca_h) + 1.0 / pss
+    return t
+
+
+def _latent_gibbs_operator(ax: XmlAnalysis, el, weight):
+    """ref: NewLatentLiabilityGibbsParser — full-conditional draw of one
+    tip's latent trait, truncated to the discrete datum's region."""
+    from beast_mcmc_tpu.inference.gibbs import LatentLiabilityGibbsOperator
+
+    tl = None
+    info = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "traitDataLikelihood":
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+            tdl_el = cc
+        elif cc.tag in ("OrderedLatentLiabilityLikelihood",
+                        "orderedLatentLiabilityLikelihood",
+                        "latentLiabilityLikelihood"):
+            ax.build(cc)
+            info = getattr(ax, "_liability_info", {}).get(
+                cc.get("id") or "liability")
+    if tl is None or info is None:
+        raise XmlError("newLatentLiabilityGibbsOperator structure")
+    # conjugate root prior sample size + mean from the likelihood element
+    pss = 1.0
+    mu0 = np.zeros(info["d"])
+    crp = tdl_el.find("conjugateRootPrior")
+    if crp is not None:
+        pss = float(np.ravel(_text_values(ax.deref(_child_of(
+            _child_of(crp, "priorSampleSize"), "parameter"))))[0])
+        mu0 = np.ravel(_text_values(ax.deref(_child_of(
+            _child_of(crp, "meanParameter"), "parameter"))))
+    tm = ax._trees[info["tree_id"]]
+    t_mat = _tip_time_matrix(tm, pss)
+    n = info["n"]
+    w = np.zeros((n, n))
+    s = np.zeros(n)
+    for i in range(n):
+        others = [j for j in range(n) if j != i]
+        t_oo = t_mat[np.ix_(others, others)]
+        t_io = t_mat[i, others]
+        sol = np.linalg.solve(t_oo, t_io)
+        w[i, others] = sol
+        s[i] = t_mat[i, i] - t_io @ sol
+    return LatentLiabilityGibbsOperator(
+        trait_param=info["tip_param"], dim=info["d"], n_tips=n,
+        cond_weights=w, cond_scale=s, mu0=mu0,
+        lo=info["lo"], hi=info["hi"],
+        prec_of=tl.diffusion_prec.fn, weight=weight,
+    ), tl.tree_id
+
+
+from beast_mcmc_tpu.config.interpreter import register_operator as _rgo2  # noqa: E402
+
+_rgo2("newLatentLiabilityGibbsOperator")(_latent_gibbs_operator)

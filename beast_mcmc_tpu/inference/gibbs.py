@@ -411,3 +411,77 @@ class PrecisionWishartGibbsOperator(Operator):
             out[cn] = w_draw[:, j].astype(params[cn].dtype).reshape(
                 jnp.shape(params[cn]))
         return out, tree, jnp.inf
+
+
+@dataclasses.dataclass
+class LatentLiabilityGibbsOperator(Operator):
+    """ref: NewLatentLiabilityGibbs.java:139-280 — draw ONE tip's latent
+    trait from its tree full-conditional N(mean_i, s_i Lambda^-1),
+    rejecting draws inconsistent with the tip's discrete datum (bounded
+    attempts; all-fail returns -inf). For a FIXED topology the tip joint
+    is MVN(mu0, T (x) Sigma) with T_ij = t(root->mrca) + 1/pss, so the
+    conditional weights W_i = T_{i,-i} T_{-i,-i}^{-1} and Schur scalars
+    s_i are host-side constants; the diffusion precision stays live.
+    Hastings = logpdf(old draw) - logpdf(new draw) under the proposal."""
+
+    trait_param: str = ""
+    dim: int = 1
+    n_tips: int = 0
+    cond_weights: object = None  # [N, N] rows: weights over other tips
+    cond_scale: object = None  # [N] Schur scalars
+    mu0: object = None  # [D] root prior mean
+    lo: object = None  # [N, D]
+    hi: object = None  # [N, D]
+    prec_of: Optional[Callable] = None
+    max_attempts: int = 64
+    adaptable: bool = False
+
+    @property
+    def modifies_params(self):
+        return (self.trait_param,)
+
+    def propose(self, params, tree, key, tuning):
+        d = self.dim
+        n = self.n_tips
+        x = jnp.reshape(params[self.trait_param], (n, d))
+        dt = x.dtype
+        k_tip, k_draw = jax.random.split(key)
+        i = jax.random.randint(k_tip, (), 0, n)
+        w = jnp.asarray(self.cond_weights, dt)[i]  # [N]
+        s = jnp.asarray(self.cond_scale, dt)[i]
+        mu0 = jnp.asarray(self.mu0, dt)
+        mean = mu0 + w @ (x - mu0[None, :])
+        lam = self.prec_of(params).astype(dt)
+        cov = s * jnp.linalg.inv(lam)
+        chol = jnp.linalg.cholesky(cov)
+        lo = jnp.asarray(self.lo, dt)[i]
+        hi = jnp.asarray(self.hi, dt)[i]
+
+        def draw(k):
+            z = jax.random.normal(k, (d,), dt)
+            return mean + chol @ z
+
+        def cond(carry):
+            it, val, ok = carry
+            return (~ok) & (it < self.max_attempts)
+
+        def body(carry):
+            it, val, _ = carry
+            v = draw(jax.random.fold_in(k_draw, it))
+            ok = jnp.all((v >= lo) & (v <= hi))
+            return it + 1, jnp.where(ok, v, val), ok
+
+        _, new, ok = jax.lax.while_loop(
+            cond, body, (0, x[i], jnp.asarray(False)))
+
+        prec_c = jnp.linalg.inv(cov)
+
+        def lp(v):
+            dlt = v - mean
+            return -0.5 * dlt @ prec_c @ dlt
+
+        logh = lp(x[i]) - lp(new)
+        logh = jnp.where(ok, logh, -jnp.inf).astype(tree.heights.dtype)
+        x2 = x.at[i].set(new)
+        return ({**params, self.trait_param: x2.reshape(
+            jnp.shape(params[self.trait_param]))}, tree, logh)
