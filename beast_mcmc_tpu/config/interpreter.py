@@ -236,10 +236,11 @@ class XmlAnalysis:
                 heights=params[self.tree_key(tid, "heights")],
                 root=params[self.tree_key(tid, "root")],
             )
-        # runtime reparameterization views (e.g. starTreeModel's
-        # internal-heights-read-as-root tie, StarTreeModel.getNodeHeight)
+        # runtime reparameterization views (starTreeModel's
+        # internal-heights-read-as-root tie; ancestralTraitTreeModel's
+        # ghost-ancestor extension) — fn(TreeState, params) -> TreeState
         view = self._tree_views.get(tid)
-        return view(out) if view is not None else out
+        return view(out, params) if view is not None else out
 
     # -- id/idref resolution (ref: XMLParser id/idref object store) --------
     def deref(self, el: ET.Element) -> ET.Element:

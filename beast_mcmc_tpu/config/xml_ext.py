@@ -552,7 +552,7 @@ def _star_tree_model(ax: XmlAnalysis, el):
     root_h = tm.heights[tm.root]
     tm.heights[n:] = root_h  # consistent initial state
 
-    def star_view(ts, n_taxa=n):
+    def star_view(ts, params, n_taxa=n):
         idx = jnp.arange(ts.heights.shape[0])
         h = jnp.where(idx < n_taxa, ts.heights, ts.heights[ts.root])
         return ts.replace(heights=h)
@@ -583,7 +583,7 @@ def _star_tree_likelihood(ax: XmlAnalysis, el):
                 tm = ax.build(cc)
                 n = len(tm.taxa)
 
-                def star_view(ts, n_taxa=n):
+                def star_view(ts, params, n_taxa=n):
                     idx = jnp.arange(ts.heights.shape[0])
                     h = jnp.where(idx < n_taxa, ts.heights,
                                   ts.heights[ts.root])

@@ -419,6 +419,7 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     optimal_fns = None
     elastic: Optional[MatrixParam] = None
     factor_model: Optional[IntegratedFactorModel] = None
+    restricted: List = []
 
     for c in el:
         cc = ax.deref(c)
@@ -459,7 +460,62 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
             factor_model = ax.build(cc)
             tree_id = tree_id or factor_model.tree_id
         elif tag in ("ancestralTraitTreeModel",):
-            raise Unsupported(f"<{tag}> tree model")
+            tm_ext = ax.build(cc)
+            tree_id = tm_ext.tree_id
+        elif tag == "restrictedPartials":
+            restricted.append(ax.build(cc))
+
+    if restricted:
+        # restricted partials via the ghost-tip equivalence: a pseudo-
+        # observation N(mean, (pss Lambda)^-1) at a clade MRCA == a tip
+        # with that mean on a 1/pss branch (ref: RestrictedPartials /
+        # AncestralTraitTreeModel — the corpus file asserts equality)
+        from beast_mcmc_tpu.config.interpreter import DerivedParam
+
+        base_tm = ax._trees[tree_id]
+        n_b = len(base_tm.taxa)
+        m_b = base_tm.parent.shape[0]
+        anchors = []
+        ghost_means = []
+        for _, _tid, tips, mean, pss in restricted:
+            mask = np.zeros(n_b, bool)
+            for t in tips:
+                mask[base_tm.taxa.index(t)] = True
+            anchors.append((mask, (lambda p, v=1.0 / pss: v)))
+            ghost_means.append(mean)
+        view, n_new, m_new = _ghost_extension_view(n_b, m_b, anchors)
+        rid = f"{el.get('id') or 'traitLik'}.restricted"
+        from beast_mcmc_tpu.tree.topology import make_tree_state
+
+        ts0 = make_tree_state(base_tm.parent, base_tm.children,
+                              base_tm.heights, int(base_tm.root),
+                              jnp.float64)
+        ext0 = view(ts0, {})
+        tm_ext = TreeModel(
+            rid, list(base_tm.taxa) + [f"rp{i}" for i in
+                                       range(len(anchors))],
+            np.asarray(ext0.heights)[:n_new].copy(),
+            np.asarray(ext0.parent), np.asarray(ext0.children),
+            np.asarray(ext0.heights), int(np.asarray(ext0.root)))
+        ax._trees[rid] = tm_ext
+        ax._tree_binding[rid] = "state"
+        ax._tree_views[rid] = view
+        d_g = len(ghost_means[0])
+        gm = np.concatenate(ghost_means)
+        base_param = trait_param
+        dname = f"{rid}.traits"
+
+        def traits_fn(p, _b=base_param, _g=jnp.asarray(gm)):
+            return jnp.concatenate(
+                [jnp.ravel(p[_b]), _g.astype(jnp.ravel(p[_b]).dtype)])
+
+        ax._derived_params[dname] = traits_fn
+        ax._traits[(rid, trait_name)] = {
+            "param": dname, "dim": d_g,
+            "missing": np.zeros((n_new, d_g), bool), "n_tips": n_new,
+        }
+        tree_id = rid
+        trait_param = dname
 
     if repeated is not None:
         trait_param = trait_param or repeated.trait_param
@@ -1485,3 +1541,181 @@ def _latent_gibbs_operator(ax: XmlAnalysis, el, weight):
 from beast_mcmc_tpu.config.interpreter import register_operator as _rgo2  # noqa: E402
 
 _rgo2("newLatentLiabilityGibbsOperator")(_latent_gibbs_operator)
+
+
+# ---------------------------------------------------------------------------
+# ancestral-trait tree model (ghost ancestor tips) + restricted partials
+# ---------------------------------------------------------------------------
+
+
+def _ghost_extension_view(base_n, base_m, anchors):
+    """fn(TreeState, params) -> extended TreeState with one ghost
+    internal + ghost tip spliced at each anchor clade's CURRENT MRCA
+    (ref: AncestralTraitTreeModel.java — the shadow tree tracks the
+    base topology; the ancestor hangs off the MRCA on a pseudo branch).
+
+    anchors: list of (tip_set bool[base_n] over base tips,
+                      pseudo_len fn(params) -> scalar)."""
+    import jax
+    import jax.numpy as jnp
+
+    from beast_mcmc_tpu.models.speciation import mrca_node
+
+    k = len(anchors)
+    n_new = base_n + k
+    m_new = base_m + 2 * k
+
+    def view(ts, params):
+        dt = ts.heights.dtype
+        shift = lambda a: jnp.where(a >= base_n, a + k, a)
+        parent = jnp.full((m_new,), -1, ts.parent.dtype)
+        children = jnp.full((m_new, 2), -1, ts.children.dtype)
+        heights = jnp.zeros((m_new,), dt)
+        # base tips keep indices; base internals shift by k
+        src_tip = jnp.arange(base_n)
+        src_int = jnp.arange(base_n, base_m)
+        parent = parent.at[src_tip].set(shift(ts.parent[src_tip]))
+        parent = parent.at[src_int + k].set(shift(ts.parent[src_int]))
+        children = children.at[src_int + k].set(
+            shift(ts.children[src_int]))
+        heights = heights.at[src_tip].set(ts.heights[src_tip])
+        heights = heights.at[src_int + k].set(ts.heights[src_int])
+        root = shift(ts.root)
+        for j, (tip_set, plen_fn) in enumerate(anchors):
+            ghost_tip = base_n + j
+            g = base_m + k + j
+            full_set = jnp.concatenate(
+                [jnp.asarray(tip_set), jnp.zeros((m_new - base_n,), bool)])
+            mrca = mrca_node(parent, heights, full_set)
+            pg = parent[mrca]
+            has_parent = pg >= 0
+            row = children[jnp.maximum(pg, 0)]
+            row = jnp.where(row == mrca, g, row)
+            children = children.at[jnp.maximum(pg, 0)].set(
+                jnp.where(has_parent, row, children[jnp.maximum(pg, 0)]))
+            children = children.at[g, 0].set(mrca).at[g, 1].set(ghost_tip)
+            parent = parent.at[mrca].set(g).at[ghost_tip].set(g)
+            parent = parent.at[g].set(pg)
+            heights = heights.at[g].set(heights[mrca])
+            plen = jnp.asarray(plen_fn(params), dt)
+            heights = heights.at[ghost_tip].set(heights[mrca] - plen)
+            root = jnp.where(has_parent, root, g).astype(root.dtype)
+        return ts.replace(parent=parent, children=children,
+                          heights=heights,
+                          root=root)
+
+    return view, n_new, m_new
+
+
+@register("ancestralTraitTreeModel")
+def _ancestral_trait_tree_model(ax: XmlAnalysis, el):
+    """ref: AncestralTraitTreeModelParser — the base treeModel plus
+    ghost 'ancestor' taxa attached at clade MRCAs on sampled pseudo
+    branches; registered as a DERIVED tree resolved from the base
+    tree's state through a runtime extension view."""
+    base = None
+    ancestors = []  # (name, pseudo_param, tipset)
+    trait_specs = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("treeModel",):
+            base = ax.build(cc)
+        elif cc.tag == "ancestor":
+            nm = None
+            pname = None
+            tips = []
+            for d in cc:
+                dd = ax.deref(d)
+                if dd.tag == "taxon":
+                    nm = dd.get("id") or dd.get("idref")
+                elif dd.tag == "parameter":
+                    pname = ax.param_from(dd)
+                elif dd.tag == "mrca":
+                    tips = [ax.deref(t).get("id") or t.get("idref")
+                            for t in dd.findall("taxon")]
+            ancestors.append((nm, pname, tips))
+        elif cc.tag == "nodeTraits":
+            trait_specs.append(cc)
+    if base is None or not ancestors:
+        raise XmlError("ancestralTraitTreeModel structure")
+    n = len(base.taxa)
+    m = base.parent.shape[0]
+    anchors = []
+    ghost_names = []
+    for nm, pname, tips in ancestors:
+        mask = np.zeros(n, bool)
+        for t in tips:
+            mask[base.taxa.index(t)] = True
+        anchors.append((mask, (lambda p, _n=pname: p[_n])))
+        ghost_names.append(nm)
+    view, n_new, m_new = _ghost_extension_view(n, m, anchors)
+    atm_id = el.get("id") or "ancestralTraitTreeModel"
+    # parse-time extended arrays (initial state, host-side) for the
+    # TreeModel registry entry — apply the view to numpy via jax
+    import jax.numpy as jnp_
+
+    from beast_mcmc_tpu.tree.topology import make_tree_state
+
+    ts0 = make_tree_state(base.parent, base.children, base.heights,
+                          int(base.root), jnp_.float64)
+    p0 = {pname: jnp_.asarray(np.ravel(ax.value_of(pname))[0])
+          for _, pname, _t in ancestors}
+    ext0 = view(ts0, p0)
+    tm_ext = TreeModel(
+        atm_id, list(base.taxa) + ghost_names,
+        np.asarray(ext0.heights)[:n_new].copy(),
+        np.asarray(ext0.parent), np.asarray(ext0.children),
+        np.asarray(ext0.heights), int(np.asarray(ext0.root)))
+    ax._trees[atm_id] = tm_ext
+    ax._tree_binding[atm_id] = "state"
+    ax._tree_views[atm_id] = view
+    # nodeTraits on the EXTENDED taxa (ghost observations from attrs)
+    for c in trait_specs:
+        tname = c.get("name") or "trait"
+        d = _attr(c, "traitDimension", 1, int)
+        p = ax.deref(_child_of(c, "parameter"))
+        pname = p.get("id") or f"{atm_id}.{tname}"
+        vals = np.zeros((n_new, d))
+        miss = np.zeros((n_new, d), bool)
+        for i, nm in enumerate(tm_ext.taxa):
+            raw = ax._taxon_attrs.get(nm, {}).get(tname)
+            if raw is None:
+                miss[i] = True
+                continue
+            vals[i] = [float(x) for x in raw[:d]]
+        ax._params[pname] = Param(pname, vals.reshape(-1))
+        ax._built[id(p)] = ax._params[pname]
+        ax._traits[(atm_id, tname)] = {
+            "param": pname, "dim": d, "missing": miss, "n_tips": n_new,
+        }
+    return tm_ext
+
+
+@register("restrictedPartials")
+def _restricted_partials(ax: XmlAnalysis, el):
+    """ref: RestrictedPartialsParser — a conjugate Gaussian pseudo-
+    observation N(mean, (pss Lambda)^-1) at a clade's MRCA. Represented
+    by the ghost-tip equivalence: a tip with the mean as its observation
+    on a pseudo branch of length 1/pss (exactly the construction
+    AncestralTraitTreeModel makes explicit — the corpus file asserts
+    the two give the same likelihood)."""
+    tm = None
+    tips = []
+    mean = None
+    pss = 1.0
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tm = ax.build(cc)
+        elif cc.tag == "mrca":
+            tips = [ax.deref(t).get("id") or t.get("idref")
+                    for t in cc.findall("taxon")]
+        elif cc.tag == "meanParameter":
+            mean = np.ravel(_text_values(ax.deref(_child_of(
+                cc, "parameter"))))
+        elif cc.tag == "priorSampleSize":
+            pss = float(np.ravel(_text_values(ax.deref(_child_of(
+                cc, "parameter"))))[0])
+    if tm is None or mean is None:
+        raise XmlError("restrictedPartials structure")
+    return ("restricted_partials", tm.tree_id, tuple(tips), mean, pss)
