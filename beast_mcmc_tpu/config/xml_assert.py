@@ -156,7 +156,9 @@ def report_of(ax: XmlAnalysis, el) -> str:
     if isinstance(obj, LikelihoodFn):
         v = _resolving(ax, obj)
         tl = getattr(ax, "_trait_likelihoods", {}).get(el.get("id"))
-        if tl is not None and tl.channels is not None:
+        if tl is not None and (
+                tl.channels is not None
+                or getattr(tl, "diffusion_prec", None) is not None):
             # continuous-data report extras (ref:
             # ContinuousDataLikelihoodDelegate.getReport:446 — "Trait
             # variance" is the inverse diffusion precision; "datum" the

