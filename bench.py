@@ -387,6 +387,15 @@ def main():
         # VPU-bound workload: report utilization against both peaks
         extras["makona_implied_tflops"] = round(mak * mak_flops / 1e12, 3)
 
+    # --- Makona-shape multichain: aggregate chip throughput with the
+    # shared-schedule batch riding the HBM-streaming kernel
+    mk4 = section("makona_multichain4_states_per_sec",
+                  lambda: measure_multichain(
+                      "gtr_gamma", 1610, 2048, 4, 64))
+    if mk4:
+        extras["makona_aggregate_tflops"] = round(
+            mk4 * peeling_flops(1610, 4, 4, 2048) / 1e12, 3)
+
     # --- multi-chain aggregate (benchmark2 shape): shared-schedule
     # vmapped Pallas (one operator branch per step for all chains) vs
     # the old lax.map path
