@@ -39,7 +39,8 @@ class HmcOperator(Operator):
     n_leapfrog: int = 10
     step_size: float = 0.1
     mass: float = 1.0  # scalar, or a [dim] vector for diagonal mass
-    precondition: str = "none"  # "none" | "diag" (Hessian-diagonal mass)
+    precondition: str = "none"  # "none" | "diag" | "low_rank"
+    low_rank: int = 4  # curvature directions kept in low_rank mode
     log_transform: bool = True
     # General constrained->unconstrained bijection applied to the packed
     # vector (utils.transforms.Transform; ref: Transform.java:48 — the
@@ -108,26 +109,77 @@ class HmcOperator(Operator):
         # reference's Hessian-diagonal mass, recomputed on its update
         # schedule and treated as operator tuning; here it is refreshed at
         # the proposal's start point, same approximation class)
+        low_rank_ops = None
         if self.precondition == "diag":
             hdiag = jnp.diagonal(jax.hessian(neg_log_py)(y0))
             mass = jnp.clip(jnp.abs(hdiag), 1e-8, 1e8)
+        elif self.precondition == "low_rank":
+            # low-rank Hessian mass (ref: MassPreconditioner.java:51
+            # AdaptiveLowRank — top-k curvature directions get their
+            # Hessian eigenvalue, the complement the median): mass
+            # M = U_k diag(|l_k|) U_k^T + l_fill (I - U_k U_k^T)
+            k_rank = min(self.low_rank, int(y0.shape[0]))
+            h_full = jax.hessian(neg_log_py)(y0)
+            h_full = 0.5 * (h_full + h_full.T)
+            evals, evecs = jnp.linalg.eigh(h_full)
+            mag = jnp.clip(jnp.abs(evals), 1e-8, 1e8)
+            top = jnp.argsort(-mag)[:k_rank]
+            u_k = evecs[:, top]
+            l_k = mag[top]
+            l_fill = jnp.median(mag)
+
+            def m_mul(v):
+                proj = u_k.T @ v
+                return u_k @ (l_k * proj) + l_fill * (
+                    v - u_k @ proj)
+
+            def m_solve(v):
+                proj = u_k.T @ v
+                return u_k @ (proj / l_k) + (v - u_k @ proj) / l_fill
+
+            def m_sample(kk):
+                z = jax.random.normal(kk, y0.shape, dt)
+                proj = u_k.T @ z
+                return (u_k @ (jnp.sqrt(l_k) * proj)
+                        + jnp.sqrt(l_fill) * (z - u_k @ proj))
+
+            low_rank_ops = (m_mul, m_solve, m_sample)
+            mass = None
         else:
             mass = jnp.asarray(self.mass, dt)
 
         k1, _ = jax.random.split(key)
-        p0 = jax.random.normal(k1, y0.shape, dt) * jnp.sqrt(mass)
+        if low_rank_ops is not None:
+            p0 = low_rank_ops[2](k1)
+        else:
+            p0 = jax.random.normal(k1, y0.shape, dt) * jnp.sqrt(mass)
+
+        if low_rank_ops is not None:
+            _, m_solve, _ = low_rank_ops
+
+            def vel(p):
+                return m_solve(p)
+
+            def kinetic(p):
+                return 0.5 * jnp.sum(p * m_solve(p))
+        else:
+            def vel(p):
+                return p / mass
+
+            def kinetic(p):
+                return 0.5 * jnp.sum(p * p / mass)
 
         def leapfrog(_, carry):
             y, p = carry
             p = p - 0.5 * eps * grad_fn(y)
-            y = y + eps * p / mass
+            y = y + eps * vel(p)
             p = p - 0.5 * eps * grad_fn(y)
             return y, p
 
         y1, p1 = jax.lax.fori_loop(0, self.n_leapfrog, leapfrog, (y0, p0))
 
-        k_old = 0.5 * jnp.sum(p0 * p0 / mass)
-        k_new = 0.5 * jnp.sum(p1 * p1 / mass)
+        k_old = kinetic(p0)
+        k_new = kinetic(p1)
         logh = (k_old - k_new) + self._ldj(y1) - self._ldj(y0)
         ok = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(logh)
         logh = jnp.where(ok, logh, NEG_INF)
@@ -323,3 +375,86 @@ class ReflectiveHmcOperator(Operator):
         logh = jnp.where(ok, logh, NEG_INF)
         y1 = jnp.where(ok, y1, y0)
         return self._unpack(params, y1), tree, logh
+
+
+@dataclasses.dataclass
+class GeodesicHmcOperator(Operator):
+    """HMC on a product of unit spheres (ref:
+    GeodesicHamiltonianMonteCarloOperator.java — factor-loading /
+    eigenvector columns constrained to |x_i| = 1; the integrator
+    alternates tangent-space kicks with exact great-circle moves, so
+    the constraint holds to machine precision at every step).
+
+    The parameter is interpreted as [n_blocks, block_dim] rows, each on
+    the unit sphere."""
+
+    parameter: str = ""
+    block_dim: int = 2
+    n_leapfrog: int = 10
+    step_size: float = 0.1
+    adaptable: bool = True
+    target_acceptance: float = 0.8
+    _log_posterior: Optional[Callable] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    @property
+    def modifies_params(self):
+        return (self.parameter,)
+
+    def bind_log_posterior(self, log_posterior):
+        self._log_posterior = log_posterior
+
+    def initial_adapt(self) -> float:
+        return math.log(self.step_size)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        assert self._log_posterior is not None, "operator not bound"
+        eps = tuning
+        dt = tree.heights.dtype
+        x0 = params[self.parameter]
+        d = self.block_dim
+        y0 = jnp.reshape(x0, (-1, d)).astype(dt)
+        # project onto the spheres (guard against drift in the state)
+        y0 = y0 / jnp.linalg.norm(y0, axis=1, keepdims=True)
+
+        def neg_lp(y):
+            p2 = {**params, self.parameter: y.reshape(
+                jnp.shape(x0)).astype(x0.dtype)}
+            return -self._log_posterior(p2, tree)
+
+        grad_fn = jax.grad(neg_lp)
+
+        def tangent(y, v):
+            return v - jnp.sum(v * y, axis=1, keepdims=True) * y
+
+        k1, _ = jax.random.split(key)
+        p0 = tangent(y0, jax.random.normal(k1, y0.shape, dt))
+
+        def geodesic(y, p, t):
+            """Exact great-circle flow for time t (per block)."""
+            speed = jnp.linalg.norm(p, axis=1, keepdims=True)
+            safe = jnp.maximum(speed, 1e-30)
+            u = p / safe
+            a = speed * t
+            y2 = y * jnp.cos(a) + u * jnp.sin(a)
+            p2 = (-y * jnp.sin(a) + u * jnp.cos(a)) * speed
+            moved = speed > 1e-20
+            return (jnp.where(moved, y2, y), jnp.where(moved, p2, p))
+
+        def leapfrog(_, carry):
+            y, p = carry
+            p = tangent(y, p - 0.5 * eps * grad_fn(y))
+            y, p = geodesic(y, p, eps)
+            p = tangent(y, p - 0.5 * eps * grad_fn(y))
+            return y, p
+
+        y1, p1 = jax.lax.fori_loop(0, self.n_leapfrog, leapfrog, (y0, p0))
+        logh = 0.5 * (jnp.sum(p0 * p0) - jnp.sum(p1 * p1))
+        ok = jnp.all(jnp.isfinite(y1)) & jnp.isfinite(logh)
+        logh = jnp.where(ok, logh, NEG_INF)
+        y1 = jnp.where(ok, y1, y0)
+        return ({**params, self.parameter: y1.reshape(
+            jnp.shape(x0)).astype(x0.dtype)}, tree, logh)
