@@ -180,3 +180,69 @@ def initial_painting(parent: np.ndarray, children: np.ndarray,
         if n >= n_taxa:
             painting[n] = painting[int(children[n, 0])]
     return painting
+
+
+# ---------------------------------------------------------------------------
+# infectious-period priors (ref: casetocase/periodpriors/*)
+# ---------------------------------------------------------------------------
+
+
+def normal_period_prior_loglik(periods, mu0, lambda0, alpha0, beta0):
+    """Marginal likelihood of iid Normal periods under a Normal-Gamma
+    (mu, tau) hyperprior, both integrated out (ref:
+    NormalPeriodPriorDistribution.java:158-199)."""
+    from jax.scipy.special import gammaln
+
+    x = jnp.ravel(periods)
+    dt = x.dtype
+    n = x.shape[0]
+    lam_n = lambda0 + n
+    alpha_n = alpha0 + n / 2
+    mean = jnp.mean(x)
+    ssd = jnp.sum((x - mean) ** 2)
+    beta_n = (beta0 + 0.5 * ssd
+              + lambda0 * n * (mean - mu0) ** 2 / (2.0 * (lambda0 + n)))
+    return (gammaln(jnp.asarray(alpha_n, dt))
+            - gammaln(jnp.asarray(alpha0, dt))
+            + alpha0 * jnp.log(jnp.asarray(beta0, dt))
+            - alpha_n * jnp.log(beta_n)
+            + 0.5 * jnp.log(jnp.asarray(lambda0, dt))
+            - 0.5 * jnp.log(jnp.asarray(lam_n, dt))
+            - (n / 2) * jnp.log(2 * jnp.asarray(jnp.pi, dt)))
+
+
+def known_variance_normal_period_prior_loglik(periods, sigma, mu0, sigma0):
+    """Marginal likelihood of iid Normal(mu, sigma^2) periods with KNOWN
+    sigma and a Normal(mu0, sigma0^2) prior on mu, mu integrated out
+    (ref: KnownVarianceNormalPeriodPriorDistribution.java:114-142 —
+    transcribed term-for-term; the reference's algebraic form is kept so
+    parity runs agree to the last bit)."""
+    x = jnp.ravel(periods)
+    dt = x.dtype
+    n = x.shape[0]
+    var = sigma ** 2
+    var0 = sigma0 ** 2
+    s = jnp.sum(x)
+    ss = jnp.sum(x * x)
+    mean = s / n
+    return (jnp.log(jnp.asarray(sigma, dt))
+            - n * jnp.log(jnp.sqrt(2 * jnp.asarray(jnp.pi, dt)) * sigma)
+            - jnp.log(jnp.sqrt(n * var0 + var))
+            - ss / (2 * var) - mu0 ** 2 / (2 * var0)
+            + ((sigma0 * n * mean / sigma) ** 2
+               + (sigma * mu0 / sigma0) ** 2
+               + 2 * n * mean * mu0) / (2 * (n * var0 + var)))
+
+
+def one_over_stdev_period_prior_loglik(periods):
+    """logL = -log sd(periods) (ref:
+    OneOverStDevPeriodPriorDistribution.java:34-41; sample sd)."""
+    x = jnp.ravel(periods)
+    n = x.shape[0]
+    sd = jnp.sqrt(jnp.sum((x - jnp.mean(x)) ** 2) / (n - 1))
+    return -jnp.log(sd)
+
+
+def individual_period_prior_loglik(periods, logpdf_fn):
+    """Independent per-case period densities (ref: IndividualPrior.java)."""
+    return jnp.sum(logpdf_fn(jnp.ravel(periods)))
