@@ -16,6 +16,10 @@ from beast_mcmc_tpu.config.interpreter import run_testxml, Unsupported
 DIRS = {
     "top": "/root/reference/examples/TestXML/*.xml",
     "ci": "/root/reference/ci/TestXML/*.xml",
+    # the corpus the reference's CI ACTUALLY runs (ci.yml:58) — mostly
+    # disjoint from examples/TestXML (3 shared names, all different
+    # content); round-5 target
+    "tests": "/root/reference/tests/TestXML/*.xml",
 }
 
 which = sys.argv[1] if len(sys.argv) > 1 else "top"
