@@ -2112,12 +2112,21 @@ def _gtr_model(ax: XmlAnalysis, el):
         c = el.find(role)
         if c is not None:
             names[role] = ax.param_from(c)
+    # single 6-dim <rates> vector (ref: GTRParser RATES — AC AG AT CG
+    # CT GT order), the BEAUTi-generated form
+    vec_name = None
+    if not names:
+        rt = el.find("rates")
+        if rt is not None:
+            vec_name = ax.param_from(rt)
 
     def freqs(params):
         f = params[fm]
         return f / jnp.sum(f)
 
     def eigen(params):
+        if vec_name is not None:
+            return gtr_eigen(jnp.ravel(params[vec_name]), freqs(params))
         one = jnp.asarray(1.0, params[fm].dtype)
         r = [
             params[names[k]] if k in names else one
@@ -2130,6 +2139,149 @@ def _gtr_model(ax: XmlAnalysis, el):
     return ("subst", eigen, freqs, 4)
 
 
+class BranchModelSpec:
+    """A per-branch substitution-model assignment (ref: branchmodel/
+    EpochBranchModel.java:47 / BranchSpecificSubstitutionBranchModel):
+    p_mats(params, tree, cat_rates, branch_rates) -> [M,C,S,S]."""
+
+    def __init__(self, p_mats, freqs_of, k, root_subst=None):
+        self.p_mats = p_mats
+        self.freqs_of = freqs_of
+        self.k = k
+        self.root_subst = root_subst  # the root/oldest ("subst*", ...) tuple
+
+
+@register("epochBranchModel")
+def _epoch_branch_model(ax: XmlAnalysis, el):
+    """ref: EpochBranchModelParser — <epoch transitionTime="t"> children
+    (young to old) plus one final ancestral model; a branch spanning
+    boundaries gets the oldest-first convolution of per-epoch transition
+    matrices (models/epoch.epoch_branch_matrices — batched MXU matmuls
+    over [M,C,S,S], the TPU form of beagle.convolveTransitionMatrices)."""
+    models = []
+    times = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "epoch":
+            t_attr = cc.get("transitionTime")
+            if t_attr is not None:
+                times.append(float(t_attr))
+            else:
+                times.append(ax.param_from(cc))
+            inner = None
+            for d in cc:
+                dd = ax.deref(d)
+                if dd.tag == "parameter":
+                    continue
+                inner = ax.build(dd)
+            models.append(inner)
+        elif cc.tag in ("treeModel", "starTreeModel"):
+            ax.build(cc)
+        else:
+            try:
+                obj = ax.build(cc)
+            except (Unsupported, XmlError):
+                continue
+            if isinstance(obj, tuple) and obj[0] in ("subst", "subst_q"):
+                models.append(obj)
+    if len(models) < 2 or len(times) != len(models) - 1:
+        raise XmlError("epochBranchModel needs epochs + ancestral model")
+    k = models[-1][3]
+
+    def p_mats(params, tree, cat_rates, branch_rates):
+        from beast_mcmc_tpu.models.epoch import epoch_branch_matrices
+
+        dt = tree.heights.dtype
+        # "subst" -> EigenSystem, "subst_q" -> generator Q; the epoch
+        # convolution handles both
+        mods = [m[1](params) for m in models]
+        bounds = jnp.stack([
+            jnp.reshape(params[t], ())[()] if isinstance(t, str)
+            else jnp.asarray(t, dt)
+            for t in times]).astype(dt)
+        return epoch_branch_matrices(
+            mods, bounds, tree.parent, tree.heights, branch_rates,
+            cat_rates)
+
+    # root frequencies come from the ancestral (oldest) epoch model
+    # (ref: EpochBranchModel.getRootFrequencyModel)
+    return BranchModelSpec(p_mats, models[-1][2], k, models[-1])
+
+
+@register("branchSpecificSubstitutionModel",
+          "estimableStemWeightBranchSpecificSubstitutionModel")
+def _branch_specific_subst_model(ax: XmlAnalysis, el):
+    """ref: BranchSpecificBranchModelParser +
+    BranchSpecificBranchModel.setupNodeMaps:240-366 — base model on all
+    branches; each <clade>'s MRCA subtree takes the clade model; the
+    stem branch convolves P_base((1-w)L) @ P_clade(wL) with stemWeight
+    w (attribute, or a <stemWeight> parameter for the estimable
+    variant). MRCA + descendant masks are computed in-trace via
+    parent-pointer doubling (models/epoch.clade_branch_matrices)."""
+    base = None
+    tm = None
+    clades = []  # (taxa names, model tuple, float-or-param-name weight)
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("treeModel", "starTreeModel"):
+            tm = ax.build(cc)
+        elif cc.tag in ("clade", "externalBranches"):
+            w = cc.get("stemWeight")
+            w = float(w) if w is not None else 0.0
+            model = None
+            taxa = None
+            for d in cc:
+                dd = ax.deref(d)
+                if dd.tag == "stemWeight":
+                    w = ax.param_from(dd)
+                elif dd.tag == "taxa":
+                    taxa = ax.build(dd)
+                else:
+                    try:
+                        obj = ax.build(dd)
+                    except (Unsupported, XmlError):
+                        continue
+                    if isinstance(obj, tuple) and obj[0] in ("subst",
+                                                             "subst_q"):
+                        model = obj
+            if model is None or taxa is None:
+                raise XmlError(f"<{cc.tag}> needs taxa + model")
+            clades.append((taxa, model, w))
+        else:
+            try:
+                obj = ax.build(cc)
+            except (Unsupported, XmlError):
+                continue
+            if isinstance(obj, tuple) and obj[0] in ("subst", "subst_q"):
+                base = obj
+    if base is None or tm is None:
+        raise XmlError("branchSpecificSubstitutionModel needs tree + model")
+    k = base[3]
+    n = len(tm.taxa)
+    specs = []
+    for taxa, model, w in clades:
+        mask = np.zeros(n, bool)
+        for nm_t, _h in taxa:
+            mask[tm.taxa.index(nm_t)] = True
+        specs.append((mask, model, w))
+
+    def p_mats(params, tree, cat_rates, branch_rates):
+        from beast_mcmc_tpu.models.epoch import clade_branch_matrices
+
+        dt = tree.heights.dtype
+        built = [
+            (jnp.asarray(mask, dt),
+             model[1](params),
+             jnp.reshape(params[w], ())[()] if isinstance(w, str)
+             else jnp.asarray(w, dt))
+            for mask, model, w in specs]
+        return clade_branch_matrices(
+            base[1](params), built, tree.parent, tree.heights, tree.root,
+            branch_rates, cat_rates)
+
+    return BranchModelSpec(p_mats, base[2], k, base)
+
+
 @register("siteModel")
 def _site_model(ax: XmlAnalysis, el):
     from beast_mcmc_tpu.models.sitemodel import (
@@ -2138,10 +2290,31 @@ def _site_model(ax: XmlAnalysis, el):
     )
 
     sub = None
-    for c in _child_of(el, "substitutionModel"):
-        sub = ax.build(ax.deref(c))
-    if sub is None or sub[0] not in ("subst", "subst_q"):
-        raise XmlError("siteModel without substitution model")
+    sm_el = el.find("substitutionModel")
+    if sm_el is not None:
+        for c in sm_el:
+            sub = ax.build(ax.deref(c))
+    else:
+        # <branchSubstitutionModel> wraps a per-branch model assignment
+        # (ref: GammaSiteRateModelParser BRANCH_SUBSTITUTION_MODEL);
+        # branch models can also sit directly under <siteModel>
+        bsm = el.find("branchSubstitutionModel")
+        if bsm is not None:
+            for c in bsm:
+                sub = ax.build(ax.deref(c))
+        else:
+            for c in el:
+                cc = ax.deref(c)
+                if cc.tag in ("epochBranchModel",
+                              "branchSpecificSubstitutionModel",
+                              "estimableStemWeight"
+                              "BranchSpecificSubstitutionModel"):
+                    sub = ax.build(cc)
+    if isinstance(sub, BranchModelSpec):
+        spec = sub
+        sub = ("branch", spec, spec.freqs_of, spec.k)
+    if sub is None or sub[0] not in ("subst", "subst_q", "branch"):
+        raise XmlError("<siteModel> missing <substitutionModel>")
     kind, eigen, freqs_of, s = sub
 
     gs = el.find("gammaShape")
@@ -2168,7 +2341,8 @@ def _site_model(ax: XmlAnalysis, el):
             r = r * params[mname]
         return r, w
 
-    return ("site" if kind == "subst" else "site_q",
+    return ({"subst": "site", "subst_q": "site_q",
+             "branch": "site_branch"}[kind],
             eigen, freqs_of, s, rates_weights)
 
 
@@ -2743,7 +2917,17 @@ def _tree_likelihood(ax: XmlAnalysis, el):
     def fn(params, tree):
         r, w = rates_weights(params, dtype)
         br = clock.rates(params, tree)
-        if site_kind == "site_q":
+        if site_kind == "site_branch":
+            from beast_mcmc_tpu.models.treelikelihood import (
+                tree_loglikelihood_pmats,
+            )
+
+            p_mats = eigen.p_mats(params, tree, r, br)
+            tot = tree_loglikelihood_pmats(
+                tips_j, w_j, tree.children, tree.heights, tree.root,
+                p_mats, freqs_of(params), w,
+            )
+        elif site_kind == "site_q":
             from beast_mcmc_tpu.models.treelikelihood import (
                 tree_loglikelihood_q,
             )

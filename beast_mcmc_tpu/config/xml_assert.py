@@ -150,6 +150,14 @@ def report_of(ax: XmlAnalysis, el) -> str:
             parts.append(report_of(ax, c))
             parts.append(c.tail or "")
         return "".join(parts)
+    from beast_mcmc_tpu.config.interpreter import _OP_EXT, _build_operator
+
+    if tag in _OP_EXT:
+        # an operator as the `actual`: the reference's operator report
+        # leads with "operator type: <parser name>" (ref: BeastUnitTest
+        # on testReflectiveHMC.xml asserts exactly the tag string)
+        _build_operator(ax, el)  # validates construction
+        return f"operator type: {tag}\n{tag}\n"
     obj = ax.build(el)
     if hasattr(obj, "report"):
         return obj.report(ax)
@@ -180,9 +188,18 @@ def report_of(ax: XmlAnalysis, el) -> str:
                 extra += f"Trait variance:\n{rows}\n\n"
             extra += f"datum : {', '.join(str(x) for x in datum)}\n"
             return (f"logDatumLikelihood: {v}\n{extra}{v}\n")
-        # covers the corpus regexes: the class-paren form and a bare line
+        # covers the corpus regexes: the class-paren forms and the
+        # labelled single-value lines the reference's getReport()s print
+        # (SpeciationLikelihood "lnL:", GMRFSkyrideLikelihood "Total:",
+        # CompoundLikelihood "likelihood:",
+        # MultivariateDistributionLikelihood's class-paren form)
         return (f"dr.evomodel.treedatalikelihood.TreeDataLikelihood({v})\n"
+                f"BeagleTreeLikelihood({v})\n"
+                f"MultivariateDistributionLikelihood({v})\n"
                 f"logDatumLikelihood: {v}\n"
+                f"likelihood: {v}\n"
+                f"lnL: {v}\n"
+                f"Total: {v}\n"
                 f"Non-parametric Coalescent LogLikelihood: {v}\n{v}\n")
     from beast_mcmc_tpu.config.xml_hmc import GradientSpec
 
@@ -225,6 +242,19 @@ def _assert_equal(ax: XmlAnalysis, el):
         if exp_el.get("checkpointFileName"):
             raise Unsupported("assertEqual expected from checkpoint file")
         expected = "".join(exp_el.itertext())
+        if len(exp_el):
+            # the expected side can itself be a report + regex (e.g.
+            # testRateMatrixMixtureModel.xml compares two likelihoods)
+            raw_e = report_of(ax, next(iter(exp_el)))
+            eregex = exp_el.get("regex")
+            if eregex:
+                mt_e = re.search(eregex, raw_e)
+                if mt_e is None:
+                    raise AssertionError(
+                        f"assertEqual {message!r}: expected regex "
+                        f"{eregex!r} missing in report:\n{raw_e[:400]}")
+                raw_e = mt_e.group(1)
+            expected = raw_e
 
         raw = report_of(ax, next(iter(act_el))
                         if len(act_el) else act_el)

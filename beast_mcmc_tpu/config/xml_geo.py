@@ -343,10 +343,56 @@ def _glm_model(ax: XmlAnalysis, el):
                     # design must read from params at eval time
                     design_names.append(ax.param_from(pp))
                     design_cols.append(_text_values(pp))
+        elif cc.tag in ("aminoAcidMixtureModel",
+                        "substitutionRateMatrixMixtureModel"):
+            # ref: AminoAcidMixture.java:50-66 /
+            # SubstitutionRateMatrixMixture.java:50-84 — STATIC design
+            # columns snapshotted at construction: one column per
+            # component model, [log q_ij - log f_j]_{i<j} followed by
+            # [log q_ji - log f_i]_{i<j} (for symmetric empirical AA
+            # exchangeabilities both halves are log r, ref uses the
+            # rates vector directly without frequency weighting)
+            for sm in cc:
+                ss = ax.deref(sm)
+                if ss.tag in ("aminoAcidModel", "empiricalAminoAcidModel"):
+                    from beast_mcmc_tpu.models.data.aa_matrices import (
+                        AA_MODELS,
+                    )
+
+                    r = np.asarray(
+                        AA_MODELS[ss.get("type").upper()]["rates"],
+                        float)
+                    col = np.log(r)
+                    design_cols.append(np.concatenate([col, col]))
+                    design_names.append(None)
+                    continue
+                obj = ax.build(ss)
+                if not (isinstance(obj, tuple) and obj[0] == "subst"):
+                    raise Unsupported(
+                        f"mixture component <{ss.tag}>")
+                _, eigen_fn, freqs_fn, k_m = obj
+                p0 = {p.name: jnp.asarray(p.value)
+                      for p in ax._params.values()}
+                es = eigen_fn(p0)
+                q0 = np.asarray(
+                    es.U @ (es.values[..., None] * es.U_inv), float)
+                f0 = np.asarray(freqs_fn(p0), float)
+                iu = np.triu_indices(k_m, 1)
+                design_cols.append(np.concatenate([
+                    np.log(q0[iu]) - np.log(f0[iu[1]]),
+                    np.log(q0[(iu[1], iu[0])]) - np.log(f0[iu[0]]),
+                ]))
+                design_names.append(None)
         elif cc.tag == "indicator":
             ind = ax.param_from(cc)
     if coef is None or not design_cols:
         raise XmlError("glmModel needs coefficients + designMatrix")
+    # ref: GeneralizedLinearModel.addIndependentParameter — a scalar
+    # coefficient auto-expands to the design's column count
+    if coef in ax._params:
+        pv = np.ravel(ax._params[coef].value)
+        if pv.size == 1 and len(design_cols) > 1:
+            ax._params[coef].value = np.full(len(design_cols), pv[0])
     design = np.stack(design_cols, axis=1)  # [R, P]
     if family == "logLinear":
         return ("glm", (design, tuple(design_names)), coef, ind)
@@ -379,6 +425,64 @@ def _glm_model(ax: XmlAnalysis, el):
                         dep_names)
 
 
+@register("instantaneousMixtureSubstitutionModel")
+def _instantaneous_mixture_subst(ax: XmlAnalysis, el):
+    """ref: InstantaneousMixtureSubstitutionModel.java:90-192 — CTMC
+    whose relative rates are the GEOMETRIC mixture of the component
+    models' relative rates, exp(sum_m w_m log r_m) (upper then
+    transposed lower ordering); a scalar weight means (p, 1-p). Raw
+    component rates differ from q_ij/f_j only by a per-component global
+    scale, which cancels under the final normalization."""
+    w_name = None
+    comps = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "mixtureWeights":
+            w_name = ax.param_from(cc)
+        elif cc.tag == "rootFrequencies":
+            continue
+        else:
+            try:
+                obj = ax.build(cc)
+            except (Unsupported, XmlError):
+                continue
+            if isinstance(obj, tuple) and obj[0] in ("subst", "subst_q"):
+                comps.append(obj)
+    fname = _freq_model_of(ax, el, "rootFrequencies")
+    if w_name is None or not comps or fname is None:
+        raise XmlError("instantaneousMixtureSubstitutionModel structure")
+    k = int(np.ravel(ax.value_of(fname)).size)
+    iu = np.triu_indices(k, 1)
+
+    def comp_log_rates(obj, params):
+        if obj[0] == "subst":
+            _, eigen_fn, freqs_fn, _k = obj
+            es = eigen_fn(params)
+            q = es.U @ (es.values[..., None] * es.U_inv)
+        else:
+            _, q_fn, freqs_fn, _k = obj
+            q = q_fn(params)
+        f = freqs_fn(params)
+        upper = q[iu] / f[iu[1]]
+        lower = q[(iu[1], iu[0])] / f[iu[0]]
+        return jnp.log(jnp.concatenate([upper, lower]))
+
+    def rates_of(params):
+        w = jnp.ravel(params[w_name])
+        if w.shape[0] == 1 and len(comps) == 2:
+            w = jnp.concatenate([w, 1.0 - w])
+        logr = jnp.stack(
+            [comp_log_rates(o, params) for o in comps], axis=0)
+        return jnp.exp(jnp.einsum("m,mr->r", w.astype(logr.dtype), logr))
+
+    def freqs(params):
+        f = params[fname]
+        return f / jnp.sum(f)
+
+    q_fn = _complex_q_fn(ax, rates_of, fname, k, True, True)
+    return ("subst_q", q_fn, freqs, k)
+
+
 @register("glmSubstitutionModel", "oldGLMSubstitutionModel")
 def _glm_substitution_model(ax: XmlAnalysis, el):
     """ref: GLMSubstitutionModelParser — CTMC whose off-diagonal rates
@@ -404,12 +508,17 @@ def _glm_substitution_model(ax: XmlAnalysis, el):
     normalize = _attr(el, "normalize", True, bool)
     n_rates = design.shape[0]
 
+    design0 = jnp.asarray(design)
+
     def rates_of(params):
         beta = jnp.ravel(params[coef])
         if ind is not None:
             beta = beta * jnp.ravel(params[ind])
+        # name=None marks a STATIC column (mixture-model designs,
+        # snapshotted at parse like the reference's DesignMatrix)
         cols = [jnp.ravel(params[n])[:n_rates].astype(beta.dtype)
-                for n in design_names]
+                if n is not None else design0[:, i].astype(beta.dtype)
+                for i, n in enumerate(design_names)]
         design_j = jnp.stack(cols, axis=1)
         return jnp.exp(design_j @ beta)
 

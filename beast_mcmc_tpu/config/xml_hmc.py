@@ -138,13 +138,16 @@ def _build_matrix_param(ax: XmlAnalysis, el) -> MatrixParam:
             diag = jnp.ravel(params[dname])
             off = jnp.ravel(params[oname])
             if is_chol:
-                # strictly-lower Cholesky of the correlation: L has unit
-                # row norms after normalization
+                # ref: WrappedMatrix.fillDiagonal:487-507 +
+                # CorrelationToCholesky.inverse:57-63 — the raw entries
+                # are the strictly-upper Cholesky W of the correlation
+                # used AS-IS; the diagonal completes each column to unit
+                # norm, W_jj = sqrt(1 - sum_{i<j} W_ij^2); C = W^T W
+                # (here L = W^T lower-triangular, C = L L^T)
                 l_mat = jnp.zeros((d, d), diag.dtype)
                 l_mat = l_mat.at[(iu[1], iu[0])].set(off)
-                l_mat = l_mat + jnp.eye(d, dtype=diag.dtype)
-                norm = jnp.sqrt(jnp.sum(l_mat * l_mat, axis=1))
-                l_mat = l_mat / norm[:, None]
+                sq = jnp.minimum(jnp.sum(l_mat * l_mat, axis=1), 1.0)
+                l_mat = l_mat + jnp.diag(jnp.sqrt(1.0 - sq))
                 corr = l_mat @ l_mat.T
             else:
                 corr = jnp.zeros((d, d), diag.dtype)
@@ -157,7 +160,8 @@ def _build_matrix_param(ax: XmlAnalysis, el) -> MatrixParam:
             return out + jnp.diag(diag)
 
         return MatrixParam(fn, (dname, oname), d, mid)
-    if tag == "diagonalMatrix":
+    if tag in ("diagonalMatrix", "DiagonalMatrix"):
+        # ref: DiagonalMatrixParser — registered name is capitalised
         dname = ax.param_from(el)
         d = int(np.ravel(ax.value_of(dname)).size)
         return MatrixParam(
@@ -955,7 +959,7 @@ def _precision_gibbs_substitute(ax: XmlAnalysis, el, weight):
     return ops, None
 
 
-@register("compoundSymmetricMatrix", "diagonalMatrix",
+@register("compoundSymmetricMatrix", "diagonalMatrix", "DiagonalMatrix",
           "cachedMatrixInverse", "matrixInverse",
           "diagonalContrainedMatrixView")
 def _matrix_tag(ax: XmlAnalysis, el):
@@ -1031,6 +1035,23 @@ def _graphical_parameter_bounds(ax: XmlAnalysis, el):
 @register_operator("reflectiveHamiltonianMonteCarloOperator")
 def _reflective_hmc_operator(ax: XmlAnalysis, el, weight):
     from beast_mcmc_tpu.inference.hmc import ReflectiveHmcOperator
+
+    # a node-heights target (nodeHeightProxyParameter +
+    # graphicalParameterBounds from the tree) routes to the
+    # ratios-transform node-height HMC: the tree's parent/child height
+    # ordering constraints — exactly what the reference's reflection
+    # bounds encode — are intrinsic to the ratio reparameterisation
+    for c in el:
+        if ax.deref(c).tag == "nodeHeightProxyParameter":
+            from beast_mcmc_tpu.inference.hmc import NodeHeightHmcOperator
+
+            return NodeHeightHmcOperator(
+                weight=weight,
+                n_leapfrog=_attr(el, "nSteps", 10, int),
+                step_size=_attr(el, "stepSize", 0.02, float),
+                mass=_attr(el, "drawVariance", 1.0, float),
+                adaptable=_attr(el, "autoOptimize", True, bool),
+            ), None
 
     specs = _gradient_specs(ax, el)
     names = _hmc_targets(ax, el)

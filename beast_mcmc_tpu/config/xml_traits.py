@@ -227,6 +227,9 @@ class RepeatedMeasures:
     sampling_prec: MatrixParam = None  # full matrix, or None
     sampling_prec_diag: Optional[str] = None  # diagonal parameter name
     dim: int = 0
+    # ref: TreeScaledRepeatedMeasuresTraitDataModel — sampling variance
+    # scaled per tip by (rootHeight - tipHeight) * rate normalization
+    scale_by_tip_height: bool = False
 
 
 @register("repeatedMeasuresModel")
@@ -244,14 +247,15 @@ def _repeated_measures(ax: XmlAnalysis, el):
     if sp is None:
         raise XmlError("repeatedMeasuresModel without samplingPrecision")
     inner = ax.deref(next(iter(sp)))
+    tip_scaled = el.get("scaleByTipHeight", "false").lower() == "true"
     if inner.tag == "parameter":
         dname = ax.param_from(sp)
         d = int(np.ravel(ax.value_of(dname)).size)
         return RepeatedMeasures(pname, el.get("traitName", "X"), tree_id,
-                                None, dname, d)
+                                None, dname, d, tip_scaled)
     mp = matrix_param_of(ax, inner)
     return RepeatedMeasures(pname, el.get("traitName", "X"), tree_id,
-                            mp, None, mp.dim)
+                            mp, None, mp.dim, tip_scaled)
 
 
 @dataclasses.dataclass
@@ -890,7 +894,23 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
             else:
                 gam = jnp.diag(
                     1.0 / jnp.ravel(params[repeated.sampling_prec_diag]))
-            tip_add = jnp.zeros((m, d, d), dt).at[:n_tips].add(gam[None])
+            if repeated.scale_by_tip_height:
+                # ref: TreeScaledRepeatedMeasuresTraitDataModel
+                # .getTipPartial:72-95 — sampling variance scaled per
+                # tip by (rootHeight - tipHeight) * rate normalization
+                t_scale = (tree.heights[tree.root]
+                           - tree.heights[:n_tips])
+                if scale_by_time:
+                    t_scale = t_scale * (
+                        1.0 / jnp.sum(jnp.where(
+                            tree.parent >= 0,
+                            tree.heights[pidx] - tree.heights, 0.0))
+                        if use_tree_length
+                        else 1.0 / tree.heights[tree.root])
+                tip_gam = t_scale[:, None, None] * gam[None]
+            else:
+                tip_gam = jnp.broadcast_to(gam[None], (n_tips, d, d))
+            tip_add = jnp.zeros((m, d, d), dt).at[:n_tips].add(tip_gam)
             sigs = sigs + tip_add
 
         if root_spec[0] == "conj":
@@ -1000,16 +1020,29 @@ def _precision_gradient(ax: XmlAnalysis, el):
 
 @register("varianceProportionStatistic")
 def _variance_proportion_statistic(ax: XmlAnalysis, el):
-    """ref: AbstractVarianceProportionStatistic.java:133-156 — logged
-    ratio of diffusion vs residual (sampling) variance. The diffusion
-    variance is inv(precision) scaled by the mean tip-to-root tree
-    depth; elementWise ratio |n|/(|n|+|d|), coheritability normalizes by
-    the total-variance diagonal. Logged statistic only — contributes
-    nothing to the posterior."""
+    """ref: AbstractVarianceProportionStatistic.java — proportion of the
+    trait variance due to diffusion on the tree vs sampling error.
+    Empirical mode (VarianceProportionStatistic.java:72-96): diffusion
+    component scaled by the tip-variance spread of the tree-variance
+    matrix, diagSum/n - totalSum/n^2 (per-branch tip counts computed
+    here by ancestor-matrix squaring so the statistic stays jit-
+    traceable over a dynamic topology), sampling component by (n-1)/n.
+    Population mode (VarianceProportionStatisticPopulation.java:81-120 +
+    HomogeneousDiffusionModelDelegate.getMeanTipVariances:67 /
+    OUDiffusionModelDelegate.getMeanTipVariancesDiagonal:600): the mean
+    model tip variance mean_i(t_i)*Sigma + Sigma/pss, with OU
+    attenuation applied in the eigenbasis of the selection matrix.
+    matrixRatio elementWise |n|/(|n|+|d|) or coheritability
+    r_g/sqrt(v_i v_j). Logged statistic only — contributes nothing to
+    the posterior."""
+    from beast_mcmc_tpu.config.xml_traits import _eigen_matrix_param
+
     ratio = el.get("matrixRatio", "elementWise")
-    diff = None
-    rep = None
-    tm = None
+    population = (el.get("usePopulationVariance", "false").lower()
+                  == "true")
+    diff = rep = tm = None
+    lik_el = None
+    elastic = None
     for c in el:
         cc = ax.deref(c)
         if cc.tag == "multivariateDiffusionModel":
@@ -1020,38 +1053,149 @@ def _variance_proportion_statistic(ax: XmlAnalysis, el):
             tm = ax.build(cc)
         elif cc.tag in ("traitDataLikelihood",
                         "multivariateTraitLikelihood"):
+            lik_el = cc
             ax.build(cc)
+    scale_by_time = False
+    root_pss = None
+    if lik_el is not None:
+        scale_by_time = (lik_el.get("scaleByTime", "false").lower()
+                         == "true")
+        for c in lik_el:
+            cc = ax.deref(c)
+            if cc.tag == "repeatedMeasuresModel" and rep is None:
+                rep = ax.build(cc)
+            elif cc.tag == "multivariateDiffusionModel" and diff is None:
+                diff = ax.build(cc)
+            elif cc.tag == "treeModel" and tm is None:
+                tm = ax.build(cc)
+            elif cc.tag == "transformedTreeModel" and tm is None:
+                for t_el in cc:
+                    tt = ax.deref(t_el)
+                    if tt.tag == "treeModel":
+                        tm = ax.build(tt)
+            elif cc.tag == "strengthOfSelectionMatrix":
+                inner = ax.deref(next(iter(cc)))
+                if inner.tag == "compoundEigenMatrix":
+                    elastic = _eigen_matrix_param(ax, inner)
+                else:
+                    elastic = matrix_param_of(ax, inner)
+        if diff is not None:
+            rs = _conjugate_root(ax, lik_el, diff.dim)
+            if rs is not None and rs[0] in ("conj", "conj_multi"):
+                root_pss = rs[2]
     if diff is None or rep is None or tm is None:
         raise XmlError("varianceProportionStatistic structure")
     d = diff.dim
     nm = el.get("id") or "varianceProportion"
+    # static decision: symmetric selection matrices take the eigh path
+    elastic_sym = None
+    if elastic is not None:
+        try:
+            a0 = np.asarray(elastic.fn(
+                {p.name: jnp.asarray(p.value) for p in
+                 ax._params.values()}))
+            elastic_sym = bool(np.allclose(a0, a0.T))
+        except Exception:
+            elastic_sym = True
 
-    def mats(s):
+    def components(s):
         tree = ax.resolve_tree(tm.tree_id, s.params, s.tree)
-        depth = jnp.mean(
-            tree.heights[tree.root] - tree.heights[:len(tm.taxa)])
-        sig_d = jnp.linalg.inv(diff.prec.fn(s.params)) * depth
+        heights = tree.heights
+        parent = tree.parent
+        m = int(parent.shape[0])
+        n = (m + 1) // 2
+        dt = heights.dtype
+        root_h = heights[tree.root]
+        norm = root_h if scale_by_time else jnp.asarray(1.0, dt)
+        sigma = jnp.linalg.inv(diff.prec.fn(s.params)).astype(dt)
         if rep.sampling_prec is not None:
-            gam = jnp.linalg.inv(rep.sampling_prec.fn(s.params))
+            gam = jnp.linalg.inv(rep.sampling_prec.fn(s.params)).astype(dt)
         else:
             gam = jnp.diag(1.0 / jnp.ravel(
-                s.params[rep.sampling_prec_diag]))
-        return sig_d, gam
+                s.params[rep.sampling_prec_diag])).astype(dt)
+        if population:
+            depths = (root_h - heights[:n]) / norm
+            pss_inv = jnp.asarray(0.0, dt)
+            if root_pss is not None:
+                v = jnp.ravel(s.params[root_pss])[0].astype(dt)
+                pss_inv = jnp.where(jnp.isinf(v), 0.0, 1.0 / v)
+            if elastic is not None:
+                a_mat = elastic.fn(s.params).astype(dt)
+                if elastic_sym:
+                    evals, vecs = jnp.linalg.eigh(a_mat)
+                else:
+                    evals, vecs = jnp.linalg.eig(a_mat)
+                    evals = jnp.real(evals)
+                    vecs = jnp.real(vecs)
+                vinv = jnp.linalg.inv(vecs)
+                sig_t = vinv @ sigma @ vinv.T
+                ep = evals[:, None] + evals[None, :]
+                safe = jnp.where(ep == 0.0, 1.0, ep)
 
-    def entry(s, i, j):
-        sig_d, gam = mats(s)
+                def tip_var(ti):
+                    return jnp.where(
+                        ep == 0.0, ti + pss_inv,
+                        jnp.exp(-ep * ti)
+                        * (jnp.expm1(ep * ti) / safe + pss_inv)) * sig_t
+
+                acc = jnp.mean(jax.vmap(tip_var)(depths), axis=0)
+                diff_c = vecs @ acc @ vecs.T
+            else:
+                diff_c = (jnp.mean(depths) + pss_inv) * sigma
+            if rep.scale_by_tip_height:
+                # ref: TreeScaledRepeatedMeasuresTraitDataModel
+                # .getMeanTipVariances:118-125 — mean scaled tip depth
+                samp_c = jnp.mean(depths) * gam
+            else:
+                samp_c = gam
+        else:
+            # per-branch tip counts by ancestor-matrix squaring:
+            # S[v,u]=1 iff u is an ancestor-or-self of v (parent-pointer
+            # reachability closed under log2(m) squarings)
+            is_root = parent < 0
+            p_mat = jnp.where(
+                is_root[:, None], 0.0,
+                jax.nn.one_hot(jnp.maximum(parent, 0), m, dtype=dt))
+            s_mat = jnp.eye(m, dtype=dt) + p_mat
+            for _ in range(int(np.ceil(np.log2(max(m, 2))))):
+                s_mat = jnp.minimum(s_mat @ s_mat, 1.0)
+            counts = jnp.sum(s_mat[:n], axis=0)
+            blen = jnp.where(is_root, 0.0,
+                             heights[jnp.maximum(parent, 0)]
+                             - heights[jnp.arange(m)]) / norm
+            diag_sum = jnp.sum(blen * counts)
+            total_sum = jnp.sum(blen * counts ** 2)
+            diff_c = (diag_sum / n - total_sum / n ** 2) * sigma
+            samp_c = (n - 1) / n * gam
+        return diff_c, samp_c
+
+    def stat_matrix(s):
+        num, den = components(s)
         if ratio == "coheritability":
-            tot = sig_d + gam
-            den = jnp.sqrt(tot[i, i] * tot[j, j])
-            return sig_d[i, j] / den
-        n_v = jnp.abs(sig_d[i, j])
-        d_v = jnp.abs(gam[i, j])
-        return jnp.where(n_v + d_v > 0, n_v / (n_v + d_v), 0.0)
+            tot_d = jnp.diag(num) + jnp.diag(den)
+            denom = jnp.sqrt(tot_d[:, None] * tot_d[None, :])
+            return num / denom
+        an = jnp.abs(num)
+        ad = jnp.abs(den)
+        tot = an + ad
+        return jnp.where(tot > 0, an / jnp.where(tot == 0, 1.0, tot), 0.0)
 
-    from beast_mcmc_tpu.config.xml_traits import MultiColumn
+    class _VpsColumns(MultiColumn):
+        def report(self, ax_):
+            from types import SimpleNamespace
 
-    return MultiColumn([
-        (f"{nm}{i + 1}{j + 1}", lambda s, i=i, j=j: entry(s, i, j))
+            from beast_mcmc_tpu.config.xml_assert import initial_eval_state
+
+            params0, tree0 = initial_eval_state(ax_)
+            matv = np.asarray(
+                stat_matrix(SimpleNamespace(params=params0, tree=tree0)))
+            rows = "\n".join(" ".join(repr(float(x)) for x in r)
+                             for r in matv)
+            return (f"Variance proportion statistic: {ratio}\n"
+                    f"stat value = {rows}\n\n")
+
+    return _VpsColumns([
+        (f"{nm}{i + 1}{j + 1}", lambda s, i=i, j=j: stat_matrix(s)[i, j])
         for i in range(d) for j in range(d)
     ])
 
@@ -1067,6 +1211,31 @@ def _bayesian_bridge_distribution(ax: XmlAnalysis, el):
     sw_el = el.find("slabWidth")
     sw = ax.param_from(sw_el) if sw_el is not None else None
     return ("bridge", gs, expo, ls, sw)
+
+
+@register("bayesianBridge", "bayesianBridgeLikelihood")
+def _bayesian_bridge_likelihood(ax: XmlAnalysis, el):
+    """ref: BayesianBridgeLikelihoodParser — the bridge shrinkage density
+    as a standalone prior on a coefficient vector (globalScale tau,
+    localScale lambda_i, exponent alpha; with local scales the density is
+    the conditionally-normal scale mixture, BayesianBridgeLikelihood.java)."""
+    from beast_mcmc_tpu.config.interpreter import LikelihoodFn
+    from beast_mcmc_tpu.models.priors import bayesian_bridge_logpdf
+
+    pname = ax.param_from(el)
+    gs = ax.param_from(el.find("globalScale"))
+    expo = ax.param_from(el.find("exponent"))
+    ls_el = el.find("localScale")
+    ls = ax.param_from(ls_el) if ls_el is not None else None
+
+    def fn(params, tree):
+        x = params[pname]
+        tau = jnp.reshape(params[gs], ())
+        alpha = jnp.reshape(params[expo], ())
+        lam = params[ls] if ls is not None else None
+        return bayesian_bridge_logpdf(x, tau, alpha, local_scales=lam)
+
+    return LikelihoodFn(fn, None, el.get("id") or "bayesianBridge", None)
 
 
 @register("autoCorrelatedRatesPrior")

@@ -74,3 +74,77 @@ def epoch_branch_matrices(
             "mcij,mcjk->mcik", p_e, acc, preferred_element_type=dt
         )
     return acc
+
+
+def ancestor_closure(parent: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """[M, M] reachability S[v, u] = 1 iff u is an ancestor-or-self of v,
+    computed by parent-pointer doubling (log2(M) batched matmuls — jit-
+    traceable over a dynamic topology, unlike a host-side tree walk)."""
+    import numpy as np
+
+    m = int(parent.shape[0])
+    dt = dtype or jnp.float32
+    import jax
+
+    is_root = parent < 0
+    p_mat = jnp.where(
+        is_root[:, None], 0.0,
+        jax.nn.one_hot(jnp.maximum(parent, 0), m, dtype=dt))
+    s_mat = jnp.eye(m, dtype=dt) + p_mat
+    for _ in range(int(np.ceil(np.log2(max(m, 2))))):
+        s_mat = jnp.minimum(s_mat @ s_mat, 1.0)
+    return s_mat
+
+
+def clade_branch_matrices(
+    base_model,
+    clade_specs,  # [(tip_mask [N] bool, model, stem_weight [scalar])]
+    parent: jnp.ndarray,
+    heights: jnp.ndarray,
+    root,
+    branch_rates,
+    category_rates: jnp.ndarray,
+) -> jnp.ndarray:
+    """[M, C, S, S] per-branch matrices for clade-specific substitution
+    models (ref: BranchSpecificBranchModel.setupNodeMaps:240-366): each
+    clade's MRCA subtree takes the clade model; the stem branch is the
+    oldest-first convolution P_base((1-w)L) @ P_clade(wL) (the
+    reference's mapping order[0] is the OLDEST segment,
+    setConvolvedNodeMap:353-365). Models are EigenSystem or generator Q.
+    """
+    dt = heights.dtype
+    m = parent.shape[0]
+    rates = jnp.broadcast_to(jnp.asarray(branch_rates, dt), (m,))
+    pidx = jnp.maximum(parent, 0)
+    blen = jnp.where(parent >= 0, heights[pidx] - heights, 0.0) * rates
+
+    s_mat = ancestor_closure(parent, dt)
+    fracs = []
+    for tip_mask, _model, w in clade_specs:
+        tip_v = jnp.asarray(tip_mask, dt)
+        n = tip_v.shape[0]
+        cnt = tip_v @ s_mat[:n]  # [M] clade tips below each node
+        cand = cnt >= jnp.sum(tip_v)
+        mrca = jnp.argmin(jnp.where(cand, heights, jnp.inf))
+        below = s_mat[:, mrca] > 0  # mrca is an ancestor-or-self
+        wv = jnp.asarray(w, dt)
+        fracs.append(jnp.where(jnp.arange(m) == mrca, wv,
+                               jnp.where(below, 1.0, 0.0)).astype(dt))
+    frac_base = 1.0
+    for f in fracs:
+        frac_base = frac_base - f
+
+    acc = None
+    for model, frac in zip(
+            [base_model] + [c[1] for c in clade_specs],
+            [frac_base] + fracs):
+        t_mc = (blen * frac)[:, None] * category_rates[None, :]
+        if isinstance(model, EigenSystem):
+            p_e = transition_probs(model, t_mc)
+        else:
+            p_e = transition_probs_expm(model, t_mc)
+        # base first = oldest segment leftmost; clade portions are the
+        # younger (child-side) end of the stem branch
+        acc = p_e if acc is None else jnp.einsum(
+            "mcij,mcjk->mcik", acc, p_e, preferred_element_type=dt)
+    return acc
