@@ -1689,12 +1689,18 @@ def _scale_start_tree(n_tips, parent, heights, root, root_height):
     MutableTree.Utils.correctHeightsForTips)."""
     s = root_height / heights[root]
     heights[n_tips:] *= s
+    # the reference clamps violated parents EXACTLY onto their child
+    # (correctHeightsForTips), which can leave conflicting tips at zero
+    # genetic distance -> likelihood exactly 0. Its CI survives because
+    # the Java seed-666 draw happens to scale UP; our stream cannot
+    # match, so keep a strictly positive epsilon to stay finite.
+    eps = 1e-6 * root_height
     for _ in range(len(heights)):  # bottom-up fixpoint, host-side
         changed = False
         for i in range(len(heights)):
             p = parent[i]
-            if p >= 0 and heights[p] < heights[i]:
-                heights[p] = heights[i]
+            if p >= 0 and heights[p] < heights[i] + eps:
+                heights[p] = heights[i] + eps
                 changed = True
         if not changed:
             break
@@ -2280,6 +2286,37 @@ def _branch_specific_subst_model(ax: XmlAnalysis, el):
             branch_rates, cat_rates)
 
     return BranchModelSpec(p_mats, base[2], k, base)
+
+
+@register("aminoAcidModel", "empiricalAminoAcidModel")
+def _amino_acid_model(ax: XmlAnalysis, el):
+    """ref: EmpiricalAminoAcidModelParser — named empirical replacement
+    matrix (WAG/LG/JTT/...); optional <frequencies> override for +F."""
+    from beast_mcmc_tpu.models.substitution import empirical_aa_eigen
+
+    typ = el.get("type")
+    fname = None
+    fq = el.find("frequencies")
+    if fq is not None:
+        for c in fq:
+            cc = ax.deref(c)
+            if cc.tag == "frequencyModel":
+                fname = ax.build(cc)
+
+    def freqs(params):
+        if fname is not None:
+            f = params[fname]
+            return f / jnp.sum(f)
+        from beast_mcmc_tpu.models.data.aa_matrices import AA_MODELS
+
+        return jnp.asarray(AA_MODELS[typ.upper()]["frequencies"],
+                           ax.dtype)
+
+    def eigen(params):
+        f = freqs(params) if fname is not None else None
+        return empirical_aa_eigen(typ, f, dtype=ax.dtype)
+
+    return ("subst", eigen, freqs, 20)
 
 
 @register("siteModel")

@@ -321,81 +321,91 @@ def _glm_model(ax: XmlAnalysis, el):
     family = el.get("family") or "logLinear"
     if family not in ("logLinear", "logNormal"):
         raise Unsupported(f"glmModel family {family!r}")
-    coef = None
     design_cols = []
     ind = None
-    iv = el.find("independentVariables")
-    if iv is None:
+    blocks = el.findall("independentVariables")
+    if not blocks:
         raise XmlError("glmModel without independentVariables")
     design_names = []
-    for c in iv:
-        cc = ax.deref(c)
-        if cc.tag == "parameter":
-            obj = ax.build(cc)
-            coef = obj.name if hasattr(obj, "name") else coef
-        elif cc.tag == "designMatrix":
-            for p in cc:
-                pp = ax.deref(p)
-                if pp.tag == "parameter":
-                    # LIVE column: missing (NA) covariates are filled +
-                    # SAMPLED through a build="true" maskedParameter
-                    # (ref: MaskedParameterParser.java:60-86), so the
-                    # design must read from params at eval time
-                    design_names.append(ax.param_from(pp))
-                    design_cols.append(_text_values(pp))
-        elif cc.tag in ("aminoAcidMixtureModel",
-                        "substitutionRateMatrixMixtureModel"):
-            # ref: AminoAcidMixture.java:50-66 /
-            # SubstitutionRateMatrixMixture.java:50-84 — STATIC design
-            # columns snapshotted at construction: one column per
-            # component model, [log q_ij - log f_j]_{i<j} followed by
-            # [log q_ji - log f_i]_{i<j} (for symmetric empirical AA
-            # exchangeabilities both halves are log r, ref uses the
-            # rates vector directly without frequency weighting)
-            for sm in cc:
-                ss = ax.deref(sm)
-                if ss.tag in ("aminoAcidModel", "empiricalAminoAcidModel"):
-                    from beast_mcmc_tpu.models.data.aa_matrices import (
-                        AA_MODELS,
-                    )
+    coefs = []  # one coefficient vector per <independentVariables> block
+    for iv in blocks:
+        block_start = len(design_cols)
+        coef = None
+        for c in iv:
+            cc = ax.deref(c)
+            if cc.tag == "parameter":
+                obj = ax.build(cc)
+                coef = obj.name if hasattr(obj, "name") else coef
+            elif cc.tag == "designMatrix":
+                for p in cc:
+                    pp = ax.deref(p)
+                    if pp.tag == "parameter":
+                        # LIVE column: missing (NA) covariates are
+                        # filled + SAMPLED through a build="true"
+                        # maskedParameter (ref:
+                        # MaskedParameterParser.java:60-86), so the
+                        # design must read from params at eval time
+                        design_names.append(ax.param_from(pp))
+                        design_cols.append(_text_values(pp))
+            elif cc.tag in ("aminoAcidMixtureModel",
+                            "substitutionRateMatrixMixtureModel"):
+                # ref: AminoAcidMixture.java:50-66 /
+                # SubstitutionRateMatrixMixture.java:50-84 — STATIC
+                # design columns snapshotted at construction: one column
+                # per component model, [log q_ij - log f_j]_{i<j}
+                # followed by [log q_ji - log f_i]_{i<j} (for symmetric
+                # empirical AA exchangeabilities both halves are log r,
+                # ref uses the rates vector directly without frequency
+                # weighting)
+                for sm in cc:
+                    ss = ax.deref(sm)
+                    if ss.tag in ("aminoAcidModel",
+                                  "empiricalAminoAcidModel"):
+                        from beast_mcmc_tpu.models.data.aa_matrices import (
+                            AA_MODELS,
+                        )
 
-                    r = np.asarray(
-                        AA_MODELS[ss.get("type").upper()]["rates"],
-                        float)
-                    col = np.log(r)
-                    design_cols.append(np.concatenate([col, col]))
+                        r = np.asarray(
+                            AA_MODELS[ss.get("type").upper()]["rates"],
+                            float)
+                        col = np.log(r)
+                        design_cols.append(np.concatenate([col, col]))
+                        design_names.append(None)
+                        continue
+                    obj = ax.build(ss)
+                    if not (isinstance(obj, tuple)
+                            and obj[0] == "subst"):
+                        raise Unsupported(
+                            f"mixture component <{ss.tag}>")
+                    _, eigen_fn, freqs_fn, k_m = obj
+                    p0 = {p.name: jnp.asarray(p.value)
+                          for p in ax._params.values()}
+                    es = eigen_fn(p0)
+                    q0 = np.asarray(
+                        es.U @ (es.values[..., None] * es.U_inv), float)
+                    f0 = np.asarray(freqs_fn(p0), float)
+                    iu = np.triu_indices(k_m, 1)
+                    design_cols.append(np.concatenate([
+                        np.log(q0[iu]) - np.log(f0[iu[1]]),
+                        np.log(q0[(iu[1], iu[0])]) - np.log(f0[iu[0]]),
+                    ]))
                     design_names.append(None)
-                    continue
-                obj = ax.build(ss)
-                if not (isinstance(obj, tuple) and obj[0] == "subst"):
-                    raise Unsupported(
-                        f"mixture component <{ss.tag}>")
-                _, eigen_fn, freqs_fn, k_m = obj
-                p0 = {p.name: jnp.asarray(p.value)
-                      for p in ax._params.values()}
-                es = eigen_fn(p0)
-                q0 = np.asarray(
-                    es.U @ (es.values[..., None] * es.U_inv), float)
-                f0 = np.asarray(freqs_fn(p0), float)
-                iu = np.triu_indices(k_m, 1)
-                design_cols.append(np.concatenate([
-                    np.log(q0[iu]) - np.log(f0[iu[1]]),
-                    np.log(q0[(iu[1], iu[0])]) - np.log(f0[iu[0]]),
-                ]))
-                design_names.append(None)
-        elif cc.tag == "indicator":
-            ind = ax.param_from(cc)
-    if coef is None or not design_cols:
-        raise XmlError("glmModel needs coefficients + designMatrix")
-    # ref: GeneralizedLinearModel.addIndependentParameter — a scalar
-    # coefficient auto-expands to the design's column count
-    if coef in ax._params:
-        pv = np.ravel(ax._params[coef].value)
-        if pv.size == 1 and len(design_cols) > 1:
-            ax._params[coef].value = np.full(len(design_cols), pv[0])
+            elif cc.tag == "indicator":
+                ind = ax.param_from(cc)
+        n_b = len(design_cols) - block_start
+        if coef is None or n_b == 0:
+            raise XmlError("glmModel needs coefficients + designMatrix")
+        # ref: GeneralizedLinearModel.addIndependentParameter — a
+        # scalar coefficient auto-expands to its block's column count
+        if coef in ax._params:
+            pv = np.ravel(ax._params[coef].value)
+            if pv.size == 1 and n_b > 1:
+                ax._params[coef].value = np.full(n_b, pv[0])
+        coefs.append(coef)
+    coef = coefs
     design = np.stack(design_cols, axis=1)  # [R, P]
     if family == "logLinear":
-        return ("glm", (design, tuple(design_names)), coef, ind)
+        return ("glm", (design, tuple(design_names)), tuple(coefs), ind)
     # logNormal regression likelihood
     dv = el.find("dependentVariables")
     if dv is None:
@@ -410,7 +420,8 @@ def _glm_model(ax: XmlAnalysis, el):
     def fn(params, tree):
         y = jnp.concatenate(
             [jnp.ravel(params[n]) for n in dep_names])
-        beta = jnp.ravel(params[coef])
+        beta = jnp.concatenate(
+            [jnp.ravel(params[c]) for c in coefs])
         if ind is not None:
             beta = beta * jnp.ravel(params[ind])
         mu = design_j.astype(y.dtype) @ beta
@@ -503,7 +514,7 @@ def _glm_substitution_model(ax: XmlAnalysis, el):
         raise XmlError("glmSubstitutionModel needs rootFrequencies+glmModel")
     k = dt_obj.state_count if dt_obj is not None else int(
         np.ravel(ax.value_of(fname)).size)
-    _, design_pack, coef, ind = glm
+    _, design_pack, coefs, ind = glm
     design, design_names = design_pack
     normalize = _attr(el, "normalize", True, bool)
     n_rates = design.shape[0]
@@ -511,7 +522,8 @@ def _glm_substitution_model(ax: XmlAnalysis, el):
     design0 = jnp.asarray(design)
 
     def rates_of(params):
-        beta = jnp.ravel(params[coef])
+        beta = jnp.concatenate(
+            [jnp.ravel(params[c]) for c in coefs])
         if ind is not None:
             beta = beta * jnp.ravel(params[ind])
         # name=None marks a STATIC column (mixture-model designs,
@@ -529,7 +541,7 @@ def _glm_substitution_model(ax: XmlAnalysis, el):
     q_fn = _complex_q_fn(ax, rates_of, fname, k, normalize, True)
     out = ("subst_q", q_fn, freqs, k)
     ax._glm_subst = getattr(ax, "_glm_subst", {})
-    ax._glm_subst[el.get("id") or "glm"] = (out, coef)
+    ax._glm_subst[el.get("id") or "glm"] = (out, coefs)
     return out
 
 
@@ -559,7 +571,7 @@ def _glm_substitution_gradient(ax: XmlAnalysis, el):
     if lik is None or coef is None:
         raise XmlError(
             "glmSubstitutionModelGradient needs likelihood + glm model")
-    return GradientSpec((coef,), (lik,))
+    return GradientSpec(tuple(coef), (lik,))
 
 
 # ---------------------------------------------------------------------------
@@ -880,7 +892,7 @@ def _structured_coalescent_gradient(ax: XmlAnalysis, el):
     if subst_el is not None:
         glm = getattr(ax, "_glm_subst", {}).get(subst_el.get("id") or "glm")
         if glm is not None:
-            names.append(glm[1])
+            names.extend(glm[1])
         else:
             r_el = subst_el.find("rates")
             if r_el is not None:

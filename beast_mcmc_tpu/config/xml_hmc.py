@@ -442,9 +442,12 @@ class _MergedGradientReport:
                 f"numeric : {_vec(flat)}\n")
 
 
-@register("gradient", "jointGradient", "compoundGradient")
+@register("gradient", "jointGradient", "compoundGradient",
+          "compactGradient")
 def _gradient(ax: XmlAnalysis, el):
-    """ref: GradientWrtParameterProviderParser / JointGradientParser.
+    """ref: GradientWrtParameterProviderParser / JointGradientParser /
+    CompoundGradientParser (compactGradient merges same-parameter
+    contributions — the dict.fromkeys dedupe below IS that compaction).
     Builds the inner likelihood(s) (vocabulary enforcement + parameter
     registration) and records target names; the HMC/NUTS builders use
     jax.grad of the chain posterior, which differentiates through every
