@@ -151,7 +151,10 @@ def report_of(ax: XmlAnalysis, el) -> str:
             parts.append(c.tail or "")
         return "".join(parts)
     from beast_mcmc_tpu.config.interpreter import _OP_EXT, _build_operator
+    from beast_mcmc_tpu.config.xml_hmc import OP_REPORTS
 
+    if tag in OP_REPORTS:
+        return OP_REPORTS[tag](ax, el)
     if tag in _OP_EXT:
         # an operator as the `actual`: the reference's operator report
         # leads with "operator type: <parser name>" (ref: BeastUnitTest

@@ -1080,3 +1080,120 @@ def _reflective_hmc_operator(ax: XmlAnalysis, el, weight):
         lower=float(lo), upper=float(hi),
         adaptable=_attr(el, "autoOptimize", True, bool),
     ), None
+
+
+# ---------------------------------------------------------------------------
+# geodesic HMC (Stiefel manifold) — operator + deterministic report oracle
+# ---------------------------------------------------------------------------
+
+# report hooks for operator tags: report_of (xml_assert) consults this
+# before falling back to the generic "operator type:" stub
+OP_REPORTS: dict = {}
+
+
+def _geodesic_parts(ax: XmlAnalysis, el):
+    """(mp, liks, mask, groups) of a geodesicHamiltonianMonteCarloOperator
+    element. mp: the target MatrixParam ((p,k) via column params);
+    liks: gradient likelihood terms; mask: flat col-major 0/1 or None;
+    groups: orthogonality column groups (0-based)."""
+    target = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("matrixParameter", "compoundParameter",
+                      "fastMatrixParameter") and c.tag != "gradient":
+            target = cc
+            break
+    if target is None:
+        raise XmlError("geodesic HMC without a matrixParameter target")
+    mp = matrix_param_of(ax, target)
+    liks: List[LikelihoodFn] = []
+    g_el = el.find("gradient")
+    if g_el is not None:
+        for c in g_el:
+            cc = ax.deref(c)
+            if cc.tag in ("matrixParameter", "parameter",
+                          "compoundParameter"):
+                continue
+            obj = ax.build(cc)
+            if isinstance(obj, LikelihoodFn):
+                liks.append(obj)
+            elif isinstance(obj, GradientSpec):
+                liks.extend(obj.likelihoods)
+    mask = None
+    m_el = el.find("mask")
+    if m_el is not None:
+        mask = np.ravel(_text_values(ax.deref(next(iter(m_el)))))
+    groups = []
+    o_el = el.find("orthogonalityStructure")
+    if o_el is not None:
+        for g in o_el:
+            # ref parser: 1-based "rows" attribute names COLUMN indices
+            # (GeodesicHamiltonianMonteCarloOperatorParser.java:62-66)
+            groups.append([int(x) - 1 for x in g.get("rows").split()])
+    return mp, liks, mask, groups
+
+
+@register_operator("geodesicHamiltonianMonteCarloOperator")
+def _geodesic_hmc_operator(ax: XmlAnalysis, el, weight):
+    from beast_mcmc_tpu.inference.geodesic import StiefelGeodesicHmcOperator
+
+    mp, liks, mask, groups = _geodesic_parts(ax, el)
+    return StiefelGeodesicHmcOperator(
+        weight=weight,
+        parameters=tuple(mp.names),
+        n_leapfrog=_attr(el, "nSteps", 5, int),
+        step_size=_attr(el, "stepSize", 0.05, float),
+        draw_variance=_attr(el, "drawVariance", 1.0, float),
+        adaptable=_attr(el, "autoOptimize", True, bool),
+    ), None
+
+
+def _geodesic_report(ax: XmlAnalysis, el) -> str:
+    """The reference's deterministic-momentum report (ref:
+    GeodesicHamiltonianMonteCarloOperator.getReport:65-111 — momentum[i]=i,
+    one leapFrogGivenMomentum pass, prints final position + hastings)."""
+    from beast_mcmc_tpu.config.xml_assert import initial_eval_state
+    from beast_mcmc_tpu.inference.geodesic import (
+        apply_orthogonality_structure,
+        blocks_from_mask,
+        deterministic_momentum,
+        geodesic_leapfrog_np,
+    )
+
+    mp, liks, mask, groups = _geodesic_parts(ax, el)
+    params0, tree0 = initial_eval_state(ax)
+    X0 = np.asarray(mp.fn(params0), float)  # (p, k)
+    p, k = X0.shape
+
+    def density(X):
+        pp = dict(params0)
+        for j, n in enumerate(mp.names):
+            pp[n] = X[:, j].astype(params0[n].dtype)
+        return sum(lik.fn(pp, tree0) for lik in liks)
+
+    grad = jax.grad(density)
+    grad_fn = lambda X: np.asarray(grad(jnp.asarray(X)), float)
+    blocks = blocks_from_mask(p, k, mask)
+    if groups:
+        blocks = apply_orthogonality_structure(blocks, groups)
+    gmask = None
+    if mask is not None:
+        gmask = np.asarray(mask, float).reshape((k, p)).T
+    X1, hastings = geodesic_leapfrog_np(
+        X0, deterministic_momentum(p, k), grad_fn,
+        _attr(el, "nSteps", 5, int), _attr(el, "stepSize", 0.05, float),
+        blocks, grad_mask=gmask,
+        draw_variance=_attr(el, "drawVariance", 1.0, float),
+    )
+
+    def fmt(M):
+        return "\n".join(" ".join(repr(float(v)) for v in row)
+                         for row in M)
+
+    return (f"operator: geodesicHamiltonianMonteCarloOperator\n"
+            f"original position:\n{fmt(X0)}\n\n"
+            f"final position:\n{fmt(X1)}\n\n"
+            f"hastings ratio: {hastings!r}\n\n")
+
+
+OP_REPORTS["geodesicHamiltonianMonteCarloOperator"] = _geodesic_report
