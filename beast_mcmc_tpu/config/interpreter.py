@@ -638,6 +638,31 @@ class XmlAnalysis:
         self._last_state = state
         self._last_operators = operators
 
+        # write the final chain state back into the parse-time store so
+        # post-<mcmc> reports/asserts see the CURRENT model state (the
+        # reference's Reportables read the live objects; deterministic
+        # post-chain asserts — e.g. after <fireParameterChanged> — depend
+        # on this)
+        for name, p in self._params.items():
+            if name in state.params:
+                v = np.asarray(state.params[name])
+                p.value = (v.astype(np.int64) if p.integer
+                           else v.astype(np.float64))
+        if primary is not None:
+            tm_w = self._trees[primary]
+            tm_w.parent = np.asarray(state.tree.parent)
+            tm_w.children = np.asarray(state.tree.children)
+            tm_w.heights = np.asarray(state.tree.heights, np.float64)
+            tm_w.root = int(state.tree.root)
+        for tid in tree_ids[1:]:
+            tm_w = self._trees[tid]
+            tm_w.parent = np.asarray(state.params[self.tree_key(tid, "parent")])
+            tm_w.children = np.asarray(
+                state.params[self.tree_key(tid, "children")])
+            tm_w.heights = np.asarray(
+                state.params[self.tree_key(tid, "heights")], np.float64)
+            tm_w.root = int(state.params[self.tree_key(tid, "root")])
+
     def _log_columns(self, lg) -> List[Tuple[str, Callable]]:
         cols = []
         for c in lg:
@@ -4403,3 +4428,4 @@ from beast_mcmc_tpu.config import xml_assert as _xml_assert  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_ext as _xml_ext  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_field as _xml_field  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_geo as _xml_geo  # noqa: E402,F401
+from beast_mcmc_tpu.config import xml_stats as _xml_stats  # noqa: E402,F401
