@@ -472,7 +472,11 @@ class XmlAnalysis:
             for op, tid in zip(operators, op_tree_ids)
         ]
 
-        chain_length = int(_attr(el, "chainLength", 10000, int) * self.scale)
+        cl_decl = _attr(el, "chainLength", 10000, int)
+        # scale cuts LONG soak chains; tiny debug chains (<=64 states,
+        # e.g. fireParameterChanged sequences whose post-state is
+        # asserted deterministically) always run in full
+        chain_length = max(int(cl_decl * self.scale), min(cl_decl, 64))
         chain_length = min(chain_length, self.max_states)
 
         lp_fn = post.fn
@@ -4429,3 +4433,4 @@ from beast_mcmc_tpu.config import xml_ext as _xml_ext  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_field as _xml_field  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_geo as _xml_geo  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_stats as _xml_stats  # noqa: E402,F401
+from beast_mcmc_tpu.config import xml_factor as _xml_factor  # noqa: E402,F401

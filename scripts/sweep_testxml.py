@@ -9,7 +9,14 @@ import traceback
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 import jax
+# the axon sitecustomize pre-imports jax, so the env vars above are too
+# late on that image — force the CPU backend through jax.config (same
+# trick as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from beast_mcmc_tpu.config.interpreter import run_testxml, Unsupported
 
