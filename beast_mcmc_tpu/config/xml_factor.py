@@ -161,3 +161,630 @@ def _integrated_factors(ax: XmlAnalysis, el):
     if fm is None:
         raise XmlError("integratedFactors without integratedFactorModel")
     return _IntegratedFactorsReport(fm, diffusion_prec, pss_name)
+
+
+# ---------------------------------------------------------------------------
+# independentNormalDistributionModel
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class IndepNormal:
+    """Per-element normal with vector mean and variance-or-precision
+    (ref: src/dr/inference/distribution/
+    IndependentNormalDistributionModel.java)."""
+
+    mean_name: str = ""
+    var_name: str = ""     # variance parameter name ("" if precision)
+    prec_name: str = ""
+    data_names: Tuple[str, ...] = ()
+
+    def moments(self, params):
+        m = jnp.ravel(params[self.mean_name])
+        if self.prec_name:
+            v = 1.0 / jnp.ravel(params[self.prec_name])
+        else:
+            v = jnp.ravel(params[self.var_name])
+        return m, v
+
+
+@register("independentNormalDistributionModel")
+def _independent_normal(ax: XmlAnalysis, el):
+    mean_name = ax.param_from(el.find("mean"))
+    var_name = prec_name = ""
+    if el.find("variance") is not None:
+        var_name = ax.param_from(el.find("variance"))
+    elif el.find("precision") is not None:
+        prec_name = ax.param_from(el.find("precision"))
+    else:
+        raise XmlError("independentNormalDistributionModel needs "
+                       "variance or precision")
+    data_names: List[str] = []
+    d_el = el.find("data")
+    readers = []
+    if d_el is not None:
+        for c in d_el:
+            cc = ax.deref(c)
+            if cc.tag in ("matrixParameter", "fastMatrixParameter",
+                          "compoundParameter"):
+                mp = matrix_param_of(ax, cc)
+                data_names.extend(mp.names)
+                # flat dim order is col-major = concatenated col params
+                readers.append(lambda p, _ns=tuple(mp.names): jnp.concatenate(
+                    [jnp.ravel(p[n]) for n in _ns]))
+            else:
+                nm = ax.param_from(cc)
+                data_names.append(nm)
+                readers.append(lambda p, _n=nm: jnp.ravel(p[_n]))
+    spec = IndepNormal(mean_name, var_name, prec_name, tuple(data_names))
+    store = getattr(ax, "_indep_normals", None)
+    if store is None:
+        store = ax._indep_normals = {}
+    if el.get("id"):
+        store[el.get("id")] = spec
+
+    def fn(params, tree):
+        m, v = spec.moments(params)
+        x = jnp.concatenate([r(params) for r in readers])
+        return jnp.sum(-0.5 * (jnp.log(2 * jnp.pi * v)
+                               + jnp.square(x - m) / v))
+
+    lik = LikelihoodFn(fn, None, el.get("id") or "indepNormal",
+                       tuple(data_names))
+    lik.indep_normal = spec
+    return lik
+
+
+# ---------------------------------------------------------------------------
+# latentFactorModel + data providers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TreeTipData:
+    trait_param: str = ""
+    missing: np.ndarray = None  # (n, p) bool
+    n_tips: int = 0
+    dim: int = 0
+    tree_id: str = ""
+
+
+@register("dataFromTreeTips", "dataAndMissingFromTreeTips")
+def _data_from_tree_tips(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.config.xml_traits import _trait_meta
+
+    trait_name = el.get("traitName", "traits")
+    tree_id = None
+    pname = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+        elif cc.tag == "traitParameter":
+            pname = ax.param_from(cc)
+    if tree_id is None or pname is None:
+        raise XmlError(f"<{el.tag}> needs treeModel + traitParameter")
+    meta = _trait_meta(ax, tree_id, pname, trait_name)
+    return TreeTipData(meta["param"], np.asarray(meta["missing"], bool),
+                       meta["n_tips"], meta["dim"], tree_id)
+
+
+@dataclasses.dataclass
+class LatentFactorModel:
+    """Sampled-factor model record. Y (p traits × n taxa) = L F + E with
+    per-trait column precision over OBSERVED entries (ref:
+    LatentFactorModel.calculateLogLikelihood)."""
+
+    factors_param: str = ""     # flat (n, k) row-major per tip
+    loadings: object = None     # MatrixParam -> (p, k)
+    col_prec: str = ""          # per-trait precision vector [p]
+    data_param: str = ""        # flat (n, p) row-major per tip
+    missing: np.ndarray = None  # (n, p) bool
+    n: int = 0
+    p: int = 0
+    k: int = 0
+    tree_id: str = ""
+    scale_data: bool = False
+    lik: object = None
+
+    scale_mu: np.ndarray = None  # per-trait standardization constants
+    scale_sd: np.ndarray = None
+
+    def scaled_data(self, params):
+        """(n, p) observed-standardized data, jit-traceable (ref:
+        computeScaledData — per-trait mean/sd over observed entries, sd
+        with n-1; the constants are precomputed from the parse-time data
+        since the data parameter itself is never operator-moved)."""
+        Y = jnp.reshape(params[self.data_param], (self.n, self.p))
+        obs = jnp.asarray(~self.missing, Y.dtype)
+        if self.scale_data:
+            Y = (Y - jnp.asarray(self.scale_mu, Y.dtype)) / jnp.asarray(
+                self.scale_sd, Y.dtype)
+        return Y * obs
+
+    def density(self, params, tree):
+        Y = self.scaled_data(params)  # (n, p)
+        obs = jnp.asarray(~self.missing, Y.dtype)
+        F = jnp.reshape(params[self.factors_param], (self.n, self.k))
+        L = self.loadings.fn(params)  # (p, k)
+        pred = F @ L.T                # (n, p)
+        lam = jnp.ravel(params[self.col_prec])[None, :]
+        r2 = jnp.square(Y - pred) * lam * obs
+        per = obs * (jnp.log(lam * jnp.ones_like(obs))
+                     - jnp.log(2 * jnp.pi)) * 0.5
+        return jnp.sum(per) - 0.5 * jnp.sum(r2)
+
+
+@register("latentFactorModel")
+def _latent_factor_model(ax: XmlAnalysis, el):
+    factors_param = None
+    loadings = None
+    col_prec = None
+    data: Optional[TreeTipData] = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "factors":
+            inner = ax.deref(next(iter(cc)))
+            obj = ax.build(inner)
+            factors_param = (obj.name if isinstance(obj, (Param, DerivedParam))
+                             else ax.param_from(inner))
+        elif cc.tag == "loadings":
+            loadings = matrix_param_of(ax, ax.deref(next(iter(cc))))
+        elif cc.tag == "columnPrecision":
+            inner = ax.deref(next(iter(cc)))
+            col_prec = ax.param_from(inner)
+        elif cc.tag == "data":
+            data = ax.build(ax.deref(next(iter(cc))))
+    if None in (factors_param, loadings, col_prec) or data is None:
+        raise XmlError("latentFactorModel structure")
+    p = int(np.ravel(ax.value_of(col_prec)).size)
+    k = len(loadings.names)
+    n = data.n_tips
+    # the reference parses eagerly in document order, so a
+    # traitDataLikelihood earlier in the file has already filled the
+    # factors parameter from the taxon attributes; emulate by building
+    # any trait likelihood that binds this parameter first
+    fv = np.ravel(ax._params[factors_param].value) \
+        if factors_param in ax._params else None
+    if fv is not None and fv.size != n * k:
+        for tl_el in ax.root.iter():
+            if tl_el.tag not in ("traitDataLikelihood",
+                                 "multivariateTraitLikelihood"):
+                continue
+            tp = tl_el.find("traitParameter")
+            if tp is None:
+                continue
+            inner_p = ax.deref(next(iter(tp)))
+            if (inner_p.get("id") or inner_p.get("idref")) == factors_param:
+                try:
+                    ax.build(tl_el)
+                except (Unsupported, XmlError):
+                    pass
+                break
+        fv = np.ravel(ax._params[factors_param].value)
+    if fv is not None and fv.size != n * k:
+        ax._params[factors_param].value = np.zeros(n * k)
+    scale_data = _attr(el, "scaleData", False, bool)
+    Y0 = np.asarray(ax.value_of(data.trait_param), float).reshape((n, p))
+    obs0 = ~data.missing
+    mu0 = np.zeros(p)
+    sd0 = np.ones(p)
+    if scale_data:
+        for j in range(p):
+            o = obs0[:, j]
+            mu0[j] = Y0[o, j].mean()
+            sd0[j] = np.sqrt(
+                np.sum((Y0[o, j] - mu0[j]) ** 2) / max(o.sum() - 1, 1))
+    lfm = LatentFactorModel(
+        factors_param, loadings, col_prec, data.trait_param,
+        data.missing, n, p, k, data.tree_id, scale_data,
+        scale_mu=mu0, scale_sd=sd0)
+    store = getattr(ax, "_latent_factor_models", None)
+    if store is None:
+        store = ax._latent_factor_models = {}
+    if el.get("id"):
+        store[el.get("id")] = lfm
+    lik = LikelihoodFn(
+        lambda params, tree, _m=lfm: _m.density(params, tree),
+        None, el.get("id") or "latentFactorModel",
+        (factors_param,) + tuple(loadings.names) + (col_prec,))
+    lfm.lik = lik
+    ax._built[id(el)] = lik
+    lik.latent_factor_model = lfm
+    return lik
+
+
+# ---------------------------------------------------------------------------
+# loadingsGibbsOperator
+# ---------------------------------------------------------------------------
+
+
+def _prior_moments_of(ax: XmlAnalysis, el, p: int, k: int):
+    """(mu, tau) arrays of shape (p, k): per-element prior mean and
+    precision for the loadings (flat reference index p*factor + trait).
+    Accepts <normalPrior>/<distributionLikelihood> over a normal model,
+    an <independentNormalDistributionModel>, or a <cachedPrior>."""
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "cachedPrior":
+            for d in cc:
+                dd = ax.deref(d)
+                if dd.tag in ("normalPrior", "distributionLikelihood",
+                              "independentNormalDistributionModel"):
+                    return _prior_moments_of(ax, cc, p, k)
+        if cc.tag in ("normalPrior", "distributionLikelihood",
+                      "independentNormalDistributionModel"):
+            obj = ax.build(cc)
+            spec = getattr(obj, "indep_normal", None) or getattr(
+                ax, "_indep_normals", {}).get(cc.get("id"))
+            if spec is not None:
+                params, _ = __import__(
+                    "beast_mcmc_tpu.config.xml_stats",
+                    fromlist=["_current_state"])._current_state(ax)
+                m, v = spec.moments(params)
+                m = np.asarray(m, float)
+                v = np.asarray(v, float)
+                return (m.reshape((k, p)).T, (1.0 / v).reshape((k, p)).T)
+            # scalar normal (mean attr/child + stdev)
+            mean = cc.get("mean")
+            stdev = cc.get("stdev")
+            if mean is None:
+                dist = cc.find("distribution")
+                nm = (ax.deref(next(iter(dist)))
+                      if dist is not None else None)
+                if nm is not None and nm.tag == "normalDistributionModel":
+                    mean = float(np.ravel(ax.value_of(
+                        ax.param_from(nm.find("mean"))))[0])
+                    stdev = float(np.ravel(ax.value_of(
+                        ax.param_from(nm.find("stdev"))))[0])
+            if mean is not None:
+                mu = float(mean) * np.ones((p, k))
+                tau = np.full((p, k), 1.0 / float(stdev) ** 2)
+                return mu, tau
+    # reference default: standard normal
+    return np.zeros((p, k)), np.ones((p, k))
+
+
+@dataclasses.dataclass
+class LoadingsGibbsOperator:
+    """Per-trait-row conjugate normal Gibbs draw of the loadings matrix
+    (ref: NewLoadingsGibbsOperator.drawI:189-211 — precision
+    λ_i FᵀF|obs + prior, mean from the matching mid-mean solve)."""
+
+    lfm: object = None
+    prior_mu: np.ndarray = None   # (p, k)
+    prior_tau: np.ndarray = None  # (p, k)
+    sparsity: str = "none"
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = False
+
+    def modified_params(self):
+        return tuple(self.lfm.loadings.names)
+
+    @property
+    def modifies_params(self):
+        return tuple(self.lfm.loadings.names)
+
+    def initial_adapt(self):
+        return 0.0
+
+    def tuning(self, adapt_value):
+        return None
+
+    def _dim_mask(self):
+        m = self.lfm
+        if self.sparsity == "upperTriangular":
+            return (np.arange(m.k)[None, :]
+                    <= np.arange(m.p)[:, None]).astype(float)
+        return np.ones((m.p, m.k))
+
+    def conditional_np(self, params):
+        """Exact per-row conditional (mean (p,k), cov (p,k,k)) — also
+        the closed form of the reference's 20k-draw report estimate."""
+        m = self.lfm
+        F = np.asarray(params[m.factors_param], float).reshape((m.n, m.k))
+        Y = np.asarray(m.scaled_data({m.data_param: jnp.asarray(
+            np.asarray(params[m.data_param], float))}), float)
+        lam = np.ravel(np.asarray(params[m.col_prec], float))
+        obs = ~m.missing
+        dmask = self._dim_mask()
+        mean = np.zeros((m.p, m.k))
+        cov = np.zeros((m.p, m.k, m.k))
+        for i in range(m.p):
+            d = int(dmask[i].sum())
+            if d == 0:
+                continue
+            Fo = F[obs[:, i]][:, :d]
+            P = lam[i] * (Fo.T @ Fo) + np.diag(self.prior_tau[i, :d])
+            mid = lam[i] * (Fo.T @ Y[obs[:, i], i]) \
+                + self.prior_mu[i, :d] * self.prior_tau[i, :d]
+            V = np.linalg.inv(P)
+            mean[i, :d] = V @ mid
+            cov[i, :d, :d] = V
+        return mean, cov
+
+    def propose(self, params, tree, key, tuning):
+        m = self.lfm
+        dt = jnp.result_type(params[m.factors_param])
+        F = jnp.reshape(params[m.factors_param], (m.n, m.k)).astype(dt)
+        Y = m.scaled_data(params).astype(dt)
+        lam = jnp.ravel(params[m.col_prec]).astype(dt)
+        obs = jnp.asarray(~m.missing, dt)          # (n, p)
+        dmask = jnp.asarray(self._dim_mask(), dt)  # (p, k)
+        tau = jnp.asarray(self.prior_tau, dt)
+        mu_pr = jnp.asarray(self.prior_mu, dt)
+        L_old = m.loadings.fn(params).astype(dt)   # (p, k)
+
+        # batched per-row precisions [p, k, k]
+        FF = jnp.einsum("np,nj,nl->pjl", obs, F, F)
+        mask2 = dmask[:, :, None] * dmask[:, None, :]
+        P = lam[:, None, None] * FF * mask2
+        P = P + jax.vmap(jnp.diag)(tau * dmask + (1.0 - dmask))
+        mid = lam[:, None] * jnp.einsum("np,nj,np->pj", obs, F, Y)
+        mid = (mid + mu_pr * tau) * dmask
+        chol = jnp.linalg.cholesky(P)
+        meanv = jax.scipy.linalg.cho_solve((chol, True), mid[..., None])[
+            ..., 0]
+        z = jax.random.normal(key, (m.p, m.k), dt)
+        # draw = mean + L^{-T} z  (precision-cholesky sampling)
+        draw = meanv + jax.vmap(
+            lambda c, zz: jax.scipy.linalg.solve_triangular(
+                c.T, zz, lower=False))(chol, z)
+        L_new = jnp.where(dmask > 0, draw, L_old)
+        out = dict(params)
+        for j, nmm in enumerate(m.loadings.names):
+            out[nmm] = L_new[:, j].astype(params[nmm].dtype).reshape(
+                jnp.shape(params[nmm]))
+        return out, tree, jnp.inf
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, _ = _current_state(ax)
+        mean, cov = self.conditional_np(params)
+        m = self.lfm
+        # flat col-major (trait inner): dim = p*factor + trait
+        flat_mean = mean.T.ravel()
+        dim = m.p * m.k
+        C = np.zeros((dim, dim))
+        for i in range(m.p):
+            for a in range(m.k):
+                for b in range(m.k):
+                    C[a * m.p + i, b * m.p + i] = cov[i, a, b]
+        mean_s = "[ " + ", ".join(repr(float(v)) for v in flat_mean) + " ]"
+        rows = "\n".join(
+            "{ " + ", ".join(repr(float(v)) for v in r) + " }" for r in C)
+        # leading adaptor factor-report section (Factor mean/covariance)
+        # followed by the loadings section, as the reference concatenates
+        adaptor = _factor_conditional_report(ax, m, params)
+        return (f"{adaptor}\n\n"
+                f"NewLoadingsGibbsOperatorReport:\n"
+                f"Loadings mean:\n{mean_s}\n\n"
+                f"Loadings covariance:\n{rows}\n\n")
+
+
+def _factor_conditional_report(ax, m, params) -> str:
+    """Factor full-conditional mean/cov for a sampled latent factor
+    model (the FactorAnalysisOperatorAdaptor report section)."""
+    try:
+        tm = ax._trees[m.tree_id]
+        M = tree_variance_np(tm, getattr(m, "root_pss", 1e-3))
+        L_kp = np.asarray(m.loadings.fn(params), float).T
+        lam = np.ravel(np.asarray(params[m.col_prec], float))
+        Y = np.asarray(m.scaled_data(params), float)
+        mu, Sig = factor_posterior_np(
+            M, np.eye(m.k), L_kp, lam, Y, m.missing)
+        mean_s = "[ " + ", ".join(repr(float(v)) for v in mu) + " ]"
+        rows = "\n".join(
+            "{ " + ", ".join(repr(float(v)) for v in r) + " }"
+            for r in Sig)
+        return (f"FactorAnalysisOperatorAdaptor Report:\n"
+                f"Factor mean:\n{mean_s}\n\n"
+                f"Factor covariance:\n{rows}\n")
+    except Exception as e:  # adaptor section is unasserted garnish
+        return f"FactorAnalysisOperatorAdaptor Report unavailable: {e}\n"
+
+
+@register_operator("loadingsGibbsOperator")
+def _loadings_gibbs_operator(ax: XmlAnalysis, el, weight):
+    lfm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "latentFactorModel":
+            ax.build(cc)
+            lfm = getattr(ax, "_latent_factor_models", {}).get(
+                cc.get("id"))
+    if lfm is None:
+        raise Unsupported("loadingsGibbsOperator without latentFactorModel")
+    mu, tau = _prior_moments_of(ax, el, lfm.p, lfm.k)
+    return LoadingsGibbsOperator(
+        lfm, mu, tau, el.get("sparsity", "none"), weight), None
+
+
+from beast_mcmc_tpu.config.xml_hmc import OP_REPORTS as _OPR
+
+
+def _loadings_gibbs_report(ax: XmlAnalysis, el) -> str:
+    op, _tid = _loadings_gibbs_operator(ax, el, 1.0)
+    return op.report(ax)
+
+
+_OPR["loadingsGibbsOperator"] = _loadings_gibbs_report
+
+
+# ---------------------------------------------------------------------------
+# integratedFactorsGibbsOperator — joint tip-factor draw
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FactorTreeGibbsOperator:
+    """Joint draw of all tip factors from their Gaussian full
+    conditional given loadings + tree BM prior (ref:
+    FactorTreeGibbsOperator / the integratedFactors Gibbs machinery).
+    The tree topology is taken static (MRCA table fixed at build);
+    heights may move."""
+
+    factors_param: str = ""
+    loadings: object = None
+    prec_name: str = ""       # per-trait precision [p]
+    data_param: str = ""
+    missing: np.ndarray = None
+    mrca: np.ndarray = None   # (n, n) node indices
+    pss: float = 1e-3
+    n: int = 0
+    p: int = 0
+    k: int = 0
+    scale_mu: np.ndarray = None
+    scale_sd: np.ndarray = None
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = False
+
+    def modified_params(self):
+        return (self.factors_param,)
+
+    @property
+    def modifies_params(self):
+        return (self.factors_param,)
+
+    def initial_adapt(self):
+        return 0.0
+
+    def tuning(self, adapt_value):
+        return None
+
+    def propose(self, params, tree, key, tuning):
+        dt = tree.heights.dtype
+        n, p, k = self.n, self.p, self.k
+        h = tree.heights
+        root_h = h[tree.root]
+        M = root_h - h[jnp.asarray(self.mrca)]
+        M = M.astype(dt) + 1.0 / self.pss
+        L = self.loadings.fn(params).astype(dt)  # (p, k)
+        lam = jnp.ravel(params[self.prec_name]).astype(dt)
+        Y = jnp.reshape(params[self.data_param], (n, p)).astype(dt)
+        obs = jnp.asarray(~self.missing, dt)
+        if self.scale_mu is not None:
+            Y = (Y - jnp.asarray(self.scale_mu, dt)) / jnp.asarray(
+                self.scale_sd, dt)
+        Y = Y * obs
+        # prior precision kron(M^-1, I_k); data potentials per tip
+        Minv = jnp.linalg.inv(M)
+        P = jnp.kron(Minv, jnp.eye(k, dtype=dt))
+        pot = jnp.einsum("pk,np,pj->nkj", L, obs * lam[None, :], L)
+        b = jnp.einsum("pk,np->nk", L, obs * lam[None, :] * Y)
+        for i in range(n):  # blockdiag add (n small in corpus files)
+            P = P.at[i * k:(i + 1) * k, i * k:(i + 1) * k].add(pot[i])
+        chol = jnp.linalg.cholesky(P)
+        mean = jax.scipy.linalg.cho_solve((chol, True),
+                                          jnp.ravel(b)[:, None])[:, 0]
+        z = jax.random.normal(key, (n * k,), dt)
+        draw = mean + jax.scipy.linalg.solve_triangular(
+            chol.T, z, lower=False)
+        old = params[self.factors_param]
+        out = {**params, self.factors_param: draw.astype(old.dtype).reshape(
+            jnp.shape(old))}
+        return out, tree, jnp.inf
+
+
+def _mrca_table(tm) -> np.ndarray:
+    parent = np.asarray(tm.parent)
+    root = int(tm.root)
+    n = (parent.shape[0] + 1) // 2
+
+    def anc(i):
+        out = [i]
+        while i != root:
+            i = int(parent[i])
+            out.append(i)
+        return out
+
+    ancs = [anc(i) for i in range(n)]
+    mrca = np.zeros((n, n), int)
+    for i in range(n):
+        seti = set(ancs[i])
+        for j in range(n):
+            for a in ancs[j]:
+                if a in seti:
+                    mrca[i, j] = a
+                    break
+    return mrca
+
+
+@register_operator("integratedFactorsGibbsOperator",
+                   "factorTreeGibbsOperator")
+def _integrated_factors_gibbs(ax: XmlAnalysis, el, weight):
+    fm = None
+    target = None
+    pss = 1e-3
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("integratedFactorModel",
+                      "integratedFactorAnalysisLikelihood"):
+            fm = ax.build(cc)
+        elif cc.tag in ("matrixParameterInterface", "matrixParameter",
+                        "compoundParameter", "parameter",
+                        "fastMatrixParameter"):
+            inner = ax.deref(cc)
+            obj = ax.build(inner)
+            target = obj.name if isinstance(obj, (Param, DerivedParam)) \
+                else ax.param_from(inner)
+        elif cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            tl = ax.build(cc)
+            from beast_mcmc_tpu.config.xml_traits import _conjugate_root
+
+            spec = _conjugate_root(ax, cc, 1)
+            if spec is not None and spec[0] == "conj":
+                pss = float(np.ravel(ax.value_of(spec[2]))[0])
+    if fm is None or target is None:
+        raise Unsupported("integratedFactorsGibbsOperator structure")
+    meta = ax._traits[(fm.tree_id, fm.trait_name)]
+    n, p = meta["n_tips"], meta["dim"]
+    k = len(fm.loadings.names)
+    missing = np.asarray(meta["missing"], bool)
+    # the factors parameter must be sized (n, k)
+    if target in ax._params and np.ravel(
+            ax._params[target].value).size != n * k:
+        ax._params[target].value = np.zeros(n * k)
+    scale_mu = scale_sd = None
+    if getattr(fm, "standardize", False):
+        Y0 = np.asarray(ax.value_of(fm.trait_param), float).reshape((n, p))
+        obs0 = ~missing
+        scale_mu = np.zeros(p)
+        scale_sd = np.ones(p)
+        for j in range(p):
+            o = obs0[:, j]
+            scale_mu[j] = Y0[o, j].mean()
+            scale_sd[j] = np.sqrt(
+                np.sum((Y0[o, j] - scale_mu[j]) ** 2) / max(o.sum() - 1, 1))
+    return FactorTreeGibbsOperator(
+        target, fm.loadings, fm.precision, fm.trait_param, missing,
+        _mrca_table(ax._trees[fm.tree_id]), pss, n, p, k,
+        scale_mu, scale_sd, weight), fm.tree_id
+
+
+# ---------------------------------------------------------------------------
+# sampledLoadingsGradient
+# ---------------------------------------------------------------------------
+
+
+@register("sampledLoadingsGradient")
+def _sampled_loadings_gradient(ax: XmlAnalysis, el):
+    """ref: src/dr/inference/operators/factorAnalysis/
+    SampledLoadingsGradient.java — d logL/dL of the latent-factor
+    residual likelihood; jax.grad of the same density."""
+    lfm = None
+    lik = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "latentFactorModel":
+            lik = ax.build(cc)
+            lfm = getattr(ax, "_latent_factor_models", {}).get(
+                cc.get("id"))
+        elif cc.tag == "loadingsGibbsOperator":
+            continue  # only consulted for its statistics in the ref
+    if lfm is None:
+        raise Unsupported("sampledLoadingsGradient without latentFactorModel")
+    return GradientSpec(tuple(lfm.loadings.names), (lik,))

@@ -563,6 +563,9 @@ def _hmc_targets(ax: XmlAnalysis, el) -> List[str]:
                 names.append(obj.name)
             elif getattr(obj, "base", None):  # masked view -> walk base
                 names.append(obj.base)
+        elif cc.tag in ("matrixParameter", "fastMatrixParameter"):
+            # HMC over a loadings-style matrix: target its column params
+            names.extend(matrix_param_of(ax, cc).names)
     return names
 
 

@@ -140,7 +140,11 @@ def _fire_parameter_changed(ax: XmlAnalysis, el, weight):
     copy_from = None
     cf = el.find("copyFrom")
     if cf is not None:
-        copy_from = ax.param_from(next(iter(cf)))
+        inner_cf = ax.deref(next(iter(cf)))
+        if inner_cf.tag in ("dataFromTreeTips", "dataAndMissingFromTreeTips"):
+            copy_from = ax.build(inner_cf).trait_param
+        else:
+            copy_from = ax.param_from(inner_cf)
     targets = ()
     for c in el:
         cc = ax.deref(c)

@@ -271,6 +271,7 @@ class IntegratedFactorModel:
     loadings: MatrixParam = None
     precision: str = ""
     nugget: float = 0.0
+    standardize: bool = False
 
 
 @register("integratedFactorModel")
@@ -296,7 +297,8 @@ def _integrated_factor_model(ax: XmlAnalysis, el):
         raise XmlError("integratedFactorModel structure")
     return IntegratedFactorModel(
         trait_param, el.get("traitName", "X"), tree_id, loadings, prec,
-        _attr(el, "nugget", 0.0, float))
+        _attr(el, "nugget", 0.0, float),
+        _attr(el, "standardize", False, bool))
 
 
 # ---------------------------------------------------------------------------
