@@ -302,7 +302,11 @@ class XmlAnalysis:
             if p is None:
                 for c in el:
                     cc = self.deref(c)
-                    if cc.tag in ("parameter", "compoundParameter"):
+                    if cc.tag in ("parameter", "compoundParameter",
+                                  "maskedParameter", "transformedParameter",
+                                  "productParameter",
+                                  "multiplicativeParameter",
+                                  "transformedMultivariateParameter"):
                         p = cc
                         break
             if p is None:

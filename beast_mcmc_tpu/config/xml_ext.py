@@ -47,7 +47,7 @@ def _compound_likelihood(ax: XmlAnalysis, el):
     if not liks:
         raise XmlError("<compoundLikelihood> with no likelihood children")
     tree_id = next((l.tree_id for l in liks if l.tree_id), None)
-    data = tuple(n for l in liks for n in l.data_params)
+    data = tuple(n for l in liks for n in (l.data_params or ()))
 
     def fn(params, tree):
         return sum(l.fn(params, tree) for l in liks)
@@ -1094,7 +1094,8 @@ def _inner_value_fn(ax: XmlAnalysis, el):
 
 
 _BUILDERS_VIEW = ("maskedParameter", "transformedParameter",
-                  "transformedMultivariateParameter")
+                  "transformedMultivariateParameter", "productParameter",
+                  "multiplicativeParameter")
 
 
 @register("transformedParameter", "transformedMultivariateParameter")
@@ -1113,6 +1114,13 @@ def _transformed_parameter(ax: XmlAnalysis, el):
         cc = ax.deref(c)
         if cc.tag in ("transform", "LKJTransform", "inverseTransform"):
             tr = transform_of_el(ax, cc)
+        elif cc.tag == "powerTransform":
+            # <powerTransform power="-0.5"> wrapper (ref:
+            # TransformParsers.PowerTransformParser)
+            from beast_mcmc_tpu.utils import transforms as TR
+
+            tr = TR.parse_transform(
+                "power", power=float(cc.get("power", 2.0)))
         elif base_fn is None:
             try:
                 base_fn, base_name = _inner_value_fn(ax, cc)

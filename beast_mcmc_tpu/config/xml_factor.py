@@ -117,6 +117,14 @@ class _IntegratedFactorsReport:
         n, p = meta["n_tips"], meta["dim"]
         Y = np.asarray(params[fm.trait_param], float).reshape((n, p))
         missing = np.asarray(meta["missing"], bool)
+        if getattr(fm, "standardize", False):
+            obs0 = ~missing
+            for j in range(p):
+                o = obs0[:, j]
+                mu_j = Y[o, j].mean()
+                sd_j = np.sqrt(np.sum((Y[o, j] - mu_j) ** 2)
+                               / max(o.sum() - 1, 1))
+                Y[:, j] = (Y[:, j] - mu_j) / sd_j
         L_kp = np.asarray(fm.loadings.fn(params), float).T  # (k, p)
         lam = np.ravel(np.asarray(params[fm.precision], float))
         Sf = (np.linalg.inv(np.asarray(
@@ -338,7 +346,10 @@ def _latent_factor_model(ax: XmlAnalysis, el):
     if None in (factors_param, loadings, col_prec) or data is None:
         raise XmlError("latentFactorModel structure")
     p = int(np.ravel(ax.value_of(col_prec)).size)
-    k = len(loadings.names)
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+
+    params0, _t0 = _current_state(ax)
+    k = int(np.asarray(loadings.fn(params0)).shape[1])
     n = data.n_tips
     # the reference parses eagerly in document order, so a
     # traitDataLikelihood earlier in the file has already filled the
@@ -742,7 +753,10 @@ def _integrated_factors_gibbs(ax: XmlAnalysis, el, weight):
         raise Unsupported("integratedFactorsGibbsOperator structure")
     meta = ax._traits[(fm.tree_id, fm.trait_name)]
     n, p = meta["n_tips"], meta["dim"]
-    k = len(fm.loadings.names)
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+
+    params0, _t0 = _current_state(ax)
+    k = int(np.asarray(fm.loadings.fn(params0)).shape[1])
     missing = np.asarray(meta["missing"], bool)
     # the factors parameter must be sized (n, k)
     if target in ax._params and np.ravel(
@@ -788,3 +802,296 @@ def _sampled_loadings_gradient(ax: XmlAnalysis, el):
     if lfm is None:
         raise Unsupported("sampledLoadingsGradient without latentFactorModel")
     return GradientSpec(tuple(lfm.loadings.names), (lik,))
+
+
+# ---------------------------------------------------------------------------
+# integrated loadings / precision gradients
+# ---------------------------------------------------------------------------
+
+
+@register("integratedFactorAnalysisLoadingsGradient",
+          "integratedFactorAnalysisLoadingsAndPrecisionGradient",
+          "integratedFactorAnalysisPrecisionGradient")
+def _integrated_loadings_gradient(ax: XmlAnalysis, el):
+    """ref: src/dr/evomodel/continuous/hmc/IntegratedLoadingsGradient.java
+    (+ ...AndPrecision variant) — gradient of the INTEGRATED factor
+    marginal wrt the loadings (and residual precision); jax.grad through
+    the canonical belief-propagation scan provides both exactly."""
+    fm = None
+    lik = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "integratedFactorModel":
+            fm = ax.build(cc)
+        elif cc.tag in ("traitDataLikelihood",
+                        "multivariateTraitLikelihood"):
+            tl = ax.build(cc)
+            lik = tl.lik if hasattr(tl, "lik") else tl
+    if fm is None or lik is None:
+        raise Unsupported(f"<{el.tag}> structure")
+    names: List[str] = []
+    if "Loadings" in el.tag:
+        names.extend(fm.loadings.names)
+    if "Precision" in el.tag:
+        names.append(fm.precision)
+    return GradientSpec(tuple(names), (lik,))
+
+
+# ---------------------------------------------------------------------------
+# matrixShrinkageLikelihood + multiplicative gamma Gibbs
+# ---------------------------------------------------------------------------
+
+
+@register("productParameter")
+def _product_parameter(ax: XmlAnalysis, el):
+    """ref: ProductParameterParser — elementwise product view of its
+    child parameters."""
+    names = []
+    for c in el:
+        cc = ax.deref(c)
+        obj = ax.build(cc)
+        names.append(obj.name if isinstance(obj, (Param, DerivedParam))
+                     else ax.param_from(cc))
+    name = el.get("id") or f"product{len(ax._derived_params)}"
+
+    def fn(params, _ns=tuple(names)):
+        out = jnp.ravel(params[_ns[0]])
+        for n2 in _ns[1:]:
+            out = out * jnp.ravel(params[n2])
+        return out
+
+    ax._derived_params[name] = fn
+
+    def init_val(n2):
+        if n2 in ax._params:
+            return np.ravel(ax.value_of(n2))
+        # derived child: evaluate via the injected overlay
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        p0, _ = _current_state(ax)
+        return np.ravel(np.asarray(p0[n2], float))
+
+    val = init_val(names[0]).copy()
+    for n2 in names[1:]:
+        val = val * init_val(n2)
+    dp = DerivedParam(name, fn, value=val, base=names[0])
+    ax._built[id(el)] = dp
+    return dp
+
+
+@dataclasses.dataclass
+class MatrixShrinkage:
+    """ref: src/dr/evomodel/continuous/MatrixShrinkageLikelihood.java —
+    one Bayesian-bridge prior per loadings column; SSE helper for the
+    multiplicative-gamma Gibbs conditional (:189-200)."""
+
+    loadings: object = None            # MatrixParam (p, k)
+    targets: Tuple[str, ...] = ()      # column param names
+    locals_: Tuple[str, ...] = ()      # local scale names per column
+    lik: object = None
+
+    def sse(self, params, col):
+        L = np.ravel(np.asarray(params[self.targets[col]], float))
+        ls = np.ravel(np.asarray(params[self.locals_[col]], float))
+        x = L / ls
+        return float(x @ x)
+
+
+@register("matrixShrinkageLikelihood")
+def _matrix_shrinkage(ax: XmlAnalysis, el):
+    mp = None
+    bridges = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("matrixParameter", "scaledMatrixParameter",
+                      "fastMatrixParameter"):
+            mp = matrix_param_of(ax, cc)
+        elif cc.tag == "rowPriors":
+            for b in cc:
+                bb = ax.deref(b)
+                bridges.append(bb)
+    if mp is None or not bridges:
+        raise XmlError("matrixShrinkageLikelihood structure")
+    liks = []
+    targets = []
+    locals_ = []
+    for bb in bridges:
+        liks.append(ax.build(bb))
+        targets.append(ax.param_from(bb))
+        ls_el = bb.find("localScale")
+        locals_.append(ax.param_from(ls_el) if ls_el is not None else "")
+
+    def fn(params, tree):
+        return sum(lk.fn(params, tree) for lk in liks)
+
+    lik = LikelihoodFn(fn, None, el.get("id") or "matrixShrinkage",
+                       tuple(targets))
+    rec = MatrixShrinkage(mp, tuple(targets), tuple(locals_), lik)
+    store = getattr(ax, "_matrix_shrinkage", None)
+    if store is None:
+        store = ax._matrix_shrinkage = {}
+    if el.get("id"):
+        store[el.get("id")] = rec
+    ax._built[id(el)] = lik
+    return lik
+
+
+@dataclasses.dataclass
+class MultiplicativeGammaProvider:
+    """ref: GammaGibbsProvider.MultiplicativeGammaGibbsProvider:235-288 —
+    sufficient statistics for the multiplicative-gamma-process row
+    multipliers δ_h: count = p(k−h), rate = Σ_{i≥h} Π_{l≤i,l≠h} δ_l ·
+    SSE_i."""
+
+    mult_names: Tuple[str, ...] = ()  # the k multiplier params in order
+    shrinkage: MatrixShrinkage = None
+    p: int = 0
+    k: int = 0
+
+    def stats_np(self, params):
+        delta = np.array([float(np.ravel(
+            np.asarray(params[n], float))[0]) for n in self.mult_names])
+        counts, rates = [], []
+        for h in range(self.k):
+            rate = 0.0
+            for i in range(h, self.k):
+                gp = np.prod([delta[l] for l in range(i + 1) if l != h])
+                rate += gp * self.shrinkage.sse(params, i)
+            counts.append(self.p * (self.k - h))
+            rates.append(rate)
+        return np.array(counts, float), np.array(rates)
+
+
+@register("multiplicativeGammaGibbsProvider")
+def _mult_gamma_provider(ax: XmlAnalysis, el):
+    names = []
+    shrink = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "compoundParameter":
+            for d in cc:
+                dd = ax.deref(d)
+                obj = ax.build(dd)
+                names.append(obj.name if isinstance(
+                    obj, (Param, DerivedParam)) else ax.param_from(dd))
+        elif cc.tag == "matrixShrinkageLikelihood":
+            ax.build(cc)
+            shrink = getattr(ax, "_matrix_shrinkage", {}).get(cc.get("id"))
+    if shrink is None or not names:
+        raise Unsupported("multiplicativeGammaGibbsProvider structure")
+    p = int(np.ravel(ax.value_of(shrink.targets[0])).size)
+    return MultiplicativeGammaProvider(tuple(names), shrink, p,
+                                       len(shrink.targets))
+
+
+@dataclasses.dataclass
+class MultiplicativeGammaGibbsOperator:
+    """Gibbs draw of each multiplicative-gamma row multiplier from its
+    Gamma full conditional (ref: NormalGammaPrecisionGibbsOperator over
+    a MultiplicativeGammaGibbsProvider)."""
+
+    provider: MultiplicativeGammaProvider = None
+    prior_shape: float = 1.0
+    prior_rate: float = 1.0
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = False
+
+    def modified_params(self):
+        return tuple(self.provider.mult_names)
+
+    @property
+    def modifies_params(self):
+        return tuple(self.provider.mult_names)
+
+    def initial_adapt(self):
+        return 0.0
+
+    def tuning(self, adapt_value):
+        return None
+
+    def propose(self, params, tree, key, tuning):
+        pr = self.provider
+        out = dict(params)
+        keys = jax.random.split(key, pr.k)
+        sh = pr.shrinkage
+        dt = jnp.result_type(params[pr.mult_names[0]])
+        sse = []
+        for i in range(pr.k):
+            L = jnp.ravel(out[sh.targets[i]]).astype(dt)
+            ls = jnp.ravel(out[sh.locals_[i]]).astype(dt)
+            sse.append(jnp.sum(jnp.square(L / ls)))
+        for h in range(pr.k):
+            delta = [jnp.ravel(out[n])[0].astype(dt)
+                     for n in pr.mult_names]
+            rate = jnp.asarray(0.0, dt)
+            for i in range(h, pr.k):
+                gp = jnp.asarray(1.0, dt)
+                for l in range(i + 1):
+                    if l != h:
+                        gp = gp * delta[l]
+                rate = rate + gp * sse[i]
+            count = pr.p * (pr.k - h)
+            shape = self.prior_shape + 0.5 * count
+            rate_full = self.prior_rate + 0.5 * rate
+            draw = jax.random.gamma(keys[h], shape, dtype=dt) / rate_full
+            old = params[pr.mult_names[h]]
+            out[pr.mult_names[h]] = jnp.reshape(
+                draw, jnp.shape(old)).astype(old.dtype)
+        return out, tree, jnp.inf
+
+
+def _ng_gibbs_mult_report(ax: XmlAnalysis, el) -> str:
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+
+    prov_el = el.find("multiplicativeGammaGibbsProvider")
+    provider = ax.build(prov_el)
+    params, _ = _current_state(ax)
+    counts, rates = provider.stats_np(params)
+    cs = ", ".join(repr(float(v)) for v in counts)
+    rs = ", ".join(repr(float(v)) for v in rates)
+    return (f"normalGammaPrecisionGibbsOperator report:\n"
+            f"Observation counts:\t[ {cs} ]\n"
+            f"Sum of squared errors:\t[ {rs} ]\n")
+
+
+def _ng_gibbs_report_dispatch(ax: XmlAnalysis, el) -> str:
+    if el.find("multiplicativeGammaGibbsProvider") is not None:
+        return _ng_gibbs_mult_report(ax, el)
+    from beast_mcmc_tpu.config.interpreter import _build_operator
+
+    _build_operator(ax, el)
+    return ("operator type: normalGammaPrecisionGibbsOperator\n"
+            "normalGammaPrecisionGibbsOperator\n")
+
+
+_OPR["normalGammaPrecisionGibbsOperator"] = _ng_gibbs_report_dispatch
+
+
+@register("scaledMatrixParameter")
+def _scaled_matrix_parameter(ax: XmlAnalysis, el):
+    return matrix_param_of(ax, el)
+
+
+@register("scaledMatrixGradient")
+def _scaled_matrix_gradient(ax: XmlAnalysis, el):
+    """ref: ScaledMatrixParameter gradient routing — chain rule of an
+    inner loadings gradient through L = U·diag(s), split by component
+    (jax.grad differentiates the composite directly)."""
+    component = el.get("component", "matrix")
+    inner = None
+    for c in el:
+        cc = ax.deref(c)
+        obj = ax.build(cc)
+        if isinstance(obj, GradientSpec):
+            inner = obj
+    if inner is None:
+        raise Unsupported("scaledMatrixGradient without inner gradient")
+    # the inner spec targets the scaledMatrixParameter's constituent
+    # params: [U columns..., scale]; select by component
+    names = list(inner.param_names)
+    if component == "scale":
+        names = names[-1:]
+    else:
+        names = names[:-1]
+    return GradientSpec(tuple(names), inner.likelihoods)

@@ -167,6 +167,21 @@ def _build_matrix_param(ax: XmlAnalysis, el) -> MatrixParam:
         return MatrixParam(
             lambda params: jnp.diag(jnp.ravel(params[dname])),
             (dname,), d, mid)
+    if tag == "scaledMatrixParameter":
+        # ref: ScaledMatrixParameter.java:59-71 — L[row,col] =
+        # U[row,col] * scale[col]
+        u_el = el.find("matrix")
+        s_el = el.find("scale")
+        if u_el is None or s_el is None:
+            raise XmlError("scaledMatrixParameter needs matrix + scale")
+        inner = matrix_param_of(ax, ax.deref(next(iter(u_el))))
+        sname = ax.param_from(s_el)
+
+        def fn_scaled(params, _in=inner, _s=sname):
+            return _in.fn(params) * jnp.ravel(params[_s])[None, :]
+
+        return MatrixParam(fn_scaled, tuple(inner.names) + (sname,),
+                           inner.dim, mid)
     if tag == "cachedMatrixInverse" or tag == "matrixInverse":
         inner = matrix_param_of(ax, next(iter(el)))
         return MatrixParam(
@@ -832,6 +847,20 @@ def _nn_mean_gibbs(ax: XmlAnalysis, el, weight):
 @register_operator("normalGammaPrecisionGibbsOperator")
 def _ng_prec_gibbs(ax: XmlAnalysis, el, weight):
     from beast_mcmc_tpu.inference.gibbs import NormalGammaPrecisionGibbs
+
+    prov_el = el.find("multiplicativeGammaGibbsProvider")
+    if prov_el is not None:
+        from beast_mcmc_tpu.config.xml_factor import (
+            MultiplicativeGammaGibbsOperator,
+        )
+
+        provider = ax.build(prov_el)
+        prior_el = ax.deref(next(iter(el.find("prior"))))
+        return MultiplicativeGammaGibbsOperator(
+            provider,
+            prior_shape=float(prior_el.get("shape", 1.0)),
+            prior_rate=1.0 / float(prior_el.get("scale", 1.0)),
+            weight=weight), None
 
     model_el, data_names = _gibbs_likelihood_parts(ax, el)
     mname, scale_name, _ = _normal_model_parts(ax, model_el)

@@ -150,8 +150,12 @@ def _fire_parameter_changed(ax: XmlAnalysis, el, weight):
         cc = ax.deref(c)
         if c.tag == "copyFrom":
             continue
+        if cc.tag == "compoundParameter":
+            obj = ax.build(cc)
+            targets = tuple(obj.names)
+            break
         if cc.tag in ("matrixParameter", "fastMatrixParameter",
-                      "compoundParameter"):
+                      "scaledMatrixParameter"):
             from beast_mcmc_tpu.config.xml_hmc import matrix_param_of
 
             # flat values are col-major = one chunk per column param

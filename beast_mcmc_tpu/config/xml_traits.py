@@ -540,6 +540,21 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
         n_tips_f = meta_f["n_tips"]
         p_dim = meta_f["dim"]
         miss_f = jnp.asarray(np.asarray(meta_f["missing"], bool))
+        # standardize="true": per-trait (mean, sd over observed, n-1)
+        # standardization of the data (ref: IntegratedFactorAnalysis
+        # Likelihood via TreeTraitParserUtilities standardization);
+        # constants precomputed — the data parameter is never moved
+        f_mu = np.zeros(p_dim)
+        f_sd = np.ones(p_dim)
+        if fm.standardize:
+            Y0 = np.asarray(ax.value_of(fm.trait_param), float).reshape(
+                (n_tips_f, p_dim))
+            obs0 = ~np.asarray(meta_f["missing"], bool)
+            for j in range(p_dim):
+                o = obs0[:, j]
+                f_mu[j] = Y0[o, j].mean()
+                f_sd[j] = np.sqrt(np.sum((Y0[o, j] - f_mu[j]) ** 2)
+                                  / max(o.sum() - 1, 1))
 
         def fn_factor(params, tree):
             from beast_mcmc_tpu.models.factor import (
@@ -549,6 +564,9 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
             dt = tree.heights.dtype
             tips = jnp.reshape(params[fm.trait_param],
                                (n_tips_f, p_dim)).astype(dt)
+            if fm.standardize:
+                tips = (tips - jnp.asarray(f_mu, dt)) / jnp.asarray(
+                    f_sd, dt)
             loadings = fm.loadings.fn(params).astype(dt).T  # [K, P]
             gamma = jnp.ravel(params[fm.precision]).astype(dt)
             if fm.nugget:
