@@ -1095,3 +1095,121 @@ def _scaled_matrix_gradient(ax: XmlAnalysis, el):
     else:
         names = names[:-1]
     return GradientSpec(tuple(names), inner.likelihoods)
+
+
+# ---------------------------------------------------------------------------
+# loadingsScaleGibbsOperator
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LoadingsScaleGibbsOperator:
+    """Gibbs draw of the scale component of a scaledMatrixParameter
+    loadings (ref: src/dr/inference/operators/factorAnalysis/
+    LoadingsScaleGibbsOperator.java:127-177 — precision
+    Σ_j λ_j U_jk1 U_jk2 [FᵀF|obs_j]_{k1k2} + prior, matching mean)."""
+
+    lfm: object = None
+    prior_mu: np.ndarray = None   # (k,)
+    prior_tau: np.ndarray = None  # (k,)
+    weight: float = 1.0
+    target_acceptance: float = 0.234
+    adaptable: bool = False
+
+    @property
+    def scale_name(self):
+        return self.lfm.loadings.names[-1]
+
+    @property
+    def u_names(self):
+        return self.lfm.loadings.names[:-1]
+
+    def modified_params(self):
+        return (self.scale_name,)
+
+    @property
+    def modifies_params(self):
+        return (self.scale_name,)
+
+    def initial_adapt(self):
+        return 0.0
+
+    def tuning(self, adapt_value):
+        return None
+
+    def _moments(self, F, Y, U, lam, obs):
+        """(mean, variance) of the scale conditional; works for numpy
+        or jnp inputs."""
+        xp = jnp if isinstance(F, jnp.ndarray) else np
+        # per-trait masked inner products
+        FF = xp.einsum("np,nj,nl->pjl", obs, F, F)   # (p,k,k)
+        FY = xp.einsum("np,nj,np->pj", obs, F, Y)    # (p,k)
+        P = xp.einsum("p,pj,pl,pjl->jl", lam, U, U, FF)
+        mb = xp.einsum("p,pj,pj->j", lam, U, FY)
+        P = P + xp.diag(xp.asarray(self.prior_tau, P.dtype))
+        mb = mb + xp.asarray(self.prior_tau * self.prior_mu, P.dtype)
+        V = xp.linalg.inv(P)
+        return V @ mb, V
+
+    def conditional_np(self, params):
+        m = self.lfm
+        F = np.asarray(params[m.factors_param], float).reshape((m.n, m.k))
+        Y = np.asarray(m.scaled_data({m.data_param: jnp.asarray(
+            np.asarray(params[m.data_param], float))}), float)
+        U = np.stack([np.ravel(np.asarray(params[n], float))
+                      for n in self.u_names], axis=1)  # (p, k)
+        lam = np.ravel(np.asarray(params[m.col_prec], float))
+        obs = (~m.missing).astype(float)
+        return self._moments(F, Y, U, lam, obs)
+
+    def propose(self, params, tree, key, tuning):
+        m = self.lfm
+        dt = jnp.result_type(params[m.factors_param])
+        F = jnp.reshape(params[m.factors_param], (m.n, m.k)).astype(dt)
+        Y = m.scaled_data(params).astype(dt)
+        U = jnp.stack([jnp.ravel(params[n]) for n in self.u_names],
+                      axis=1).astype(dt)
+        lam = jnp.ravel(params[m.col_prec]).astype(dt)
+        obs = jnp.asarray(~m.missing, dt)
+        mean, V = self._moments(F, Y, U, lam, obs)
+        chol = jnp.linalg.cholesky(V)
+        draw = mean + chol @ jax.random.normal(key, (m.k,), dt)
+        old = params[self.scale_name]
+        return ({**params, self.scale_name: draw.astype(old.dtype).reshape(
+            jnp.shape(old))}, tree, jnp.inf)
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, _ = _current_state(ax)
+        mean, V = self.conditional_np(params)
+        mean_s = "[ " + ", ".join(repr(float(v)) for v in mean) + " ]"
+        rows = "\n".join(
+            "{ " + ", ".join(repr(float(v)) for v in r) + " }" for r in V)
+        return (f"loadingsScaleGibbsOperatorReport:\n"
+                f"Scale mean:\n{mean_s}\n\n"
+                f"Scale covariance:\n{rows}\n\n")
+
+
+@register_operator("loadingsScaleGibbsOperator")
+def _loadings_scale_gibbs(ax: XmlAnalysis, el, weight):
+    lfm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "latentFactorModel":
+            ax.build(cc)
+            lfm = getattr(ax, "_latent_factor_models", {}).get(cc.get("id"))
+    if lfm is None:
+        raise Unsupported("loadingsScaleGibbsOperator without "
+                          "latentFactorModel")
+    mu2, tau2 = _prior_moments_of(ax, el, 1, lfm.k)
+    return LoadingsScaleGibbsOperator(
+        lfm, mu2.ravel(), tau2.ravel(), weight), None
+
+
+def _loadings_scale_report(ax: XmlAnalysis, el) -> str:
+    op, _tid = _loadings_scale_gibbs(ax, el, 1.0)
+    return op.report(ax)
+
+
+_OPR["loadingsScaleGibbsOperator"] = _loadings_scale_report
