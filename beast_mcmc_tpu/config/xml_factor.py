@@ -1213,3 +1213,186 @@ def _loadings_scale_report(ax: XmlAnalysis, el) -> str:
 
 
 _OPR["loadingsScaleGibbsOperator"] = _loadings_scale_report
+
+
+# ---------------------------------------------------------------------------
+# factorProportionStatistic
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _FactorProportion:
+    """ref: src/dr/inference/model/FactorProportionStatistic.java:104-151
+    — absolute/relative variance contribution of each factor."""
+
+    lfm: object = None
+    name: str = "factorProportion"
+
+    def values(self, ax):
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, _ = _current_state(ax)
+        m = self.lfm
+        F = np.asarray(params[m.factors_param], float).reshape((m.n, m.k))
+        L = np.asarray(m.loadings.fn(params), float)  # (p, k)
+        lam = np.ravel(np.asarray(params[m.col_prec], float))
+        n, k = m.n, m.k
+        FtF = F.T @ F
+        LtL = L.T @ L
+        fm_ = F.mean(axis=0)
+        comp = LtL * (FtF - n * np.outer(fm_, fm_))
+        factor_sum = float(comp.sum())
+        marginal_sum = float(np.trace(comp))
+        error_sum = (n - 1) * float(np.sum(1.0 / lam))
+        total = factor_sum + error_sum
+        out = {f"{self.name}.factorProportion": factor_sum / total}
+        for i in range(k):
+            out[f"{self.name}.absoluteProportion.{i + 1}"] = (
+                comp[i, i] / total)
+        for i in range(k):
+            out[f"{self.name}.relativeProportion.{i + 1}"] = (
+                comp[i, i] / factor_sum)
+        out[f"{self.name}.relativeMarginalProportion"] = (
+            marginal_sum / factor_sum)
+        return out
+
+    def report(self, ax) -> str:
+        return "".join(f"{nm}: {float(v)!r}\n"
+                       for nm, v in self.values(ax).items())
+
+
+@register("factorProportionStatistic")
+def _factor_proportion(ax: XmlAnalysis, el):
+    lfm = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "latentFactorModel":
+            ax.build(cc)
+            lfm = getattr(ax, "_latent_factor_models", {}).get(cc.get("id"))
+    if lfm is None:
+        raise Unsupported("factorProportionStatistic needs latentFactorModel")
+    return _FactorProportion(lfm, el.get("id") or "factorProportion")
+
+
+# ---------------------------------------------------------------------------
+# traitValidationProvider + crossValidation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _CrossValidation:
+    """ref: src/dr/inference/model/CrossValidationProvider.java:94-111 —
+    the reference MC-averages the squared error of 100k realized-trait
+    draws; the closed form is E[(t−m)² ] = (t−m)² + V under the Gaussian
+    conditional of each held-out entry given the observed data."""
+
+    fm: object = None            # IntegratedFactorModel
+    diffusion_prec: object = None
+    pss_name: str = ""
+    true_param: str = ""
+    provider_id: str = ""
+    log_sum: bool = False
+
+    def values(self, ax):
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, _ = _current_state(ax)
+        fm = self.fm
+        tm = ax._trees[fm.tree_id]
+        pss = (float(np.ravel(np.asarray(params[self.pss_name]))[0])
+               if self.pss_name else np.inf)
+        M = tree_variance_np(tm, pss)
+        meta = ax._traits[(fm.tree_id, fm.trait_name)]
+        n, p = meta["n_tips"], meta["dim"]
+        miss = np.asarray(meta["missing"], bool).reshape(-1)
+        Y = np.ravel(np.asarray(params[fm.trait_param], float))
+        T = np.ravel(np.asarray(params[self.true_param], float))
+        true_meta = None
+        for (tid, tname), mrec in ax._traits.items():
+            if mrec["param"] == self.true_param:
+                true_meta = mrec
+        t_miss = (np.asarray(true_meta["missing"], bool).reshape(-1)
+                  if true_meta is not None else np.zeros_like(miss))
+        L_kp = np.asarray(fm.loadings.fn(params), float).T  # (k, p)
+        lam = np.ravel(np.asarray(params[fm.precision], float))
+        Sf = (np.linalg.inv(np.asarray(
+            self.diffusion_prec.fn(params), float))
+            if self.diffusion_prec is not None
+            else np.eye(L_kp.shape[0]))
+        C = np.kron(M, L_kp.T @ Sf @ L_kp) + np.kron(
+            np.eye(n), np.diag(1.0 / lam))
+        held = miss & ~t_miss
+        obs = ~miss
+        A = np.linalg.solve(C[np.ix_(obs, obs)], C[np.ix_(obs, held)])
+        m = A.T @ Y[obs]
+        V = C[np.ix_(held, held)] - C[np.ix_(held, obs)] @ A
+        sq = (T[held] - m) ** 2 + np.diag(V)
+        names = []
+        taxa = tm.taxa
+        idxs = np.nonzero(held)[0]
+        for ix in idxs:
+            names.append(
+                f"{self.provider_id}.{taxa[ix // p]}.{ix % p + 1}")
+        return names, sq
+
+    def report(self, ax) -> str:
+        names, sq = self.values(ax)
+        body = "".join(f"\t{nm}: {float(v)!r}\n"
+                       for nm, v in zip(names, sq))
+        return f"Cross Validation Report:\n\n{body}\n"
+
+
+@register("traitValidationProvider")
+def _trait_validation_provider(ax: XmlAnalysis, el):
+    rec = {"id": el.get("id") or "traitValidation",
+           "trait_name": el.get("traitName", "full")}
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            rec["lik_el"] = cc
+            ax.build(cc)
+        elif cc.tag == "traitParameter":
+            rec["true_param"] = ax.param_from(cc)
+    store = getattr(ax, "_trait_validation", None)
+    if store is None:
+        store = ax._trait_validation = {}
+    if el.get("id"):
+        store[el.get("id")] = rec
+    return rec
+
+
+@register("crossValidation")
+def _cross_validation(ax: XmlAnalysis, el):
+    rec = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "traitValidationProvider":
+            rec = ax.build(cc)
+            if not isinstance(rec, dict):
+                rec = getattr(ax, "_trait_validation", {}).get(cc.get("id"))
+    if rec is None:
+        raise Unsupported("crossValidation without traitValidationProvider")
+    lik_el = rec["lik_el"]
+    fm = None
+    diffusion_prec = None
+    pss_name = ""
+    from beast_mcmc_tpu.config.xml_traits import _conjugate_root
+
+    for d in lik_el:
+        dd = ax.deref(d)
+        if dd.tag == "integratedFactorModel":
+            fm = ax.build(dd)
+        elif dd.tag == "multivariateDiffusionModel":
+            diffusion_prec = ax.build(dd).prec
+    spec = _conjugate_root(ax, lik_el, 1)
+    if spec is not None and spec[0] == "conj":
+        pss_name = spec[2]
+    # bind the true-trait parameter to its taxon attrs (its meta)
+    from beast_mcmc_tpu.config.xml_traits import _trait_meta
+
+    if fm is None:
+        raise Unsupported("crossValidation without integratedFactorModel")
+    _trait_meta(ax, fm.tree_id, rec["true_param"], rec["trait_name"])
+    return _CrossValidation(
+        fm, diffusion_prec, pss_name, rec["true_param"], rec["id"],
+        _attr(el, "logSum", False, bool))
