@@ -1229,3 +1229,119 @@ def _geodesic_report(ax: XmlAnalysis, el) -> str:
 
 
 OP_REPORTS["geodesicHamiltonianMonteCarloOperator"] = _geodesic_report
+
+
+# ---------------------------------------------------------------------------
+# numerical gradient/hessian wrappers + prior preconditioner
+# ---------------------------------------------------------------------------
+
+
+@register("numericalGradient", "numericalHessian", "purelyNumericalHessian")
+def _numerical_gradient(ax: XmlAnalysis, el):
+    """ref: src/dr/inference/hmc/NumericalGradient.java /
+    NumericalHessianFromGradient.java — finite-difference wrappers around
+    a likelihood or an inner gradient provider. jax.grad of the same
+    density is exact; the report path (gradient_report) prints BOTH the
+    analytic and central-difference lines the corpus regexes extract."""
+    names: List[str] = []
+    liks: List[LikelihoodFn] = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            obj = ax.build(cc)
+            if isinstance(obj, Param):
+                names.append(obj.name)
+            continue
+        obj = ax.build(cc)
+        if isinstance(obj, GradientSpec):
+            names.extend(obj.target_names())
+            liks.extend(obj.likelihoods)
+        elif isinstance(obj, LikelihoodFn):
+            liks.append(obj)
+        elif hasattr(obj, "analytic"):
+            return obj  # reportable wrt-increments style gradient
+    if not liks:
+        raise Unsupported(f"<{el.tag}> without a differentiable child")
+    return GradientSpec(tuple(dict.fromkeys(names)), tuple(liks))
+
+
+@dataclasses.dataclass
+class _PriorPreconditionerReport:
+    """ref: src/dr/inference/hmc/CompoundPriorPreconditioner.java:88-110 +
+    JointBayesianBridgeDistributionModel.getStandardDeviation:97-104 —
+    sd_i = τλ_i / sqrt(1 + (τλ_i/slab)²)."""
+
+    parts: tuple = ()  # (global_name, local_name, slab_name|None)
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, _ = _current_state(ax)
+        sds: List[float] = []
+        for gname, lname, sname in self.parts:
+            tau = float(np.ravel(np.asarray(params[gname], float))[0])
+            lam = np.ravel(np.asarray(params[lname], float))
+            gl = tau * lam
+            if sname is not None:
+                slab = float(np.ravel(np.asarray(params[sname], float))[0])
+                gl = gl / np.sqrt(1.0 + (gl / slab) ** 2)
+            sds.extend(gl.tolist())
+        sd_s = "[ " + ", ".join(repr(float(v)) for v in sds) + " ]"
+        return (f"compoundPriorPreconditioner Report\n\n"
+                f"totalDim: {len(sds)}\n\n"
+                f"priorPreconditionerList size: {len(self.parts)}\n\n"
+                f"Prior SDs: {sd_s}\n\n")
+
+
+@register("compoundPriorPreconditioner")
+def _compound_prior_preconditioner(ax: XmlAnalysis, el):
+    parts = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("bayesianBridge", "bayesianBridgeDistribution",
+                      "bayesianBridgeLikelihood"):
+            gname = ax.param_from(cc.find("globalScale"))
+            lname = ax.param_from(cc.find("localScale"))
+            sw = cc.find("slabWidth")
+            sname = ax.param_from(sw) if sw is not None else None
+            parts.append((gname, lname, sname))
+    if not parts:
+        raise Unsupported("compoundPriorPreconditioner without bridges")
+    return _PriorPreconditionerReport(tuple(parts))
+
+
+@register_operator("bayesianBridgeGibbsOperator")
+def _bayesian_bridge_gibbs(ax: XmlAnalysis, el, weight):
+    """ref: BayesianBridgeShrinkageOperatorParser — Gibbs update of the
+    bridge global scale (conjugate gamma) and local scales (exponentially
+    tilted stable), inference/bridge_gibbs.py."""
+    from beast_mcmc_tpu.inference.bridge_gibbs import (
+        BayesianBridgeGibbsOperator,
+    )
+
+    bridge_el = None
+    prior_el = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("bayesianBridge", "bayesianBridgeLikelihood",
+                      "bayesianBridgeDistribution"):
+            bridge_el = cc
+        elif cc.tag == "gammaPrior":
+            prior_el = cc
+    if bridge_el is None:
+        raise Unsupported("bayesianBridgeGibbsOperator without a bridge")
+    ax.build(bridge_el)
+    coef = ax.param_from(bridge_el)
+    gname = ax.param_from(bridge_el.find("globalScale"))
+    ls_el = bridge_el.find("localScale")
+    lname = ax.param_from(ls_el) if ls_el is not None else ""
+    expo = float(np.ravel(ax.value_of(
+        ax.param_from(bridge_el.find("exponent"))))[0])
+    shape, scale = 0.0, 1.0
+    if prior_el is not None:
+        shape = float(prior_el.get("shape"))
+        scale = float(prior_el.get("scale"))
+    return BayesianBridgeGibbsOperator(
+        coefficient=coef, global_scale=gname, local_scale=lname,
+        exponent=expo, prior_shape=shape, prior_scale=scale,
+        weight=weight), None

@@ -1249,10 +1249,15 @@ def _bayesian_bridge_likelihood(ax: XmlAnalysis, el):
     ls = ax.param_from(ls_el) if ls_el is not None else None
 
     def fn(params, tree):
-        x = params[pname]
+        x = jnp.ravel(params[pname])
         tau = jnp.reshape(params[gs], ())
         alpha = jnp.reshape(params[expo], ())
         lam = params[ls] if ls is not None else None
+        if lam is not None:
+            # a declared localScale may be longer than the (auto-sized)
+            # coefficient vector; extra entries are inert (ref:
+            # BayesianBridgeLikelihood loops over coefficient dim)
+            lam = jnp.ravel(lam)[:x.shape[0]]
         return bayesian_bridge_logpdf(x, tau, alpha, local_scales=lam)
 
     return LikelihoodFn(fn, None, el.get("id") or "bayesianBridge", None)
