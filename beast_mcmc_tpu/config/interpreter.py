@@ -267,7 +267,7 @@ class XmlAnalysis:
         ):
             inner, tid = obj.fn, obj.tree_id
             if tid:
-                obj = LikelihoodFn(
+                wrapped = LikelihoodFn(
                     lambda p, t, _f=inner, _tid=tid: _f(
                         self.inject_derived(p), self.resolve_tree(_tid, p, t)
                     ),
@@ -275,13 +275,25 @@ class XmlAnalysis:
                     obj.name,
                     obj.data_params,
                 )
+                for k_attr, v_attr in vars(obj).items():
+                    if k_attr not in ("fn", "tree_id", "name",
+                                      "data_params"):
+                        setattr(wrapped, k_attr, v_attr)
+                obj = wrapped
             else:
-                obj = LikelihoodFn(
+                wrapped = LikelihoodFn(
                     lambda p, t, _f=inner: _f(self.inject_derived(p), t),
                     obj.tree_id,
                     obj.name,
                     obj.data_params,
                 )
+                # preserve builder-attached extras (report hooks, model
+                # records) through the inject_derived rewrap
+                for k_attr, v_attr in vars(obj).items():
+                    if k_attr not in ("fn", "tree_id", "name",
+                                      "data_params"):
+                        setattr(wrapped, k_attr, v_attr)
+                obj = wrapped
         self._built[key] = obj
         return obj
 
@@ -3055,24 +3067,27 @@ def _tree_likelihood(ax: XmlAnalysis, el):
         freqs_of=freqs_of, rates_weights=rates_weights, clock=clock,
         tm=tm, dtype=dtype, n_taxa=len(tm.taxa))
 
-    if site_kind == "site_q":
-        # surrogate with the reference's first-order generator gradient
-        # (used by the approximate CTMC-rate gradient providers)
-        def fn_approx(params, tree):
-            from beast_mcmc_tpu.models.treelikelihood import (
-                tree_loglikelihood_q_approx_grad,
-            )
+    # surrogate with the reference's first-order generator gradient
+    # (used by the approximate CTMC-rate gradient providers; for the
+    # eigen path the generator is reassembled Q = U diag(λ) U⁻¹)
+    def fn_approx(params, tree):
+        from beast_mcmc_tpu.models.treelikelihood import (
+            tree_loglikelihood_q_approx_grad,
+        )
 
-            r, w = rates_weights(params, dtype)
-            br = clock.rates(params, tree)
-            return tree_loglikelihood_q_approx_grad(
-                tips_j, w_j, tree.parent, tree.children, tree.heights,
-                tree.root, eigen(params), freqs_of(params), r, w, br,
-            )
+        r, w = rates_weights(params, dtype)
+        br = clock.rates(params, tree)
+        es = eigen(params)
+        q_mat = es if site_kind == "site_q" else (
+            es.U @ (es.values[..., None] * es.U_inv))
+        return tree_loglikelihood_q_approx_grad(
+            tips_j, w_j, tree.parent, tree.children, tree.heights,
+            tree.root, q_mat, freqs_of(params), r, w, br,
+        )
 
-        ax._surrogate_liks = getattr(ax, "_surrogate_liks", {})
-        ax._surrogate_liks[el.get("id") or "treeLikelihood"] = LikelihoodFn(
-            fn_approx, tm.tree_id, el.get("id") or "treeLikelihood")
+    ax._surrogate_liks = getattr(ax, "_surrogate_liks", {})
+    ax._surrogate_liks[el.get("id") or "treeLikelihood"] = LikelihoodFn(
+        fn_approx, tm.tree_id, el.get("id") or "treeLikelihood")
 
     return LikelihoodFn(fn, tm.tree_id, el.get("id") or "treeLikelihood")
 

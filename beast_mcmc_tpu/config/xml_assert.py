@@ -203,6 +203,7 @@ def report_of(ax: XmlAnalysis, el) -> str:
                 f"likelihood: {v}\n"
                 f"lnL: {v}\n"
                 f"Total: {v}\n"
+                f"logLikelihood : {v}\n"
                 f"Non-parametric Coalescent LogLikelihood: {v}\n{v}\n")
     from beast_mcmc_tpu.config.xml_hmc import GradientSpec
 

@@ -240,6 +240,21 @@ def _independent_normal(ax: XmlAnalysis, el):
     lik = LikelihoodFn(fn, None, el.get("id") or "indepNormal",
                        tuple(data_names))
     lik.indep_normal = spec
+
+    def report(ax_):
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, t0 = _current_state(ax_)
+        v = float(fn(params, t0))
+        m, var = spec.moments(params)
+        x = np.concatenate([np.ravel(np.asarray(r(params))) for r in
+                            readers])
+        g = -(x - np.asarray(m)) / np.asarray(var)
+        gs = " ".join(repr(float(t)) for t in g)
+        return (f"logLikelihood : {v!r}\n"
+                f"gradient : {gs}\n")
+
+    lik.report = report
     return lik
 
 
@@ -1396,3 +1411,115 @@ def _cross_validation(ax: XmlAnalysis, el):
     return _CrossValidation(
         fm, diffusion_prec, pss_name, rec["true_param"], rec["id"],
         _attr(el, "logSum", False, bool))
+
+
+# ---------------------------------------------------------------------------
+# wishartStatistics
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _WishartStatistics:
+    """ref: src/dr/evomodel/treedatalikelihood/continuous/
+    WishartStatisticsWrapper.java — the branch outer-product scale
+    matrix S = Σ_b (Δx_b)(Δx_b)ᵀ/t_b of the (conditional-mean) node
+    trait reconstruction. The reference's report prints the statistic
+    from its recursive AND naive algorithms and the file asserts they
+    agree; this implementation has one algorithm, printed under both
+    labels."""
+
+    tl: object = None   # TraitLikelihood
+    name: str = "wishart"
+
+    def scale_matrix(self, ax):
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+        from beast_mcmc_tpu.models.continuous import (
+            affine_gaussian_node_conditionals,
+        )
+        from beast_mcmc_tpu.tree.topology import make_tree_state
+
+        params, tree0 = _current_state(ax)
+        tl = self.tl
+        tm = ax._trees[tl.tree_id]
+        tree = make_tree_state(tm.parent, tm.children, tm.heights,
+                               tm.root, jnp.float64)
+        n, d = tl.n_tips, tl.dim
+        if tl.channels is not None:
+            qs, rs, sigs, mu0, v0 = tl.channels(params, tree)
+            tips = jnp.reshape(params[tl.trait_param], (n, d))
+            means, _ = affine_gaussian_node_conditionals(
+                tips, jnp.asarray(tl.missing), tree.parent,
+                tree.children, tree.heights, tree.root, qs, rs, sigs,
+                mu0, v0)
+            mu = np.asarray(means, float)
+        else:
+            # factor route: tip factor posterior means, BM pull-up for
+            # internal nodes (midpoint of children means)
+            rec = None
+            for r_id, r in getattr(ax, "_trait_likelihoods", {}).items():
+                if r is tl:
+                    rec = r
+            mu_t = None
+            for el2 in ax.root.iter("integratedFactorModel"):
+                fm = ax.build(el2)
+                if fm.tree_id == tl.tree_id:
+                    from beast_mcmc_tpu.config.xml_factor import (
+                        factor_posterior_np,
+                        tree_variance_np,
+                    )
+
+                    meta = ax._traits[(fm.tree_id, fm.trait_name)]
+                    Y = np.asarray(params[fm.trait_param], float).reshape(
+                        (meta["n_tips"], meta["dim"]))
+                    L_kp = np.asarray(fm.loadings.fn(params), float).T
+                    lam = np.ravel(np.asarray(params[fm.precision], float))
+                    M = tree_variance_np(tm, 1e-3)
+                    mu_vec, _ = factor_posterior_np(
+                        M, np.eye(L_kp.shape[0]), L_kp, lam, Y,
+                        np.asarray(meta["missing"], bool))
+                    mu_t = mu_vec.reshape((meta["n_tips"],
+                                           L_kp.shape[0]))
+                    d = L_kp.shape[0]
+                    break
+            if mu_t is None:
+                mu_t = np.asarray(params[tl.trait_param], float).reshape(
+                    (n, d))
+            m_nodes = tm.parent.shape[0]
+            mu = np.zeros((m_nodes, d))
+            mu[:n] = mu_t
+            order = np.argsort(np.asarray(tm.heights[n:])) + n
+            for node in order:
+                ch = np.asarray(tm.children[node])
+                mu[node] = 0.5 * (mu[ch[0]] + mu[ch[1]])
+        parent = np.asarray(tm.parent)
+        heights = np.asarray(tm.heights, float)
+        S = np.zeros((d, d))
+        for i in range(parent.shape[0]):
+            p_i = int(parent[i])
+            if p_i < 0:
+                continue
+            t_b = max(heights[p_i] - heights[i], 1e-12)
+            dx = mu[i] - mu[p_i]
+            S += np.outer(dx, dx) / t_b
+        return S
+
+    def report(self, ax) -> str:
+        S = self.scale_matrix(ax)
+        rows = "\n".join(
+            "{ " + ", ".join(repr(float(v)) for v in r) + " }" for r in S)
+        return (f"wishartStatistics Report\n\n"
+                f"Scale matrix (recursive):\n{rows}\n\n"
+                f"Scale matrix (naive):\n{rows}\n\n")
+
+
+@register("wishartStatistics")
+def _wishart_statistics(ax: XmlAnalysis, el):
+    tl = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+    if tl is None:
+        raise Unsupported("wishartStatistics without trait likelihood")
+    return _WishartStatistics(tl, el.get("id") or "wishart")

@@ -1345,3 +1345,109 @@ def _bayesian_bridge_gibbs(ax: XmlAnalysis, el, weight):
         coefficient=coef, global_scale=gname, local_scale=lname,
         exponent=expo, prior_shape=shape, prior_scale=scale,
         weight=weight), None
+
+
+# ---------------------------------------------------------------------------
+# model-specific gradient providers (round-5 surface)
+# ---------------------------------------------------------------------------
+
+
+@register("branchSubstitutionParameterGradient")
+def _branch_subst_param_gradient(ax: XmlAnalysis, el):
+    """ref: src/dr/evomodel/treedatalikelihood/discrete/
+    BranchSubstitutionParameterGradient.java — dlogL/dθ of a
+    substitution-model parameter through the transition matrices;
+    jax.grad through the eigendecomposition/expm is exact (mode=exact),
+    and gradient_report's central differences provide the `numeric :`
+    line the corpus asserts compare against at 1e-6."""
+    mode = el.get("mode", "exact")
+    lik = None
+    names: List[str] = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("treeDataLikelihood", "treeLikelihood",
+                      "newTreeDataLikelihood"):
+            lik = ax.build(cc)
+            if mode in ("firstOrder", "affineCorrected"):
+                # the reference's cross-product approximations share the
+                # first-order surrogate dP = t·P·dQ
+                sur = getattr(ax, "_surrogate_liks", {}).get(cc.get("id"))
+                if sur is not None:
+                    lik = sur
+        elif cc.tag in ("parameter", "compoundParameter",
+                        "maskedParameter", "transformedParameter"):
+            names.append(ax.param_from(cc))
+    if lik is None or not names:
+        raise Unsupported("branchSubstitutionParameterGradient structure")
+    return GradientSpec(tuple(names), (lik,))
+
+
+def _speciation_wrt_names(ax: XmlAnalysis, lik_el, wrt: str) -> List[str]:
+    """Resolve wrtParameter on a speciationLikelihood's model element."""
+    tagmap = {
+        "birthRate": ("birthRate",),
+        "deathRate": ("deathRate",),
+        "samplingRate": ("samplingRate", "psi"),
+        "treatmentProbability": ("treatmentProbability", "r"),
+        "samplingProbability": ("samplingProbability", "rho"),
+        "originTime": ("origin", "originTime"),
+    }
+    model_el = lik_el.find("model")
+    if model_el is None:
+        return []
+    m = ax.deref(next(iter(model_el)))
+    for tag in tagmap.get(wrt, ()):
+        sub = m.find(tag)
+        if sub is not None:
+            return [ax.param_from(sub)]
+    return []
+
+
+@register("speciationLikelihoodGradient")
+def _speciation_likelihood_gradient(ax: XmlAnalysis, el):
+    """ref: src/dr/evomodel/speciation/SpeciationLikelihoodGradient.java
+    — dlogL/d(node heights) or d/d(model rate vector) of the speciation
+    density; jax.grad of models/speciation.py covers both."""
+    wrt = el.get("wrtParameter", "nodeHeight")
+    lik = None
+    lik_el = None
+    tid = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "speciationLikelihood":
+            lik_el = cc
+            lik = ax.build(cc)
+        elif cc.tag == "treeModel":
+            tid = ax.build(cc).tree_id
+    if lik is None:
+        raise Unsupported("speciationLikelihoodGradient without likelihood")
+    if wrt in ("nodeHeight", "nodeHeights"):
+        return GradientSpec((), (lik,), height_tid=tid or lik.tree_id)
+    names = _speciation_wrt_names(ax, lik_el, wrt)
+    if not names:
+        raise Unsupported(f"speciationLikelihoodGradient wrt {wrt!r}")
+    return GradientSpec(tuple(names), (lik,))
+
+
+@register("skylineGradient")
+def _skyline_gradient(ax: XmlAnalysis, el):
+    """ref: src/dr/evomodel/coalescent/hmc/
+    BayesianSkylineGradient.java — dlogL/d(node heights) (or popSize)
+    of the Bayesian skyline coalescent."""
+    wrt = el.get("wrtParameter", "nodeHeight")
+    lik = None
+    lik_el = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("generalizedSkyLineLikelihood",
+                      "coalescentLikelihood", "gmrfSkyrideLikelihood"):
+            lik_el = cc
+            lik = ax.build(cc)
+    if lik is None:
+        raise Unsupported("skylineGradient without a skyline likelihood")
+    if wrt in ("nodeHeight", "nodeHeights"):
+        return GradientSpec((), (lik,), height_tid=lik.tree_id)
+    sub = lik_el.find("populationSizes")
+    if sub is not None:
+        return GradientSpec((ax.param_from(sub),), (lik,))
+    raise Unsupported(f"skylineGradient wrt {wrt!r}")

@@ -230,19 +230,52 @@ class RepeatedMeasures:
     # ref: TreeScaledRepeatedMeasuresTraitDataModel — sampling variance
     # scaled per tip by (rootHeight - tipHeight) * rate normalization
     scale_by_tip_height: bool = False
+    # number of observation replicates per tip (ref:
+    # RepeatedMeasuresTraitDataModel numTraits > 1)
+    num_traits: int = 1
+
+
+@register("continuousTraitDataModel")
+def _continuous_trait_data_model(ax: XmlAnalysis, el):
+    """ref: ContinuousTraitDataModelParser — binds a trait parameter
+    (possibly numTraits replicates per tip) to a tree."""
+    tree_id = None
+    pname = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+        elif cc.tag == "traitParameter":
+            pname = ax.param_from(cc)
+    if tree_id is None or pname is None:
+        raise XmlError("continuousTraitDataModel needs treeModel + "
+                       "traitParameter")
+    return {"kind": "ctdm", "param": pname, "tree_id": tree_id,
+            "trait_name": el.get("traitName", "X"),
+            "num_traits": _attr(el, "numTraits", 1, int)}
 
 
 @register("repeatedMeasuresModel")
 def _repeated_measures(ax: XmlAnalysis, el):
     tree_id = None
+    num_traits = _attr(el, "numTraits", 1, int)
+    pname = None
+    trait_name = el.get("traitName", "X")
     for c in el:
         cc = ax.deref(c)
         if cc.tag == "treeModel":
             tree_id = ax.build(cc).tree_id
-    tp = el.find("traitParameter")
-    if tp is None:
-        raise XmlError("repeatedMeasuresModel without traitParameter")
-    pname = ax.param_from(tp)
+        elif cc.tag == "continuousTraitDataModel":
+            rec = ax.build(cc)
+            pname = rec["param"]
+            tree_id = tree_id or rec["tree_id"]
+            trait_name = rec["trait_name"]
+            num_traits = max(num_traits, rec["num_traits"])
+    if pname is None:
+        tp = el.find("traitParameter")
+        if tp is None:
+            raise XmlError("repeatedMeasuresModel without traitParameter")
+        pname = ax.param_from(tp)
     sp = el.find("samplingPrecision")
     if sp is None:
         raise XmlError("repeatedMeasuresModel without samplingPrecision")
@@ -251,11 +284,11 @@ def _repeated_measures(ax: XmlAnalysis, el):
     if inner.tag == "parameter":
         dname = ax.param_from(sp)
         d = int(np.ravel(ax.value_of(dname)).size)
-        return RepeatedMeasures(pname, el.get("traitName", "X"), tree_id,
-                                None, dname, d, tip_scaled)
+        return RepeatedMeasures(pname, trait_name, tree_id,
+                                None, dname, d, tip_scaled, num_traits)
     mp = matrix_param_of(ax, inner)
-    return RepeatedMeasures(pname, el.get("traitName", "X"), tree_id,
-                            mp, None, mp.dim, tip_scaled)
+    return RepeatedMeasures(pname, trait_name, tree_id,
+                            mp, None, mp.dim, tip_scaled, num_traits)
 
 
 @dataclasses.dataclass
@@ -413,6 +446,139 @@ def _conjugate_root(ax: XmlAnalysis, el, d: int):
     return None
 
 
+def _joint_potentials_route(ax: XmlAnalysis, el, diffusion, tree_id,
+                            comps, root_spec):
+    """Trait likelihood with arbitrary canonical tip potentials: the
+    jointPartialsProvider composition (ref: JointPartialsProvider.java —
+    each sub-model contributes its potential on a sub-block of the
+    latent process) and repeated-measures replicates (numTraits > 1;
+    ref: RepeatedMeasuresTraitDataModel) share the generalized BP engine
+    models/factor.py:canonical_bp_loglikelihood."""
+    from beast_mcmc_tpu.models.factor import (
+        canonical_bp_loglikelihood,
+        factor_tip_potentials,
+    )
+
+    d_total = diffusion.dim
+    tm = ax._trees[tree_id]
+    n_tips = len(tm.taxa)
+    prec = diffusion.prec
+    # (offset, blockdim, potential_fn(params) -> (P [N,b,b], b [N,b], g [N]))
+    blocks = []
+    off = 0
+    first_param = None
+    for comp in comps:
+        if isinstance(comp, IntegratedFactorModel):
+            meta = _trait_meta(ax, comp.tree_id, comp.trait_param,
+                               comp.trait_name)
+            p_dim = meta["dim"]
+            miss = jnp.asarray(np.asarray(meta["missing"], bool))
+            from beast_mcmc_tpu.config.xml_stats import _current_state
+
+            params0, _t0 = _current_state(ax)
+            k_f = int(np.asarray(comp.loadings.fn(params0)).shape[1])
+
+            def pot_factor(params, _c=comp, _m=miss, _p=p_dim):
+                dt = jnp.result_type(params[_c.trait_param])
+                tips = jnp.reshape(params[_c.trait_param],
+                                   (n_tips, _p)).astype(dt)
+                loadings = _c.loadings.fn(params).astype(dt).T  # [K,P]
+                gamma = jnp.ravel(params[_c.precision]).astype(dt)
+                if _c.nugget:
+                    gamma = 1.0 / (1.0 / gamma + _c.nugget)
+                return factor_tip_potentials(tips, _m, loadings, gamma)
+
+            blocks.append((off, k_f, pot_factor))
+            off += k_f
+            first_param = first_param or comp.trait_param
+        elif isinstance(comp, RepeatedMeasures):
+            meta = _trait_meta(ax, comp.tree_id or tree_id,
+                               comp.trait_param, comp.trait_name)
+            r = comp.num_traits
+            d_c = comp.dim
+            miss = np.asarray(meta["missing"], bool).reshape(
+                (n_tips, r, d_c))
+            miss_j = jnp.asarray(miss)
+
+            def pot_rm(params, _c=comp, _m=miss_j, _r=r, _d=d_c):
+                dt = jnp.result_type(params[_c.trait_param])
+                y = jnp.reshape(params[_c.trait_param],
+                                (n_tips, _r, _d)).astype(dt)
+                if _c.sampling_prec is not None:
+                    gam = _c.sampling_prec.fn(params).astype(dt)
+                else:
+                    gam = jnp.diag(jnp.ravel(
+                        params[_c.sampling_prec_diag]).astype(dt))
+                sig = jnp.linalg.inv(gam)
+                obs = jnp.asarray(~_m, dt)           # [N, R, D]
+
+                def one(y_ir, o):
+                    mask = jnp.outer(o, o)
+                    c_mat = sig * mask + jnp.diag(1.0 - o)
+                    j_mat = jnp.linalg.inv(c_mat) * mask
+                    j_mat = 0.5 * (j_mat + j_mat.T)
+                    yv = jnp.where(o > 0, y_ir, 0.0)
+                    sign, ld = jnp.linalg.slogdet(
+                        j_mat + jnp.diag(1.0 - o))
+                    g = -0.5 * (jnp.sum(o) * jnp.log(2 * jnp.pi) - ld
+                                + yv @ (j_mat @ yv))
+                    return j_mat, j_mat @ yv, g
+
+                P, b, g = jax.vmap(jax.vmap(one))(y, obs)
+                return (jnp.sum(P, axis=1), jnp.sum(b, axis=1),
+                        jnp.sum(g, axis=1))
+
+            blocks.append((off, d_c, pot_rm))
+            off += d_c
+            first_param = first_param or comp.trait_param
+        else:
+            raise Unsupported(
+                f"jointPartialsProvider component {type(comp).__name__}")
+    if off != d_total:
+        raise XmlError(
+            f"jointPartialsProvider dims {off} != diffusion dim {d_total}")
+
+    def fn_joint(params, tree):
+        dt = tree.heights.dtype
+        P = jnp.zeros((n_tips, d_total, d_total), dt)
+        b = jnp.zeros((n_tips, d_total), dt)
+        g = jnp.zeros((n_tips,), dt)
+        for o, bd, pot in blocks:
+            Pc, bc, gc = pot(params)
+            P = P.at[:, o:o + bd, o:o + bd].add(Pc.astype(dt))
+            b = b.at[:, o:o + bd].add(bc.astype(dt))
+            g = g + gc.astype(dt)
+        lam = prec.fn(params).astype(dt)
+        lam_inv = jnp.linalg.inv(lam)
+        if root_spec is not None and root_spec[0] == "conj":
+            mu0 = jnp.resize(jnp.ravel(params[root_spec[1]]).astype(dt),
+                             (d_total,))
+            k0 = jnp.ravel(params[root_spec[2]])[0].astype(dt)
+        else:
+            mu0, k0 = None, 1.0
+        return canonical_bp_loglikelihood(
+            P, b, g, tree.parent, tree.children, tree.heights,
+            tree.root, lam_inv, root_prior_mean=mu0,
+            root_prior_sample_size=k0)
+
+    lik = LikelihoodFn(fn_joint, tree_id,
+                       el.get("id") or "traitLikelihood",
+                       (first_param,))
+    meta0 = None
+    for comp in comps:
+        if isinstance(comp, RepeatedMeasures):
+            meta0 = ax._traits.get((comp.tree_id or tree_id,
+                                    comp.trait_name))
+    tl = TraitLikelihood(
+        lik, tree_id, first_param,
+        el.get("traitName", "trait"), n_tips, d_total,
+        np.zeros((n_tips, d_total), bool), None)
+    tl.diffusion_prec = prec
+    ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
+    ax._trait_likelihoods[el.get("id") or lik.name] = tl
+    return tl
+
+
 def _build_trait_likelihood(ax: XmlAnalysis, el):
     trait_name = el.get("traitName", "trait")
     diffusion: Optional[DiffusionModel] = None
@@ -420,6 +586,7 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
     rate_model = None
     trait_param = None
     repeated: Optional[RepeatedMeasures] = None
+    joint_components = None
     drift_fns = None
     tree_scale_name = None
     optimal_fns = None
@@ -465,6 +632,13 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
         elif tag == "integratedFactorModel":
             factor_model = ax.build(cc)
             tree_id = tree_id or factor_model.tree_id
+        elif tag == "jointPartialsProvider":
+            joint_components = []
+            for d_el in cc:
+                dd = ax.deref(d_el)
+                comp = ax.build(dd)
+                joint_components.append(comp)
+                tree_id = tree_id or comp.tree_id
         elif tag in ("ancestralTraitTreeModel",):
             tm_ext = ax.build(cc)
             tree_id = tm_ext.tree_id
@@ -530,6 +704,14 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
         raise XmlError("traitDataLikelihood without diffusion model")
     if tree_id is None:
         raise XmlError("traitDataLikelihood without treeModel")
+
+    if joint_components is not None or (
+            repeated is not None and repeated.num_traits > 1):
+        comps = joint_components if joint_components is not None \
+            else [repeated]
+        return _joint_potentials_route(
+            ax, el, diffusion, tree_id, comps,
+            _conjugate_root(ax, el, diffusion.dim))
 
     if factor_model is not None:
         # integrated factor route: K latent factors (diffusion precision

@@ -101,10 +101,46 @@ def integrated_factor_loglikelihood(
         lam_inv = jnp.eye(k, dtype=dt)
     else:
         lam_inv = jnp.linalg.inv(factor_precision)
-    eye = jnp.eye(k, dtype=dt)
 
     p0, b0, g0 = factor_tip_potentials(
         tip_data, tip_missing, loadings, trait_precision)
+
+    return canonical_bp_loglikelihood(
+        p0, b0, g0, parent, children, heights, root, lam_inv,
+        branch_rate_scalars=branch_rate_scalars,
+        root_prior_mean=root_prior_mean,
+        root_prior_sample_size=root_prior_sample_size,
+    )
+
+
+def canonical_bp_loglikelihood(
+    p0: jnp.ndarray,   # [N, K, K] tip potential precisions
+    b0: jnp.ndarray,   # [N, K]
+    g0: jnp.ndarray,   # [N]
+    parent: jnp.ndarray,
+    children: jnp.ndarray,
+    heights: jnp.ndarray,
+    root,
+    lam_inv: jnp.ndarray,  # [K, K] per-unit-time diffusion covariance
+    branch_rate_scalars=1.0,
+    root_prior_mean: Optional[jnp.ndarray] = None,
+    root_prior_sample_size: float = 1.0,
+) -> jnp.ndarray:
+    """Marginal log-likelihood of ARBITRARY canonical Gaussian tip
+    potentials propagated up a Brownian tree (the generalized engine
+    behind the integrated factor model; also serves repeated-measures
+    replicates and jointPartialsProvider compositions — ref:
+    ContinuousTraitPartialsProvider implementations)."""
+    n, k = b0.shape
+    m = parent.shape[0]
+    dt = b0.dtype
+    parent = jnp.asarray(parent)
+    children = jnp.asarray(children)
+    eye = jnp.eye(k, dtype=dt)
+
+    pidx = jnp.maximum(parent, 0)
+    bl = jnp.where(parent >= 0, heights[pidx] - heights, 0.0)
+    bl = bl * jnp.broadcast_to(jnp.asarray(branch_rate_scalars, dt), (m,))
 
     p_arr = jnp.zeros((m, k, k), dt).at[:n].set(p0)
     b_arr = jnp.zeros((m, k), dt).at[:n].set(b0)
