@@ -632,6 +632,10 @@ from beast_mcmc_tpu.config.xml_hmc import OP_REPORTS as _OPR
 
 
 def _loadings_gibbs_report(ax: XmlAnalysis, el) -> str:
+    has_integrated = any(
+        ax.deref(c).tag == "integratedFactorModel" for c in el)
+    if has_integrated:
+        return _loadings_gibbs_integrated_report(ax, el)
     op, _tid = _loadings_gibbs_operator(ax, el, 1.0)
     return op.report(ax)
 
@@ -1523,3 +1527,177 @@ def _wishart_statistics(ax: XmlAnalysis, el):
     if tl is None:
         raise Unsupported("wishartStatistics without trait likelihood")
     return _WishartStatistics(tl, el.get("id") or "wishart")
+
+
+# ---------------------------------------------------------------------------
+# dense joint-model conditionals (the hierarchical/composable reports)
+# ---------------------------------------------------------------------------
+
+
+def dense_joint_conditionals(ax, tl, params):
+    """E[latent tip states | all data] for a jointPartialsProvider trait
+    likelihood, plus per-component extended means (factor-scale f for an
+    rm-wrapped integratedFactorModel). Dense numpy construction — the
+    closed form of the reference's MC-estimated 'tree trait mean' /
+    'Factor mean' report sections."""
+    from beast_mcmc_tpu.config.xml_traits import (
+        IntegratedFactorModel,
+        RepeatedMeasures,
+    )
+
+    comps = tl.joint_comps
+    tm = ax._trees[tl.tree_id]
+    n = tl.n_tips
+    D = tl.dim
+    root_spec = tl.joint_root_spec
+    pss = 1e-3
+    mu0 = np.zeros(D)
+    if root_spec is not None and root_spec[0] == "conj":
+        mu0 = np.resize(
+            np.ravel(np.asarray(params[root_spec[1]], float)), (D,))
+        pss = float(np.ravel(np.asarray(params[root_spec[2]], float))[0])
+    M = tree_variance_np(tm, pss)
+    Sig = np.linalg.inv(np.asarray(tl.diffusion_prec.fn(params), float))
+    Cx = np.kron(M, Sig)
+
+    def xslice(tip, o, bd):
+        return slice(tip * D + o, tip * D + o + bd)
+
+    Hl, yl, Rspec = [], [], []
+    f_extras = []  # (name, rows of Cov(extra, y) builder info)
+    off = 0
+    for comp in comps:
+        if isinstance(comp, dict) and comp.get("kind") == "ctdm":
+            meta = ax._traits[(comp["tree_id"], comp["trait_name"])]
+            bd = meta["dim"]
+            miss = np.asarray(meta["missing"], bool)
+            Y = np.asarray(params[comp["param"]], float).reshape((n, bd))
+            for i in range(n):
+                for j in range(bd):
+                    if miss[i, j]:
+                        continue
+                    h = np.zeros(n * D)
+                    h[i * D + off + j] = 1.0
+                    Hl.append(h)
+                    yl.append(Y[i, j])
+                    Rspec.append(None)
+            off += bd
+        elif isinstance(comp, RepeatedMeasures) and \
+                comp.inner_factor is None:
+            meta = ax._traits[(comp.tree_id or tl.tree_id,
+                               comp.trait_name)]
+            bd = comp.dim
+            r = comp.num_traits
+            miss = np.asarray(meta["missing"], bool).reshape((n, r, bd))
+            Y = np.asarray(params[comp.trait_param], float).reshape(
+                (n, r, bd))
+            if comp.sampling_prec is not None:
+                R_rm = np.linalg.inv(np.asarray(
+                    comp.sampling_prec.fn(params), float))
+            else:
+                R_rm = np.diag(1.0 / np.ravel(np.asarray(
+                    params[comp.sampling_prec_diag], float)))
+            for i in range(n):
+                for rep in range(r):
+                    oo = [j for j in range(bd) if not miss[i, rep, j]]
+                    if not oo:
+                        continue
+                    block_rows = []
+                    for j in oo:
+                        h = np.zeros(n * D)
+                        h[i * D + off + j] = 1.0
+                        Hl.append(h)
+                        yl.append(Y[i, rep, j])
+                    Rspec.append(("block", len(oo),
+                                  R_rm[np.ix_(oo, oo)]))
+            off += bd
+        else:
+            # integratedFactorModel, possibly rm-wrapped
+            if isinstance(comp, RepeatedMeasures):
+                fm = comp.inner_factor
+                if comp.sampling_prec is not None:
+                    R_rm = np.linalg.inv(np.asarray(
+                        comp.sampling_prec.fn(params), float))
+                else:
+                    R_rm = np.diag(1.0 / np.ravel(np.asarray(
+                        params[comp.sampling_prec_diag], float)))
+            else:
+                fm = comp
+                R_rm = None
+            meta = ax._traits[(fm.tree_id, fm.trait_name)]
+            p_dim = meta["dim"]
+            miss = np.asarray(meta["missing"], bool)
+            Y = np.asarray(params[fm.trait_param], float).reshape(
+                (n, p_dim))
+            L = np.asarray(fm.loadings.fn(params), float)  # (p, k)
+            k_f = L.shape[1]
+            gam = np.ravel(np.asarray(params[fm.precision], float))
+            f_rows = []  # per-tip row index start into obs vector
+            for i in range(n):
+                oo = [j for j in range(p_dim) if not miss[i, j]]
+                start = len(yl)
+                for j in oo:
+                    h = np.zeros(n * D)
+                    h[xslice(i, off, k_f)] = L[j]
+                    Hl.append(h)
+                    yl.append(Y[i, j])
+                Rblock = np.diag(1.0 / gam[oo])
+                if R_rm is not None:
+                    Rblock = Rblock + L[oo] @ R_rm @ L[oo].T
+                Rspec.append(("block", len(oo), Rblock))
+                f_rows.append((i, start, oo))
+            if R_rm is not None:
+                f_extras.append((off, k_f, R_rm, L, f_rows))
+            off += k_f
+    H = np.array(Hl)
+    y = np.array(yl)
+    nobs = len(y)
+    R = np.zeros((nobs, nobs))
+    idx = 0
+    for spec in Rspec:
+        if spec is None:
+            idx += 1
+        else:
+            _, bsz, blk = spec
+            R[idx:idx + bsz, idx:idx + bsz] = blk
+            idx += bsz
+    C = H @ Cx @ H.T + R
+    mu_y = H @ np.tile(mu0, n)
+    sol = np.linalg.solve(C, y - mu_y)
+    x_mean = np.tile(mu0, n) + Cx @ H.T @ sol  # (n*D,)
+    extended = {}
+    for off_f, k_f, R_rm, L, f_rows in f_extras:
+        f_mean = x_mean.reshape((n, D))[:, off_f:off_f + k_f].copy()
+        # + Cov(e_rm, y) C^-1 (y - mu)
+        G = np.zeros((n * k_f, nobs))
+        for i, start, oo in f_rows:
+            G[i * k_f:(i + 1) * k_f, start:start + len(oo)] = \
+                R_rm @ L[oo].T
+        f_mean = f_mean + (G @ sol).reshape((n, k_f))
+        extended[off_f] = f_mean
+    return x_mean.reshape((n, D)), extended
+
+
+def _loadings_gibbs_integrated_report(ax, el) -> str:
+    """Report for loadingsGibbsOperator over an INTEGRATED factor model
+    inside a joint trait likelihood: prints the conditional tree-trait
+    and factor means (closed form of the reference's MC estimates)."""
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+
+    tl = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+    if tl is None or not hasattr(tl, "joint_comps"):
+        raise Unsupported("loadings report without joint trait likelihood")
+    params, _ = _current_state(ax)
+    x_mean, extended = dense_joint_conditionals(ax, tl, params)
+    parts = ["NewLoadingsGibbsOperatorReport:\n"]
+    flat = " ".join(repr(float(v)) for v in np.ravel(x_mean))
+    parts.append(f"tree trait mean:\n[ {flat} ]\n\n")
+    for off_f, f_mean in extended.items():
+        ff = " ".join(repr(float(v)) for v in np.ravel(f_mean))
+        parts.append(f"Factor mean:\n[ {ff} ]\n\n")
+    return "".join(parts)

@@ -233,6 +233,9 @@ class RepeatedMeasures:
     # number of observation replicates per tip (ref:
     # RepeatedMeasuresTraitDataModel numTraits > 1)
     num_traits: int = 1
+    # rm wrapping an integratedFactorModel: noise ADDS to the factor
+    # model's residual (ref: RepeatedMeasures over a sub-model)
+    inner_factor: object = None
 
 
 @register("continuousTraitDataModel")
@@ -261,6 +264,7 @@ def _repeated_measures(ax: XmlAnalysis, el):
     num_traits = _attr(el, "numTraits", 1, int)
     pname = None
     trait_name = el.get("traitName", "X")
+    inner_factor = None
     for c in el:
         cc = ax.deref(c)
         if cc.tag == "treeModel":
@@ -271,7 +275,12 @@ def _repeated_measures(ax: XmlAnalysis, el):
             tree_id = tree_id or rec["tree_id"]
             trait_name = rec["trait_name"]
             num_traits = max(num_traits, rec["num_traits"])
-    if pname is None:
+        elif cc.tag == "integratedFactorModel":
+            inner_factor = ax.build(cc)
+            tree_id = tree_id or inner_factor.tree_id
+            pname = inner_factor.trait_param
+            trait_name = inner_factor.trait_name
+    if pname is None and inner_factor is None:
         tp = el.find("traitParameter")
         if tp is None:
             raise XmlError("repeatedMeasuresModel without traitParameter")
@@ -285,10 +294,12 @@ def _repeated_measures(ax: XmlAnalysis, el):
         dname = ax.param_from(sp)
         d = int(np.ravel(ax.value_of(dname)).size)
         return RepeatedMeasures(pname, trait_name, tree_id,
-                                None, dname, d, tip_scaled, num_traits)
+                                None, dname, d, tip_scaled, num_traits,
+                                inner_factor)
     mp = matrix_param_of(ax, inner)
     return RepeatedMeasures(pname, trait_name, tree_id,
-                            mp, None, mp.dim, tip_scaled, num_traits)
+                            mp, None, mp.dim, tip_scaled, num_traits,
+                            inner_factor)
 
 
 @dataclasses.dataclass
@@ -465,9 +476,74 @@ def _joint_potentials_route(ax: XmlAnalysis, el, diffusion, tree_id,
     prec = diffusion.prec
     # (offset, blockdim, potential_fn(params) -> (P [N,b,b], b [N,b], g [N]))
     blocks = []
+    # exact (delta) observation blocks: (offset, blockdim, obs mask
+    # [N,b], param name)
+    delta_blocks = []
     off = 0
     first_param = None
     for comp in comps:
+        if isinstance(comp, dict) and comp.get("kind") == "ctdm":
+            # bare continuousTraitDataModel: direct (exact) observation
+            # of this latent sub-block
+            meta = _trait_meta(ax, comp["tree_id"], comp["param"],
+                               comp["trait_name"])
+            d_c = meta["dim"]
+            obs = ~np.asarray(meta["missing"], bool)
+            delta_blocks.append(("ctdm", off, d_c, jnp.asarray(obs),
+                                 comp["param"]))
+            off += d_c
+            first_param = first_param or comp["param"]
+            continue
+        if isinstance(comp, RepeatedMeasures) and \
+                comp.inner_factor is not None:
+            # rm noise ADDS to the wrapped factor model's residual:
+            # y | f ~ N(Lᵀf, Γ_f⁻¹ + S_rm)
+            fm_i = comp.inner_factor
+            meta = _trait_meta(ax, fm_i.tree_id, fm_i.trait_param,
+                               fm_i.trait_name)
+            p_dim = meta["dim"]
+            miss = jnp.asarray(np.asarray(meta["missing"], bool))
+            from beast_mcmc_tpu.config.xml_stats import _current_state
+
+            params0, _t0 = _current_state(ax)
+            k_f = int(np.asarray(fm_i.loadings.fn(params0)).shape[1])
+
+            def pot_rm_factor(params, _c=comp, _f=fm_i, _m=miss,
+                              _p=p_dim, _k=k_f):
+                from beast_mcmc_tpu.models.continuous import (
+                    _push_canonical,
+                )
+                from beast_mcmc_tpu.models.factor import (
+                    factor_tip_potentials,
+                )
+
+                dt = jnp.result_type(params[_f.trait_param])
+                tips = jnp.reshape(params[_f.trait_param],
+                                   (n_tips, _p)).astype(dt)
+                loadings = _f.loadings.fn(params).astype(dt).T
+                gamma = jnp.ravel(params[_f.precision]).astype(dt)
+                # potentials on the factor scale f (k dims)
+                P0, b0, g0 = factor_tip_potentials(
+                    tips, _m, loadings, gamma)
+                # rm wraps the factor model on the LATENT scale: f =
+                # x + e_rm (ref: RepeatedMeasures over a k-dim
+                # sub-model) — push each potential through R_rm
+                if _c.sampling_prec is not None:
+                    r_rm = jnp.linalg.inv(
+                        _c.sampling_prec.fn(params).astype(dt))
+                else:
+                    r_rm = jnp.diag(1.0 / jnp.ravel(
+                        params[_c.sampling_prec_diag]).astype(dt))
+                eye_k = jnp.eye(_k, dtype=dt)
+                return jax.vmap(
+                    lambda p_, b_, g_: _push_canonical(
+                        p_, b_, g_, 1.0, r_rm, eye_k)
+                )(P0, b0, g0)
+
+            blocks.append((off, k_f, pot_rm_factor))
+            off += k_f
+            first_param = first_param or fm_i.trait_param
+            continue
         if isinstance(comp, IntegratedFactorModel):
             meta = _trait_meta(ax, comp.tree_id, comp.trait_param,
                                comp.trait_name)
@@ -499,8 +575,23 @@ def _joint_potentials_route(ax: XmlAnalysis, el, diffusion, tree_id,
             miss = np.asarray(meta["missing"], bool).reshape(
                 (n_tips, r, d_c))
             miss_j = jnp.asarray(miss)
+            if r == 1:
+                # single observation y = x + e: fold the noise into the
+                # tip branch covariance and treat y as a DELTA
+                # observation of x+e — numerically exact and avoids
+                # conditioning through a near-singular sampling
+                # precision (testComposableContinuousModel)
+                delta_blocks.append(
+                    ("rm", off, d_c, jnp.asarray(~miss[:, 0, :]),
+                     comp))
+                off += d_c
+                first_param = first_param or comp.trait_param
+                continue
 
-            def pot_rm(params, _c=comp, _m=miss_j, _r=r, _d=d_c):
+            all_observed = not bool(miss.any())
+
+            def pot_rm(params, _c=comp, _m=miss_j, _r=r, _d=d_c,
+                       _full=all_observed):
                 dt = jnp.result_type(params[_c.trait_param])
                 y = jnp.reshape(params[_c.trait_param],
                                 (n_tips, _r, _d)).astype(dt)
@@ -509,8 +600,24 @@ def _joint_potentials_route(ax: XmlAnalysis, el, diffusion, tree_id,
                 else:
                     gam = jnp.diag(jnp.ravel(
                         params[_c.sampling_prec_diag]).astype(dt))
-                sig = jnp.linalg.inv(gam)
                 obs = jnp.asarray(~_m, dt)           # [N, R, D]
+
+                if _full:
+                    # fully observed: the potential is Γ directly — no
+                    # inversion (critical when Γ is near-singular, as in
+                    # testComposableContinuousModel's samplingPrecision)
+                    sign, ld_g = jnp.linalg.slogdet(gam)
+
+                    def one_full(y_ir, o):
+                        g = -0.5 * (_d * jnp.log(2 * jnp.pi) - ld_g
+                                    + y_ir @ (gam @ y_ir))
+                        return gam, gam @ y_ir, g
+
+                    P, b, g = jax.vmap(jax.vmap(one_full))(y, obs)
+                    return (jnp.sum(P, axis=1), jnp.sum(b, axis=1),
+                            jnp.sum(g, axis=1))
+
+                sig = jnp.linalg.inv(gam)
 
                 def one(y_ir, o):
                     mask = jnp.outer(o, o)
@@ -548,6 +655,34 @@ def _joint_potentials_route(ax: XmlAnalysis, el, diffusion, tree_id,
             P = P.at[:, o:o + bd, o:o + bd].add(Pc.astype(dt))
             b = b.at[:, o:o + bd].add(bc.astype(dt))
             g = g + gc.astype(dt)
+        dmask = dvals = cov_extra = None
+        if delta_blocks:
+            dmask = jnp.zeros((n_tips, d_total), dt)
+            dvals = jnp.zeros((n_tips, d_total), dt)
+            for kind, o, bd, obs, payload in delta_blocks:
+                if kind == "ctdm":
+                    pname = payload
+                    y = jnp.reshape(params[pname],
+                                    (n_tips, bd)).astype(dt)
+                else:  # rm single-replicate: noise folds into branch cov
+                    comp_rm = payload
+                    y = jnp.reshape(params[comp_rm.trait_param],
+                                    (n_tips, bd)).astype(dt)
+                    if comp_rm.sampling_prec is not None:
+                        gam = comp_rm.sampling_prec.fn(params).astype(dt)
+                    else:
+                        gam = jnp.diag(jnp.ravel(params[
+                            comp_rm.sampling_prec_diag]).astype(dt))
+                    r_cov = jnp.linalg.inv(gam)
+                    if cov_extra is None:
+                        cov_extra = jnp.zeros(
+                            (n_tips, d_total, d_total), dt)
+                    cov_extra = cov_extra.at[
+                        :, o:o + bd, o:o + bd].add(
+                        jnp.broadcast_to(r_cov, (n_tips, bd, bd)))
+                dmask = dmask.at[:, o:o + bd].set(obs.astype(dt))
+                dvals = dvals.at[:, o:o + bd].set(
+                    jnp.where(obs, y, 0.0))
         lam = prec.fn(params).astype(dt)
         lam_inv = jnp.linalg.inv(lam)
         if root_spec is not None and root_spec[0] == "conj":
@@ -559,7 +694,8 @@ def _joint_potentials_route(ax: XmlAnalysis, el, diffusion, tree_id,
         return canonical_bp_loglikelihood(
             P, b, g, tree.parent, tree.children, tree.heights,
             tree.root, lam_inv, root_prior_mean=mu0,
-            root_prior_sample_size=k0)
+            root_prior_sample_size=k0, tip_delta_mask=dmask,
+            tip_delta_values=dvals, tip_cov_extra=cov_extra)
 
     lik = LikelihoodFn(fn_joint, tree_id,
                        el.get("id") or "traitLikelihood",
@@ -574,6 +710,8 @@ def _joint_potentials_route(ax: XmlAnalysis, el, diffusion, tree_id,
         el.get("traitName", "trait"), n_tips, d_total,
         np.zeros((n_tips, d_total), bool), None)
     tl.diffusion_prec = prec
+    tl.joint_comps = comps
+    tl.joint_root_spec = root_spec
     ax._trait_likelihoods = getattr(ax, "_trait_likelihoods", {})
     ax._trait_likelihoods[el.get("id") or lik.name] = tl
     return tl
@@ -615,6 +753,11 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
             rate_model = _branch_value_fn(ax, cc)
         elif tag == "traitParameter":
             trait_param = ax.param_from(cc)
+        elif tag == "continuousTraitDataModel":
+            rec_ctdm = ax.build(cc)
+            trait_param = rec_ctdm["param"]
+            tree_id = tree_id or rec_ctdm["tree_id"]
+            trait_name = rec_ctdm["trait_name"]
         elif tag == "repeatedMeasuresModel":
             repeated = ax.build(cc)
         elif tag == "driftModels":
@@ -706,7 +849,8 @@ def _build_trait_likelihood(ax: XmlAnalysis, el):
         raise XmlError("traitDataLikelihood without treeModel")
 
     if joint_components is not None or (
-            repeated is not None and repeated.num_traits > 1):
+            repeated is not None and (repeated.num_traits > 1
+                                      or repeated.inner_factor is not None)):
         comps = joint_components if joint_components is not None \
             else [repeated]
         return _joint_potentials_route(

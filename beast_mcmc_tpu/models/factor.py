@@ -113,6 +113,44 @@ def integrated_factor_loglikelihood(
     )
 
 
+def _push_canonical_delta(p, b, g, o_mask, y, t, lam_inv, eye,
+                          cov_extra=None):
+    """Push a tip potential that ALSO carries exact (delta) observations
+    on the masked dims through its branch: message(x_parent) =
+    ∫ δ(x_O − y_O) exp(−½x'Px + b'x + g) N(x; x_p, tΣ) dx, integrated
+    in closed form (the composable-model generalization of the exact-tip
+    conditioning in models/continuous.py)."""
+    dt = b.dtype
+    k = b.shape[0]
+    o = o_mask.astype(dt)
+    u = 1.0 - o
+    cov = t * lam_inv
+    if cov_extra is not None:
+        # independent observation noise folded into the branch (exact
+        # for y = x + e: the delta-observed variable is x + e whose
+        # path covariance gains the noise block)
+        cov = cov + cov_extra
+    # J = C^-1 (guard t=0 with a tiny ridge; corpus branches are > 0)
+    j_mat = jnp.linalg.inv(cov + 1e-30 * eye)
+    a_mat = p + j_mat
+    # W = inv(A_UU) lifted; log|A_UU|
+    uu = jnp.outer(u, u)
+    a_uu = a_mat * uu + jnp.diag(o)
+    w = jnp.linalg.inv(a_uu) * uu
+    sign, ld_auu = jnp.linalg.slogdet(a_uu)
+    y_o = jnp.where(o > 0, y, 0.0)
+    c0 = (b - a_mat @ y_o) * u
+    ju = j_mat * u[:, None]          # rows masked to U
+    p_out = j_mat - ju.T @ (w @ ju)
+    b_out = j_mat @ y_o + ju.T @ (w @ c0)
+    sign2, ld_c = jnp.linalg.slogdet(cov + 1e-30 * eye)
+    g_out = (g - 0.5 * (k * jnp.log(2 * jnp.pi) + ld_c)
+             - 0.5 * (y_o @ (a_mat @ y_o)) + b @ y_o
+             + 0.5 * jnp.sum(u) * jnp.log(2 * jnp.pi)
+             - 0.5 * ld_auu + 0.5 * (c0 @ (w @ c0)))
+    return p_out, b_out, g_out
+
+
 def canonical_bp_loglikelihood(
     p0: jnp.ndarray,   # [N, K, K] tip potential precisions
     b0: jnp.ndarray,   # [N, K]
@@ -125,6 +163,9 @@ def canonical_bp_loglikelihood(
     branch_rate_scalars=1.0,
     root_prior_mean: Optional[jnp.ndarray] = None,
     root_prior_sample_size: float = 1.0,
+    tip_delta_mask: Optional[jnp.ndarray] = None,   # [N, K] exact dims
+    tip_delta_values: Optional[jnp.ndarray] = None,  # [N, K]
+    tip_cov_extra: Optional[jnp.ndarray] = None,    # [N, K, K] obs noise
 ) -> jnp.ndarray:
     """Marginal log-likelihood of ARBITRARY canonical Gaussian tip
     potentials propagated up a Brownian tree (the generalized engine
@@ -145,6 +186,15 @@ def canonical_bp_loglikelihood(
     p_arr = jnp.zeros((m, k, k), dt).at[:n].set(p0)
     b_arr = jnp.zeros((m, k), dt).at[:n].set(b0)
     g_arr = jnp.zeros((m,), dt).at[:n].set(g0)
+    dmask = (jnp.zeros((m, k), dt) if tip_delta_mask is None
+             else jnp.zeros((m, k), dt).at[:n].set(
+                 tip_delta_mask.astype(dt)))
+    dvals = (jnp.zeros((m, k), dt) if tip_delta_values is None
+             else jnp.zeros((m, k), dt).at[:n].set(
+                 tip_delta_values.astype(dt)))
+    cextra = (None if tip_cov_extra is None
+              else jnp.zeros((m, k, k), dt).at[:n].set(
+                  tip_cov_extra.astype(dt)))
 
     order = peel_order_from_heights(heights, n)
 
@@ -153,8 +203,14 @@ def canonical_bp_loglikelihood(
         acc = (jnp.zeros((k, k), dt), jnp.zeros((k,), dt), jnp.zeros((), dt))
         for ci in range(2):
             c = children[node, ci]
-            pc, bc, gc = _push_canonical(
-                p_a[c], b_a[c], g_a[c], bl[c], lam_inv, eye)
+            if tip_delta_mask is None and tip_cov_extra is None:
+                pc, bc, gc = _push_canonical(
+                    p_a[c], b_a[c], g_a[c], bl[c], lam_inv, eye)
+            else:
+                pc, bc, gc = _push_canonical_delta(
+                    p_a[c], b_a[c], g_a[c], dmask[c], dvals[c], bl[c],
+                    lam_inv, eye,
+                    None if cextra is None else cextra[c])
             acc = (acc[0] + pc, acc[1] + bc, acc[2] + gc)
         return (p_a.at[node].set(acc[0]),
                 b_a.at[node].set(acc[1]),
@@ -187,3 +243,108 @@ def factor_marginal_mvn(
     noise = jnp.kron(jnp.eye(tip_cov.shape[0], dtype=loadings.dtype),
                      jnp.diag(1.0 / trait_precision))
     return cov + noise
+
+
+def factor_tip_potentials_cov(
+    tip_data: jnp.ndarray,      # [N, P]
+    tip_missing: jnp.ndarray,   # bool [N, P]
+    loadings: jnp.ndarray,      # [K, P]
+    noise_cov: jnp.ndarray,     # [P, P] full residual covariance
+):
+    """Factor-scale canonical tip potentials with a FULL residual
+    covariance (integrated factors + repeated-measures noise: V =
+    Γ⁻¹ + S_rm; ref: RepeatedMeasures wrapping
+    IntegratedFactorAnalysisLikelihood). Missing dims are marginalized
+    exactly via masked conditioning."""
+    dt = tip_data.dtype
+    p = tip_data.shape[1]
+
+    def one(y, miss):
+        o = (~miss).astype(dt)
+        mask = jnp.outer(o, o)
+        c_mat = noise_cov * mask + jnp.diag(1.0 - o)
+        j_mat = jnp.linalg.inv(c_mat) * mask
+        j_mat = 0.5 * (j_mat + j_mat.T)
+        yv = jnp.where(o > 0, y, 0.0)
+        lo = loadings * o[None, :]
+        p_tip = lo @ j_mat @ lo.T
+        b_tip = lo @ (j_mat @ yv)
+        sign, ld = jnp.linalg.slogdet(j_mat + jnp.diag(1.0 - o))
+        g_tip = -0.5 * (jnp.sum(o) * jnp.log(2 * jnp.pi) - ld
+                        + yv @ (j_mat @ yv))
+        return p_tip, b_tip, g_tip
+
+    return jax.vmap(one)(tip_data, tip_missing)
+
+
+def canonical_bp_loglikelihood_np(
+    p0, b0, g0, parent, children, heights, root, lam_inv,
+    root_prior_mean=None, root_prior_sample_size=1.0,
+    tip_delta_mask=None, tip_delta_values=None, dtype=None,
+):
+    """Host-side long-double mirror of canonical_bp_loglikelihood —
+    the high-precision oracle used by the report/assert path when the
+    tip potentials are ill-conditioned (near-singular sampling
+    precisions; the f64 BP carries ~1e-9 of rounding there)."""
+    import numpy as np
+
+    ld = dtype or np.longdouble
+    n, k = np.shape(b0)
+    parent = np.asarray(parent)
+    children = np.asarray(children)
+    heights = np.asarray(heights, ld)
+    m = parent.shape[0]
+    P = np.zeros((m, k, k), ld)
+    b = np.zeros((m, k), ld)
+    g = np.zeros((m,), ld)
+    P[:n] = np.asarray(p0, ld)
+    b[:n] = np.asarray(b0, ld)
+    g[:n] = np.asarray(g0, ld)
+    dmask = np.zeros((m, k), ld)
+    dvals = np.zeros((m, k), ld)
+    if tip_delta_mask is not None:
+        dmask[:n] = np.asarray(tip_delta_mask, ld)
+        dvals[:n] = np.asarray(tip_delta_values, ld)
+    lam_inv = np.asarray(lam_inv, ld)
+    eye = np.eye(k, dtype=ld)
+
+    def push(node, t):
+        o = dmask[node]
+        u = 1.0 - o
+        cov = t * lam_inv
+        j_mat = np.linalg.inv(cov.astype(float)).astype(ld)
+        # refine the f64 inverse by one Newton step in long double
+        j_mat = j_mat @ (2 * eye - cov @ j_mat)
+        a_mat = P[node] + j_mat
+        uu = np.outer(u, u)
+        a_uu = a_mat * uu + np.diag(o)
+        w = np.linalg.inv(a_uu.astype(float)).astype(ld)
+        w = w @ (2 * eye - a_uu @ w)
+        w = w * uu
+        sign, ld_auu = np.linalg.slogdet(a_uu.astype(float))
+        sign2, ld_c = np.linalg.slogdet(cov.astype(float))
+        y_o = np.where(o > 0, dvals[node], 0.0)
+        c0 = (b[node] - a_mat @ y_o) * u
+        ju = j_mat * u[:, None]
+        p_out = j_mat - ju.T @ (w @ ju)
+        b_out = j_mat @ y_o + ju.T @ (w @ c0)
+        g_out = (g[node] - 0.5 * (k * np.log(2 * np.pi) + ld_c)
+                 - 0.5 * (y_o @ (a_mat @ y_o)) + b[node] @ y_o
+                 + 0.5 * np.sum(u) * np.log(2 * np.pi)
+                 - 0.5 * ld_auu + 0.5 * (c0 @ (w @ c0)))
+        return p_out, b_out, g_out
+
+    order = [i for i in np.argsort(heights[n:].astype(float)) + n]
+    for node in order:
+        for c in children[node]:
+            t = heights[node] - heights[c]
+            pc, bc, gc = push(int(c), t)
+            P[node] += pc
+            b[node] += bc
+            g[node] += gc
+    mean0 = (np.zeros(k, ld) if root_prior_mean is None
+             else np.asarray(root_prior_mean, ld))
+    k0 = ld(root_prior_sample_size)
+    dmask[root] = 0.0
+    p_r, b_r, g_r = push(int(root), 1.0 / k0)
+    return float(g_r - 0.5 * (mean0 @ (p_r @ mean0)) + b_r @ mean0)
