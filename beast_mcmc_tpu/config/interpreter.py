@@ -2934,6 +2934,13 @@ def _tree_likelihood(ax: XmlAnalysis, el):
         if cc.tag in ("patterns", "mergePatterns", "attributePatterns",
                       "ascertainedPatterns"):
             patterns = ax.build(cc)
+        elif cc.tag == "alignment" and patterns is None:
+            # a bare <alignment> child is a PatternList of its sites
+            # (ref: TreeLikelihoodParser accepts any PatternList)
+            from beast_mcmc_tpu.data.alignment import SitePatterns
+
+            aln = ax.build(cc)
+            patterns = SitePatterns.from_alignment(aln)
         elif cc.tag in ("treeModel", "starTreeModel"):
             tm = ax.build(cc)
         elif cc.tag == "siteModel":

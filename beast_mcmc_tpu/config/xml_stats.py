@@ -315,3 +315,281 @@ def _blombergs_k(ax: XmlAnalysis, el):
         raise Unsupported("blombergsK without a trait likelihood")
     return _BlombergK(tid=tl.tree_id, trait_param=tl.trait_param,
                       dim=tl.dim, name=el.get("id") or "kstat")
+
+
+# ---------------------------------------------------------------------------
+# sequenceDistanceStatistic
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _SequenceDistance:
+    """ref: src/dr/evomodel/treedatalikelihood/discrete/
+    SequenceDistanceStatistic.java — per-putative-taxon ML CTMC branch
+    length between the taxon's sequence and the (MAP) reconstructed
+    root states; reportDistance="likelihood" returns the optimized lnL
+    instead. Root states use the marginal MAP reconstruction (the
+    reference's joint draw concentrates on the same states in the
+    corpus files, which assert the optimized distances at 1e-6)."""
+
+    asr_id: str = ""
+    tree_states: np.ndarray = None   # (n_tree_taxa, L) tip state codes
+    put_states: np.ndarray = None    # (T, L) putative taxon codes
+    put_names: Tuple[str, ...] = ()
+    model: tuple = None              # ("subst"/"subst_q", fn, freqs_fn, k)
+    kind: str = "distance"           # or "likelihood"
+    name: str = "SDS"
+
+    def _root_map_states(self, ax, params):
+        from beast_mcmc_tpu.ops.eigen import transition_probs
+        from beast_mcmc_tpu.ops.expm import transition_probs_expm
+        from beast_mcmc_tpu.ops.peeling import (
+            _peel_forward,
+            peel_order_from_heights,
+        )
+        from beast_mcmc_tpu.models.treelikelihood import branch_lengths
+        from beast_mcmc_tpu.tree.topology import make_tree_state
+
+        parts = ax._treelik_parts[self.asr_id]
+        tm = parts["tm"]
+        tree = make_tree_state(tm.parent, tm.children, tm.heights,
+                               tm.root, jnp.float64)
+        r, w = parts["rates_weights"](params, parts["dtype"])
+        br = parts["clock"].rates(params, tree)
+        bl = branch_lengths(tree.parent, tree.heights) * br
+        t = bl[:, None] * r[None, :]
+        if parts["site_kind"] == "site_q":
+            p_mats = transition_probs_expm(parts["eigen"](params), t)
+        else:
+            p_mats = transition_probs(parts["eigen"](params), t)
+        s = self.tree_states.shape[1] and parts["tips"].shape[1]
+        n, L = self.tree_states.shape
+        k = p_mats.shape[-1]
+        tips = np.zeros((n, k, L))
+        for i in range(n):
+            for j in range(L):
+                st = self.tree_states[i, j]
+                if st < k:
+                    tips[i, st, j] = 1.0
+                else:
+                    tips[i, :, j] = 1.0
+        order = peel_order_from_heights(tree.heights, n)
+        freqs = parts["freqs_of"](params)
+        _sl, post, _sk = _peel_forward(
+            jnp.asarray(tips), tree.children, order, tree.root,
+            p_mats, freqs, w)
+        root_post = jnp.einsum("c,csp,s->sp", w,
+                               post[int(tm.root)], freqs)
+        return np.argmax(np.asarray(root_post), axis=0)  # (L,)
+
+    def values(self, ax):
+        from scipy.optimize import minimize_scalar
+
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, _t0 = _current_state(ax)
+        node_states = self._root_map_states(ax, params)
+        kind_tag, fn, freqs_fn, k = self.model
+
+        def tpm_of(d):
+            if kind_tag == "subst_q":
+                from scipy.linalg import expm as _expm
+
+                q = np.asarray(fn(params), float)
+                return _expm(q * d)
+            es = fn(params)
+            u = np.asarray(es.U, float)
+            vals = np.asarray(es.values, float)
+            ui = np.asarray(es.U_inv, float)
+            return (u * np.exp(vals * d)[None, :]) @ ui
+
+        pi = np.asarray(freqs_fn(params), float)
+        out = []
+        for t_i in range(self.put_states.shape[0]):
+            ts = self.put_states[t_i]
+
+            def neg_lnl(d):
+                tpm = np.maximum(tpm_of(max(d, 0.0)), 1e-300)
+                lnl = 0.0
+                for sidx in range(ts.shape[0]):
+                    a = ts[sidx]
+                    b2 = node_states[sidx]
+                    if a < k:
+                        lnl += np.log(tpm[a, b2])
+                    else:
+                        lnl += np.log(float(pi @ tpm[:, b2]))
+                return -lnl
+
+            res = minimize_scalar(neg_lnl, bounds=(0.0, 10.0),
+                                  method="bounded",
+                                  options={"xatol": 1e-10})
+            out.append(-res.fun if self.kind == "likelihood"
+                       else res.x)
+        return out
+
+    def report(self, ax) -> str:
+        vals = self.values(ax)
+        names = [f"{self.name}.{nm}" for nm in self.put_names]
+        vs = ", ".join(repr(float(v)) for v in vals)
+        return (f"sequenceDistanceStatistic Report\n\n"
+                f"dimension names: {' '.join(names)}\n\n"
+                f"values: [ {vs} ]\n\n")
+
+
+@register("sequenceDistanceStatistic")
+def _sequence_distance_statistic(ax: XmlAnalysis, el):
+    asr_id = None
+    model = None
+    put = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("ancestralTreeLikelihood",
+                      "markovJumpsTreeLikelihood"):
+            ax.build(cc)
+            asr_id = cc.get("id")
+        elif cc.tag == "alignment":
+            put = ax.build(cc)
+        elif cc.tag.endswith("Model") or cc.tag in (
+                "glmSubstitutionModel", "generalSubstitutionModel"):
+            try:
+                maybe = ax.build(cc)
+            except (Unsupported, XmlError):
+                continue
+            if isinstance(maybe, tuple) and maybe[0] in ("subst",
+                                                         "subst_q"):
+                model = maybe
+    if asr_id is None or model is None or put is None:
+        raise Unsupported("sequenceDistanceStatistic structure")
+    parts = ax._treelik_parts[asr_id]
+    tm = parts["tm"]
+    # tree-taxa state codes from the asr's ALIGNMENT (per site)
+    tree_aln = None
+    for el2 in ax.root.iter("alignment"):
+        obj2 = ax.build(el2)
+        if hasattr(obj2, "taxa") and set(tm.taxa) <= set(obj2.taxa):
+            tree_aln = obj2
+            break
+    if tree_aln is None:
+        raise Unsupported("sequenceDistanceStatistic: no tree alignment")
+    idx = [tree_aln.taxa.index(nm) for nm in tm.taxa]
+    tree_states = np.asarray(tree_aln.states)[idx]
+    sds = _SequenceDistance(
+        asr_id, tree_states, np.asarray(put.states),
+        tuple(put.taxa), model,
+        el.get("reportDistance", "distance"),
+        el.get("id") or "SDS")
+    sds.columns = _sds_chain_columns(ax, sds)
+    return sds
+
+
+def _sds_chain_columns(ax, sds: "_SequenceDistance"):
+    """jit-safe logging columns for the distance statistic: vectorized
+    grid search over branch length (the log column needs ~4 digits; the
+    report path uses the exact Brent optimum)."""
+    parts = ax._treelik_parts[sds.asr_id]
+    n, L = sds.tree_states.shape
+
+    tips = np.zeros((n, 4, L))
+    k_guess = None
+
+    def make_fn(t_i):
+        def fn(s):
+            from beast_mcmc_tpu.models.treelikelihood import branch_lengths
+            from beast_mcmc_tpu.ops.eigen import transition_probs
+            from beast_mcmc_tpu.ops.expm import transition_probs_expm
+            from beast_mcmc_tpu.ops.peeling import (
+                _peel_forward,
+                peel_order_from_heights,
+            )
+
+            params = ax.inject_derived(s.params)
+            tree = s.tree
+            r, w = parts["rates_weights"](params, parts["dtype"])
+            br = parts["clock"].rates(params, tree)
+            bl = branch_lengths(tree.parent, tree.heights) * br
+            t = bl[:, None] * r[None, :]
+            es = parts["eigen"](params)
+            if parts["site_kind"] == "site_q":
+                p_mats = transition_probs_expm(es, t)
+                k = p_mats.shape[-1]
+            else:
+                p_mats = transition_probs(es, t)
+                k = p_mats.shape[-1]
+            tps = np.zeros((n, k, L))
+            for i in range(n):
+                for j in range(L):
+                    st = sds.tree_states[i, j]
+                    if st < k:
+                        tps[i, st, j] = 1.0
+                    else:
+                        tps[i, :, j] = 1.0
+            order = peel_order_from_heights(tree.heights, n)
+            freqs = parts["freqs_of"](params)
+            _sl, post, _sk = _peel_forward(
+                jnp.asarray(tps, p_mats.dtype), tree.children, order,
+                tree.root, p_mats, freqs, w)
+            root_post = jnp.einsum("c,csp,s->sp", w, post[tree.root],
+                                   freqs)
+            node_states = jnp.argmax(root_post, axis=0)  # [L]
+            # model tpm over a branch-length grid
+            kind_tag, fnm, freqs_fn, kk = sds.model
+            grid = jnp.linspace(1e-6, 10.0, 1024)
+            if kind_tag == "subst_q":
+                q = fnm(params)
+                pg = jax.vmap(
+                    lambda d: jax.scipy.linalg.expm(q * d))(grid)
+            else:
+                es2 = fnm(params)
+                pg = jax.vmap(lambda d: (es2.U * jnp.exp(
+                    es2.values * d)[None, :]) @ es2.U_inv)(grid)
+            pg = jnp.maximum(pg, 1e-300)
+            pi = freqs_fn(params)
+            ts = jnp.asarray(sds.put_states[t_i])
+            amb = ts >= kk
+            ts_c = jnp.minimum(ts, kk - 1)
+            site_l = jnp.where(
+                amb[None, :],
+                jnp.log(jnp.einsum("s,gst->gt", pi, pg))[
+                    :, node_states],
+                jnp.log(pg[:, ts_c, node_states]))
+            lnl = jnp.sum(site_l, axis=1)  # [G]
+            best = jnp.argmax(lnl)
+            if sds.kind == "likelihood":
+                return lnl[best]
+            return grid[best]
+
+        return fn
+
+    return [(f"{sds.name}.{nm}", make_fn(i))
+            for i, nm in enumerate(sds.put_names)]
+
+
+@register("ancestralTrait")
+def _ancestral_trait(ax: XmlAnalysis, el):
+    """ref: AncestralTraitParser — logs the reconstructed ancestral
+    state at the root (or a clade MRCA). The jit log collector carries
+    numerics, so the column logs the sampled root STATE CODE of each
+    pattern's joint draw (first pattern; the reference logs the
+    sequence string)."""
+    rec = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("ancestralTreeLikelihood",
+                      "markovJumpsTreeLikelihood"):
+            ax.build(cc)
+            rec = getattr(ax, "_ancestral_liks", {}).get(cc.get("id"))
+    if rec is None:
+        raise Unsupported("ancestralTrait without ancestral likelihood")
+    name = el.get("name", "ancestralTrait")
+    states_fn = rec["states_fn"]
+
+    def col_fn(s):
+        tr = ax.resolve_tree(rec["tree_id"], s.params, s.tree)
+        k2 = jax.random.fold_in(s.key, 77)
+        states = states_fn(ax.inject_derived(s.params), tr, k2)
+        return states[tr.root].astype(jnp.float32)
+
+    class _Col2:
+        columns = [(name, col_fn)]
+
+    return _Col2()
