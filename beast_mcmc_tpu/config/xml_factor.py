@@ -1701,3 +1701,75 @@ def _loadings_gibbs_integrated_report(ax, el) -> str:
         ff = " ".join(repr(float(v)) for v in np.ravel(f_mean))
         parts.append(f"Factor mean:\n[ {ff} ]\n\n")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# multivariateGammaLikelihood
+# ---------------------------------------------------------------------------
+
+
+@register("multivariateGammaLikelihood")
+def _multivariate_gamma(ax: XmlAnalysis, el):
+    """ref: src/dr/inference/distribution/MultivariateGammaLikelihood —
+    independent per-element Gamma(shape_i, scale_i) over a data
+    vector."""
+    data_name = ax.param_from(el.find("data"))
+    scale_name = ax.param_from(el.find("scale"))
+    shape_name = ax.param_from(el.find("shape"))
+
+    def terms(params):
+        x = jnp.ravel(params[data_name])
+        sc = jnp.ravel(params[scale_name]) * jnp.ones_like(x)
+        sh = jnp.ravel(params[shape_name]) * jnp.ones_like(x)
+        return x, sc, sh
+
+    def fn(params, tree):
+        x, sc, sh = terms(params)
+        return jnp.sum((sh - 1) * jnp.log(x) - x / sc
+                       - sh * jnp.log(sc) - jax.scipy.special.gammaln(sh))
+
+    lik = LikelihoodFn(fn, None, el.get("id") or "mvGamma", (data_name,))
+
+    def report(ax_):
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, t0 = _current_state(ax_)
+        v = float(fn(params, t0))
+        x, sc, sh = terms(params)
+        g = np.asarray((sh - 1) / x - 1.0 / sc, float)
+        gs = " ".join(repr(float(t)) for t in g)
+        return f"loglikelihood: {v!r}\ngradient: {gs}\n"
+
+    lik.report = report
+    return lik
+
+
+@register("dirichletParameterPrior")
+def _dirichlet_parameter_prior(ax: XmlAnalysis, el):
+    """ref: DirichletDistributionParser (dirichletParameterPrior) —
+    Dirichlet density over a simplex parameter with countsParameter as
+    the concentration vector."""
+    data_name = ax.param_from(el.find("data"))
+    alpha = np.ravel(ax.value_of(ax.param_from(el.find("countsParameter"))))
+
+    def fn(params, tree):
+        x = jnp.ravel(params[data_name])
+        a = jnp.asarray(alpha, x.dtype)
+        return (jnp.sum((a - 1) * jnp.log(x))
+                + jax.scipy.special.gammaln(jnp.sum(a))
+                - jnp.sum(jax.scipy.special.gammaln(a)))
+
+    return LikelihoodFn(fn, None, el.get("id") or "dirichlet",
+                        (data_name,))
+
+
+@register("dummyModel")
+def _dummy_model(ax: XmlAnalysis, el):
+    """ref: DummyModelParser — binds parameters into the graph with no
+    density contribution."""
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            ax.build(cc)
+    return LikelihoodFn(lambda params, tree: jnp.asarray(0.0), None,
+                        el.get("id") or "dummyModel", ())

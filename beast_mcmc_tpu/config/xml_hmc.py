@@ -686,6 +686,17 @@ def _hmc_operator(ax: XmlAnalysis, el, weight):
                 names.extend(getattr(obj, "hmc_targets", ()))
     if not names:
         raise XmlError("hamiltonianMonteCarloOperator without parameters")
+    if el.find("UnitSimplexTransform") is not None:
+        from beast_mcmc_tpu.inference.hmc import SimplexHmcOperator
+
+        return SimplexHmcOperator(
+            weight=weight,
+            parameter=names[0],
+            n_leapfrog=_attr(el, "nSteps", 5, int),
+            step_size=_attr(el, "stepSize", 0.01, float),
+            mass=_attr(el, "drawVariance", 1.0, float),
+            adaptable=_attr(el, "autoOptimize", True, bool),
+        ), None
     return HmcOperator(
         weight=weight,
         parameters=tuple(dict.fromkeys(names)),

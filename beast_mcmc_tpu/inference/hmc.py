@@ -458,3 +458,81 @@ class GeodesicHmcOperator(Operator):
         y1 = jnp.where(ok, y1, y0)
         return ({**params, self.parameter: y1.reshape(
             jnp.shape(x0)).astype(x0.dtype)}, tree, logh)
+
+
+@dataclasses.dataclass
+class SimplexHmcOperator(Operator):
+    """HMC over a simplex-constrained parameter in ALR coordinates
+    (ref: HamiltonianMonteCarloOperatorParser with UnitSimplexTransform —
+    the reference runs leapfrog in the transformed unconstrained space;
+    here y_i = log(x_i/x_K), x = softmax([y, 0]), log|J| = Σ log x_i)."""
+
+    parameter: str = ""
+    n_leapfrog: int = 5
+    step_size: float = 0.01
+    mass: float = 1.0
+    adaptable: bool = True
+    target_acceptance: float = 0.8
+    _log_posterior: Optional[Callable] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    @property
+    def modifies_params(self):
+        return (self.parameter,)
+
+    def bind_log_posterior(self, log_posterior):
+        self._log_posterior = log_posterior
+
+    def initial_adapt(self) -> float:
+        return math.log(self.step_size)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        assert self._log_posterior is not None
+        eps = tuning
+        dt = tree.heights.dtype
+        x0 = jnp.ravel(params[self.parameter]).astype(dt)
+        k = x0.shape[0]
+        y0 = jnp.log(x0[:-1]) - jnp.log(x0[-1])
+
+        def x_of(y):
+            z = jnp.concatenate([y, jnp.zeros((1,), dt)])
+            return jax.nn.softmax(z)
+
+        def neg_log_py(y):
+            x = x_of(y)
+            p2 = {**params, self.parameter: x.astype(
+                params[self.parameter].dtype).reshape(
+                jnp.shape(params[self.parameter]))}
+            ldj = jnp.sum(jnp.log(x))
+            return -(self._log_posterior(p2, tree) + ldj)
+
+        grad = jax.grad(neg_log_py)
+        kp, _ = jax.random.split(key)
+        p0 = jnp.sqrt(jnp.asarray(self.mass, dt)) * jax.random.normal(
+            kp, y0.shape, dt)
+
+        def leap(_, c):
+            y, p = c
+            p = p - 0.5 * eps * grad(y)
+            y = y + eps * p / self.mass
+            p = p - 0.5 * eps * grad(y)
+            return y, p
+
+        y1, p1 = jax.lax.fori_loop(0, self.n_leapfrog, leap, (y0, p0))
+        x1 = x_of(y1)
+        # the chain's outer MH computes (lp1 - lp0) over x; the
+        # transformed-HMC acceptance exp(H0 - H1) then leaves
+        # logh = Δ(log-Jacobian) + Δ(kinetic)
+        ldj0 = jnp.sum(jnp.log(x0))
+        ldj1 = jnp.sum(jnp.log(x1))
+        logh = (ldj1 - ldj0) + 0.5 * (
+            jnp.sum(p0 * p0) - jnp.sum(p1 * p1)) / self.mass
+        ok = jnp.isfinite(logh) & jnp.all(jnp.isfinite(x1))
+        logh = jnp.where(ok, logh, NEG_INF)
+        x1 = jnp.where(ok, x1, x0)
+        old = params[self.parameter]
+        return ({**params, self.parameter: x1.astype(old.dtype).reshape(
+            jnp.shape(old))}, tree, logh)
