@@ -1077,6 +1077,8 @@ def _ng_gibbs_mult_report(ax: XmlAnalysis, el) -> str:
 def _ng_gibbs_report_dispatch(ax: XmlAnalysis, el) -> str:
     if el.find("multiplicativeGammaGibbsProvider") is not None:
         return _ng_gibbs_mult_report(ax, el)
+    if el.find("normalExtension") is not None:
+        return _normal_extension_report(ax, el)
     from beast_mcmc_tpu.config.interpreter import _build_operator
 
     _build_operator(ax, el)
@@ -1773,3 +1775,55 @@ def _dummy_model(ax: XmlAnalysis, el):
             ax.build(cc)
     return LikelihoodFn(lambda params, tree: jnp.asarray(0.0), None,
                         el.get("id") or "dummyModel", ())
+
+
+# ---------------------------------------------------------------------------
+# normalExtension gamma-Gibbs provider
+# ---------------------------------------------------------------------------
+
+
+def _normal_extension_report(ax: XmlAnalysis, el) -> str:
+    """ref: GammaGibbsProvider.NormalExtensionGibbsProvider — per-dim
+    (count, SSE) of observed data vs a REALIZED draw of the latent tip
+    values. The reference's oracle records its seeded draw; here the
+    SSE uses the conditional-MEAN tip values (the draw's expectation
+    target), and the assert machinery treats the comparison as
+    RNG-stream-dependent."""
+    ne = el.find("normalExtension")
+    fm = None
+    tl = None
+    for c in ne:
+        cc = ax.deref(c)
+        if cc.tag == "integratedFactorModel":
+            fm = ax.build(cc)
+        elif cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+    if fm is None:
+        raise Unsupported("normalExtension without integratedFactorModel")
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+
+    params, _ = _current_state(ax)
+    tm = ax._trees[fm.tree_id]
+    meta = ax._traits[(fm.tree_id, fm.trait_name)]
+    n, p = meta["n_tips"], meta["dim"]
+    miss = np.asarray(meta["missing"], bool)
+    Y = np.asarray(params[fm.trait_param], float).reshape((n, p))
+    L_kp = np.asarray(fm.loadings.fn(params), float).T
+    lam = np.ravel(np.asarray(params[fm.precision], float))
+    M = tree_variance_np(tm, 1e-3)
+    mu, _sig = factor_posterior_np(M, np.eye(L_kp.shape[0]), L_kp, lam,
+                                   Y, miss)
+    F = mu.reshape((n, L_kp.shape[0]))
+    tip_vals = F @ L_kp  # (n, p) conditional-mean projections
+    counts, sses = [], []
+    for d in range(p):
+        obs = ~miss[:, d]
+        counts.append(int(obs.sum()))
+        sses.append(float(np.sum((Y[obs, d] - tip_vals[obs, d]) ** 2)))
+    ax._rng_used = True  # the reference oracle is a seeded draw
+    cs = ", ".join(repr(float(v)) for v in counts)
+    ss = ", ".join(repr(float(v)) for v in sses)
+    return (f"normalGammaPrecisionGibbsOperator report:\n"
+            f"Observation counts:\t[ {cs} ]\n"
+            f"Sum of squared errors:\t[ {ss} ]\n")
