@@ -868,9 +868,15 @@ def _product_parameter(ax: XmlAnalysis, el):
     names = []
     for c in el:
         cc = ax.deref(c)
-        obj = ax.build(cc)
-        names.append(obj.name if isinstance(obj, (Param, DerivedParam))
-                     else ax.param_from(cc))
+        if cc.tag in ("parameter", "productParameter",
+                      "transformedParameter", "compoundParameter",
+                      "multiplicativeParameter"):
+            obj = ax.build(cc)
+            names.append(obj.name if isinstance(obj, (Param, DerivedParam))
+                         else ax.param_from(cc))
+        else:
+            # wrapper child (<scale> etc.): resolve its inner parameter
+            names.append(ax.param_from(cc))
     name = el.get("id") or f"product{len(ax._derived_params)}"
 
     def fn(params, _ns=tuple(names)):
@@ -908,8 +914,15 @@ class MatrixShrinkage:
     targets: Tuple[str, ...] = ()      # column param names
     locals_: Tuple[str, ...] = ()      # local scale names per column
     lik: object = None
+    p_dim: int = 0
 
     def sse(self, params, col):
+        if not self.targets:
+            # normalMatrixNormLikelihood: plain column norms of the
+            # (scaled) matrix (ref: NormalMatrixNormLikelihood.java
+            # computeSumSquaredErrors)
+            M = np.asarray(self.loadings.fn(params), float)
+            return float(M[:, col] @ M[:, col])
         L = np.ravel(np.asarray(params[self.targets[col]], float))
         ls = np.ravel(np.asarray(params[self.locals_[col]], float))
         x = L / ls
@@ -993,14 +1006,21 @@ def _mult_gamma_provider(ax: XmlAnalysis, el):
                 obj = ax.build(dd)
                 names.append(obj.name if isinstance(
                     obj, (Param, DerivedParam)) else ax.param_from(dd))
-        elif cc.tag == "matrixShrinkageLikelihood":
+        elif cc.tag in ("matrixShrinkageLikelihood",
+                        "normalMatrixNormLikelihood"):
             ax.build(cc)
             shrink = getattr(ax, "_matrix_shrinkage", {}).get(cc.get("id"))
     if shrink is None or not names:
         raise Unsupported("multiplicativeGammaGibbsProvider structure")
-    p = int(np.ravel(ax.value_of(shrink.targets[0])).size)
-    return MultiplicativeGammaProvider(tuple(names), shrink, p,
-                                       len(shrink.targets))
+    if shrink.targets:
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        p0_, _ = _current_state(ax)
+        p = int(np.ravel(np.asarray(p0_[shrink.targets[0]])).size)
+        k = len(shrink.targets)
+    else:
+        p, k = shrink.p_dim, shrink.k_dim
+    return MultiplicativeGammaProvider(tuple(names), shrink, p, k)
 
 
 @dataclasses.dataclass
@@ -1827,3 +1847,50 @@ def _normal_extension_report(ax: XmlAnalysis, el) -> str:
     return (f"normalGammaPrecisionGibbsOperator report:\n"
             f"Observation counts:\t[ {cs} ]\n"
             f"Sum of squared errors:\t[ {ss} ]\n")
+
+
+@register("normalMatrixNormLikelihood")
+def _normal_matrix_norm(ax: XmlAnalysis, el):
+    """ref: src/dr/evomodel/continuous/NormalMatrixNormLikelihood.java —
+    independent N(0, 1/globalPrecision_col) over each column of a
+    (scaled) matrix; SSE helper for the multiplicative-gamma Gibbs."""
+    gp_el = el.find("globalPrecision")
+    m_el = el.find("matrix")
+    if gp_el is None or m_el is None:
+        raise XmlError("normalMatrixNormLikelihood structure")
+    prec_names = []
+    for c in gp_el:
+        cc = ax.deref(c)
+        obj = ax.build(cc)
+        if isinstance(obj, CompoundParam):
+            prec_names.extend(obj.names)
+        else:
+            prec_names.append(obj.name if isinstance(
+                obj, (Param, DerivedParam)) else ax.param_from(cc))
+    mp = matrix_param_of(ax, ax.deref(next(iter(m_el))))
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+
+    p0_, _ = _current_state(ax)
+    M0 = np.asarray(mp.fn(p0_), float)
+    p_dim, k_dim = M0.shape
+
+    def fn(params, tree):
+        M = mp.fn(params)
+        dt = jnp.result_type(M)
+        prec = jnp.concatenate(
+            [jnp.ravel(params[n]).astype(dt) for n in prec_names])
+        col_ss = jnp.sum(jnp.square(M), axis=0)
+        return jnp.sum(0.5 * p_dim * (jnp.log(prec) - jnp.log(
+            2 * jnp.asarray(jnp.pi, dt))) - 0.5 * prec * col_ss)
+
+    lik = LikelihoodFn(fn, None, el.get("id") or "matrixNorm",
+                       tuple(mp.names))
+    rec = MatrixShrinkage(mp, (), (), lik, p_dim=p_dim)
+    rec.k_dim = k_dim
+    store = getattr(ax, "_matrix_shrinkage", None)
+    if store is None:
+        store = ax._matrix_shrinkage = {}
+    if el.get("id"):
+        store[el.get("id")] = rec
+    ax._built[id(el)] = lik
+    return lik
