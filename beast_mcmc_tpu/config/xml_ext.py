@@ -1114,6 +1114,29 @@ def _transformed_parameter(ax: XmlAnalysis, el):
         cc = ax.deref(c)
         if cc.tag in ("transform", "LKJTransform", "inverseTransform"):
             tr = transform_of_el(ax, cc)
+        elif cc.tag == "matrixInnerProductTransform":
+            # corr = M Mᵀ of the inner matrix parameter (ref:
+            # MatrixInnerProductTransform — Cholesky-factor to
+            # correlation/covariance); value is the flattened matrix
+            from beast_mcmc_tpu.config.xml_hmc import matrix_param_of
+
+            mp_in = matrix_param_of(ax, ax.deref(next(iter(cc))))
+
+            def fn_ip(params, _mp=mp_in):
+                # ref wraps the col-major flat values ROW-major, so its
+                # XXᵀ is MᵀM in true (column-child) orientation
+                m_ = _mp.fn(params)
+                return jnp.ravel(m_.T @ m_)
+
+            name = el.get("id") or f"innerProduct.{mp_in.name}"
+            ax._derived_params[name] = fn_ip
+            from beast_mcmc_tpu.config.xml_stats import _current_state
+
+            p0_, _ = _current_state(ax)
+            dp = DerivedParam(name, fn_ip,
+                              value=np.asarray(fn_ip(p0_), float))
+            ax._built[id(el)] = dp
+            return dp
         elif cc.tag == "powerTransform":
             # <powerTransform power="-0.5"> wrapper (ref:
             # TransformParsers.PowerTransformParser)
@@ -1199,14 +1222,23 @@ def _masked_parameter(ax: XmlAnalysis, el):
     if idx.size == mvals.size:
         return ax._params[inner]
 
+    if inner in ax._params:
+        inner_val = np.ravel(ax.value_of(inner))
+    else:
+        # masked view over a DERIVED parameter (e.g. a matrix
+        # inner-product transform): evaluate at the initial state
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        p0_, _ = _current_state(ax)
+        inner_val = np.ravel(np.asarray(p0_[inner], float))
     if idx.size == 1:
         i0 = int(idx[0])
         fn = lambda p, n=inner, i=i0: jnp.ravel(p[n])[i]
-        init = np.ravel(ax.value_of(inner))[i0]
+        init = inner_val[i0]
     else:
         jidx = jnp.asarray(idx)
         fn = lambda p, n=inner, ix=jidx: jnp.ravel(p[n])[ix]
-        init = np.ravel(ax.value_of(inner))[idx]
+        init = inner_val[idx]
     ax._derived_params[mid] = fn
     return DerivedParam(mid, fn, value=init, base=inner, idx=idx)
 

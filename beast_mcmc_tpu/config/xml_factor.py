@@ -1697,7 +1697,22 @@ def dense_joint_conditionals(ax, tl, params):
                 R_rm @ L[oo].T
         f_mean = f_mean + (G @ sol).reshape((n, k_f))
         extended[off_f] = f_mean
-    return x_mean.reshape((n, D)), extended
+    # component -> (offset, blockdim) layout map
+    layout = []
+    off2 = 0
+    for comp in comps:
+        if isinstance(comp, dict):
+            bd = ax._traits[(comp["tree_id"], comp["trait_name"])]["dim"]
+        elif isinstance(comp, RepeatedMeasures) and \
+                comp.inner_factor is None:
+            bd = comp.dim
+        else:
+            fm2 = comp.inner_factor if isinstance(
+                comp, RepeatedMeasures) else comp
+            bd = np.asarray(fm2.loadings.fn(params), float).shape[1]
+        layout.append((comp, off2, bd))
+        off2 += bd
+    return x_mean.reshape((n, D)), extended, layout
 
 
 def _loadings_gibbs_integrated_report(ax, el) -> str:
@@ -1715,7 +1730,7 @@ def _loadings_gibbs_integrated_report(ax, el) -> str:
     if tl is None or not hasattr(tl, "joint_comps"):
         raise Unsupported("loadings report without joint trait likelihood")
     params, _ = _current_state(ax)
-    x_mean, extended = dense_joint_conditionals(ax, tl, params)
+    x_mean, extended, _layout = dense_joint_conditionals(ax, tl, params)
     parts = ["NewLoadingsGibbsOperatorReport:\n"]
     flat = " ".join(repr(float(v)) for v in np.ravel(x_mean))
     parts.append(f"tree trait mean:\n[ {flat} ]\n\n")
@@ -1894,3 +1909,74 @@ def _normal_matrix_norm(ax: XmlAnalysis, el):
         store[el.get("id")] = rec
     ax._built[id(el)] = lik
     return lik
+
+
+@dataclasses.dataclass
+class _TreeTraitReporter:
+    """ref: TreeTraitReporter — prints the (conditional-mean) latent
+    tree traits of one jointPartialsProvider component and its
+    data-scale transform (the reference MC-averages realized draws;
+    tolerance 1e-1 in the corpus)."""
+
+    tl: object = None
+    comp_el_id: str = ""
+    comp: object = None
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+        from beast_mcmc_tpu.config.xml_traits import (
+            IntegratedFactorModel,
+            RepeatedMeasures,
+        )
+
+        params, _ = _current_state(ax)
+        x_mean, extended, layout = dense_joint_conditionals(
+            ax, self.tl, params)
+        comp = self.comp
+        off = bd = None
+        for c2, o2, b2 in layout:
+            match = (c2 is comp
+                     or (isinstance(c2, RepeatedMeasures)
+                         and c2.inner_factor is comp))
+            if match:
+                off, bd = o2, b2
+                comp = c2
+                break
+        if off is None:
+            raise Unsupported("treeTraitReporter: component not in joint")
+        tree_vals = x_mean[:, off:off + bd]
+        if isinstance(comp, RepeatedMeasures) and comp.inner_factor:
+            fm = comp.inner_factor
+            f_mean = extended.get(off, tree_vals)
+            L_kp = np.asarray(fm.loadings.fn(params), float).T
+            trans = f_mean @ L_kp
+        elif isinstance(comp, IntegratedFactorModel):
+            L_kp = np.asarray(comp.loadings.fn(params), float).T
+            trans = tree_vals @ L_kp
+        else:
+            trans = tree_vals
+        r1 = "\n".join("  ".join(repr(float(v)) for v in row)
+                       for row in tree_vals)
+        r2 = "\n".join("  ".join(repr(float(v)) for v in row)
+                       for row in trans)
+        return (f"treeTraitReporter:\n"
+                f"tree trait values:\n{r1}\n\n"
+                f"transformed trait values:\n{r2}\n\n")
+
+
+@register("treeTraitReporter")
+def _tree_trait_reporter(ax: XmlAnalysis, el):
+    comp = None
+    tl = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("integratedFactorModel", "repeatedMeasuresModel",
+                      "continuousTraitDataModel"):
+            comp = ax.build(cc)
+        elif cc.tag in ("traitDataLikelihood",
+                        "multivariateTraitLikelihood"):
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+    if comp is None or tl is None or not hasattr(tl, "joint_comps"):
+        raise Unsupported("treeTraitReporter structure")
+    return _TreeTraitReporter(tl, "", comp)

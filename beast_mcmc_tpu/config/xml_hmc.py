@@ -129,10 +129,33 @@ def _build_matrix_param(ax: XmlAnalysis, el) -> MatrixParam:
         # Cholesky factor (guaranteeing PD)
         as_corr = _attr(el, "asCorrelation", False, bool)
         is_chol = _attr(el, "isCholesky", False, bool)
+        strictly = _attr(el, "isStrictlyUpperTriangular", True, bool)
         dname = ax.param_from(el.find("diagonal"))
         oname = ax.param_from(el.find("offDiagonal"))
         d = int(np.ravel(ax.value_of(dname)).size)
         iu = np.triu_indices(d, k=1)
+        if not strictly:
+            # off-diagonal vector INCLUDES the diagonal (vech, row-major;
+            # ref: AbstractTransformedCompoundMatrix
+            # weaklyUpperTriangularTransformatino:210-212): M_ii =
+            # d_i·off(i,i), M_ij = off(i,j)·sqrt(d_i d_j)
+            iw = np.triu_indices(d, k=0)
+
+            def fn_weak(params):
+                diag = jnp.ravel(params[dname])
+                off = jnp.ravel(params[oname])
+                m_full = jnp.zeros((d, d), diag.dtype)
+                m_full = m_full.at[iw].set(off)
+                m_full = m_full + jnp.triu(m_full, 1).T
+                if as_corr:
+                    sd = jnp.sqrt(diag)
+                    out = m_full * jnp.outer(sd, sd)
+                    out = out * (1.0 - jnp.eye(d, dtype=diag.dtype))
+                    return out + jnp.diag(diag * jnp.diag(m_full))
+                out = m_full * (1.0 - jnp.eye(d, dtype=diag.dtype))
+                return out + jnp.diag(diag * jnp.diag(m_full))
+
+            return MatrixParam(fn_weak, (dname, oname), d, mid)
 
         def fn(params):
             diag = jnp.ravel(params[dname])
