@@ -211,6 +211,12 @@ def report_of(ax: XmlAnalysis, el) -> str:
         return gradient_report(ax, obj)
     if isinstance(obj, (int, float)):
         return f"{obj}\n"
+    if isinstance(obj, dict) and "lik_el" in obj:
+        from beast_mcmc_tpu.config.xml_factor import (
+            trait_validation_report,
+        )
+
+        return trait_validation_report(ax, obj)
     raise Unsupported(f"no report for <{tag}>")
 
 

@@ -1980,3 +1980,90 @@ def _tree_trait_reporter(ax: XmlAnalysis, el):
     if comp is None or tl is None or not hasattr(tl, "joint_comps"):
         raise Unsupported("treeTraitReporter structure")
     return _TreeTraitReporter(tl, "", comp)
+
+
+@register("determinantPrior")
+def _determinant_prior(ax: XmlAnalysis, el):
+    """ref: ConstrainedDeterminantDistributionModel.logPdf:73-78 —
+    shape·log|det M| over a square matrix parameter."""
+    shape = float(el.get("shapeParameter", 1.0))
+    mp = matrix_param_of(ax, next(iter(el)))
+
+    def fn(params, tree):
+        m_ = mp.fn(params)
+        sign, ld = jnp.linalg.slogdet(m_)
+        return jnp.asarray(shape, ld.dtype) * ld
+
+    return LikelihoodFn(fn, None, el.get("id") or "determinantPrior",
+                        tuple(mp.names))
+
+
+def trait_validation_report(ax: XmlAnalysis, rec) -> str:
+    """ref: TraitValidationProvider report — MC mean/covariance of the
+    REALIZED missing trait entries; closed-form Gaussian conditional of
+    the missing entries given the observed data here."""
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+    from beast_mcmc_tpu.config.xml_traits import _conjugate_root
+
+    params, _ = _current_state(ax)
+    lik_el = rec["lik_el"]
+    tl = getattr(ax, "_trait_likelihoods", {}).get(lik_el.get("id"))
+    if tl is None:
+        raise Unsupported("traitValidationProvider without trait lik")
+    tm = ax._trees[tl.tree_id]
+    n, d = tl.n_tips, tl.dim
+    spec = _conjugate_root(ax, lik_el, d)
+    pss = (float(np.ravel(np.asarray(params[spec[2]], float))[0])
+           if spec is not None and spec[0] == "conj" else np.inf)
+    mu0 = (np.resize(np.ravel(np.asarray(params[spec[1]], float)), (d,))
+           if spec is not None and spec[0] == "conj" else np.zeros(d))
+    M = tree_variance_np(tm, np.inf)
+    from beast_mcmc_tpu.config.interpreter import _attr as _a
+
+    if _a(lik_el, "scaleByTime", False, bool):
+        if _a(lik_el, "useTreeLength", False, bool):
+            parent = np.asarray(tm.parent)
+            hts = np.asarray(tm.heights, float)
+            norm = float(np.sum(np.where(
+                parent >= 0, hts[np.maximum(parent, 0)] - hts, 0.0)))
+        else:
+            norm = float(np.asarray(tm.heights)[int(tm.root)])
+        M = M / norm
+    if np.isfinite(pss):
+        M = M + 1.0 / pss
+    Sig = np.linalg.inv(np.asarray(tl.diffusion_prec.fn(params), float))
+    # rm sampling covariance
+    R = np.zeros((d, d))
+    for c in lik_el:
+        cc = ax.deref(c)
+        if cc.tag == "repeatedMeasuresModel":
+            rm = ax.build(cc)
+            if rm.sampling_prec is not None:
+                R = np.linalg.inv(np.asarray(
+                    rm.sampling_prec.fn(params), float))
+            else:
+                R = np.diag(1.0 / np.ravel(np.asarray(
+                    params[rm.sampling_prec_diag], float)))
+    C = np.kron(M, Sig) + np.kron(np.eye(n), R)
+    miss = np.asarray(tl.missing, bool).reshape(-1)
+    # entries missing in the TRUE trait are excluded from validation
+    # (ref: TraitValidationProvider.setupMissingInds
+    # trueMissingIndicators)
+    from beast_mcmc_tpu.config.xml_traits import _trait_meta
+
+    t_meta = _trait_meta(ax, tl.tree_id, rec["true_param"],
+                         rec["trait_name"])
+    t_miss = np.asarray(t_meta["missing"], bool).reshape(-1)
+    held = miss & ~t_miss[:miss.size]
+    y = np.ravel(np.asarray(params[tl.trait_param], float))
+    mu = np.tile(mu0, n)
+    obs = ~miss
+    A = np.linalg.solve(C[np.ix_(obs, obs)], C[np.ix_(obs, held)])
+    m_mis = mu[held] + A.T @ (y[obs] - mu[obs])
+    V = C[np.ix_(held, held)] - C[np.ix_(held, obs)] @ A
+    ms = ", ".join(repr(float(v)) for v in m_mis)
+    rows = "\n".join("{ " + ", ".join(repr(float(v)) for v in r) + " }"
+                     for r in V)
+    return (f"traitValidationProvider Report\n\n"
+            f"Mean: [ {ms} ]\n\n"
+            f"Covariance:\n{rows}\n\n")
