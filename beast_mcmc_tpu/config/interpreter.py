@@ -1343,7 +1343,7 @@ def _joint_parameter(ax: XmlAnalysis, el):
     return JointTipAlias(tuple(dict.fromkeys(targets)))
 
 
-@register("compoundParameter")
+@register("compoundParameter", "CompoundParameter")
 def _compound_parameter(ax, el):
     names = []
     for c in el:

