@@ -393,6 +393,12 @@ class XmlAnalysis:
         for el in self.root:
             if el.tag == "mcmc":
                 self._run_mcmc(el, full_eval_steps)
+            elif el.tag == "marginalLikelihoodEstimator":
+                from beast_mcmc_tpu.config.xml_mle import (
+                    run_marginal_likelihood_estimator,
+                )
+
+                run_marginal_likelihood_estimator(self, el)
             elif el.tag == "traceAnalysis":
                 self._run_trace_analysis(el, tolerance_se)
             elif el.tag == "assertEqual":
@@ -4460,3 +4466,4 @@ from beast_mcmc_tpu.config import xml_field as _xml_field  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_geo as _xml_geo  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_stats as _xml_stats  # noqa: E402,F401
 from beast_mcmc_tpu.config import xml_factor as _xml_factor  # noqa: E402,F401
+from beast_mcmc_tpu.config import xml_mle as _xml_mle  # noqa: E402,F401
