@@ -2954,7 +2954,8 @@ def _tree_likelihood(ax: XmlAnalysis, el):
         elif cc.tag in ("strictClockBranchRates", "discretizedBranchRates",
                         "continuousBranchRates", "localClockModel",
                         "randomLocalClockModel", "arbitraryBranchRates",
-                        "gridBasedBranchRateModel"):
+                        "gridBasedBranchRateModel",
+                        "locationScaledBranchRateModel"):
             clock = ax.build(cc)
         elif cc.tag == "partition":
             pp, ps = None, None

@@ -1603,6 +1603,12 @@ def _auto_correlated_rates_prior(ax: XmlAnalysis, el):
         cc = ax.deref(c)
         if cc.tag == "arbitraryBranchRates":
             clock = ax.build(cc)
+        elif cc.tag == "locationScaledBranchRateModel":
+            # location scaling shifts all log rates by a constant; the
+            # child-minus-parent increments this prior scores are
+            # invariant, so unwrap to the inner rate model
+            clock = ax.build(cc)
+            clock = getattr(clock, "inner", clock)
         elif cc.tag == "bayesianBridgeDistribution":
             bridge = ax.build(cc)
     if clock is None or bridge is None:
@@ -1615,6 +1621,8 @@ def _auto_correlated_rates_prior(ax: XmlAnalysis, el):
     # DFS postorder; root excluded) — the reference's increment vector
     # layout (TreeParameterModel numbering)
     n_tips = (m + 1) // 2
+    # increment layout follows the REFERENCE node numbering (tips, then
+    # internals in DFS postorder — NewickImporter order, root last)
     post = []
     stack = [(int(tm.root), False)]
     while stack:
@@ -1632,14 +1640,44 @@ def _auto_correlated_rates_prior(ax: XmlAnalysis, el):
         np.int32)
     nonroot_j = jnp.asarray(nonroot)
 
+    log_units = el.get("log", "false").lower() == "true"
+    by_time = el.get("scaling", "none") == "byTime"
+    wrt_increments = el.get(
+        "operateOnIncrements", "false").lower() == "true"
+
     def increments(params, tree):
-        """Tree increments rate(node) - rate(parent), one per non-root
-        branch (the density target for BOTH operateOnIncrements modes;
-        the flag selects the reported gradient variable)."""
+        """Per-branch increments u(rate_node) − u(rate_parent), u = log
+        when log="true"; scaling="byTime" divides by sqrt(t) (ref:
+        AutoCorrelatedBranchRatesDistribution.recursePreOrder:283-299 +
+        BranchVarianceScaling.BY_TIME:444-459). Root's parent increment
+        is 0."""
+        vals = clock.rates(params, tree)
+        u = jnp.log(vals) if log_units else vals
+        # parent's u is 0 for children of the root (parentRateAsIncrement
+        # starts at 0 at the root)
+        pidx = jnp.maximum(tree.parent, 0)
+        u_parent = jnp.where(tree.parent == tree.root, 0.0, u[pidx])
+        incr = jnp.where(tree.parent >= 0, u - u_parent, 0.0)
+        if by_time:
+            t_b = jnp.where(
+                tree.parent >= 0,
+                tree.heights[pidx] - tree.heights, 1.0)
+            incr = incr / jnp.sqrt(jnp.maximum(t_b, 1e-300))
+        return incr[nonroot_j]
+
+    def log_jacobian(params, tree):
+        if wrt_increments:
+            return 0.0
         vals = clock.rates(params, tree)
         pidx = jnp.maximum(tree.parent, 0)
-        incr = jnp.where(tree.parent >= 0, vals - vals[pidx], 0.0)
-        return incr[nonroot_j]
+        mask = tree.parent >= 0
+        j = jnp.zeros_like(vals)
+        if log_units:
+            j = j - jnp.log(vals)
+        if by_time:
+            t_b = jnp.where(mask, tree.heights[pidx] - tree.heights, 1.0)
+            j = j - 0.5 * jnp.log(jnp.maximum(t_b, 1e-300))
+        return jnp.sum(jnp.where(mask, j, 0.0))
 
     def bridge_lp(x, params):
         tau = jnp.ravel(params[gs])[0]
@@ -1659,14 +1697,16 @@ def _auto_correlated_rates_prior(ax: XmlAnalysis, el):
             local_scales=local)
 
     def fn(params, tree):
-        return bridge_lp(increments(params, tree), params)
+        return (bridge_lp(increments(params, tree), params)
+                + log_jacobian(params, tree))
 
     lik = LikelihoodFn(fn, clock.tree_id,
                        el.get("id") or "autoCorrelatedRates", (pname,))
     ax._autocorr_priors = getattr(ax, "_autocorr_priors", {})
     ax._autocorr_priors[el.get("id") or lik.name] = {
         "lik": lik, "increments": increments, "bridge_lp": bridge_lp,
-        "rate_param": pname,
+        "rate_param": pname, "log_units": log_units, "by_time": by_time,
+        "wrt_increments": wrt_increments, "tree_id": clock.tree_id,
     }
     return lik
 
@@ -1691,8 +1731,49 @@ class IncrementGradient:
 
         params0, tree0 = initial_eval_state(ax)
         incr0 = self.rec["increments"](params0, tree0)
-        g = jax.grad(lambda x: self.rec["bridge_lp"](x, params0))(incr0)
-        return np.asarray(g)
+        g = np.array(jax.grad(
+            lambda x: self.rec["bridge_lp"](x, params0))(incr0))
+        if not self.rec.get("wrt_increments", True) and \
+                self.rec.get("log_units"):
+            # the rates-variant prior carries the log-Jacobian
+            # Σ −log r_j; its increments-gradient is −sqrt(t_b)·|subtree|
+            # (ref: AutoCorrelatedBranchRatesDistribution wrtIncrements
+            # handling)
+            tm = ax._trees[self.rec["tree_id"]]
+            m = tm.parent.shape[0]
+            n_tips = (m + 1) // 2
+            root = int(tm.root)
+            post = []
+            stack = [(root, False)]
+            while stack:
+                node, done = stack.pop()
+                if node < n_tips:
+                    continue
+                if not done:
+                    stack.append((node, True))
+                    stack.append((int(tm.children[node, 1]), False))
+                    stack.append((int(tm.children[node, 0]), False))
+                else:
+                    post.append(node)
+            nonroot = (list(range(n_tips))
+                       + [n for n in post if n != root])
+            hts = np.asarray(tm.heights, float)
+            par = np.asarray(tm.parent)
+            for b, node in enumerate(nonroot):
+                # subtree branch count
+                cnt = 0
+                cur = [node]
+                while cur:
+                    x = cur.pop()
+                    cnt += 1
+                    if tm.children[x, 0] >= 0:
+                        cur.extend([int(tm.children[x, 0]),
+                                    int(tm.children[x, 1])])
+                s_t = (np.sqrt(max(hts[int(par[node])] - hts[node],
+                                   1e-300))
+                       if self.rec.get("by_time") else 1.0)
+                g[b] = g[b] - s_t * cnt
+        return g
 
     def report(self, ax) -> str:
         from beast_mcmc_tpu.config.xml_assert import _vec
@@ -1738,7 +1819,7 @@ class BranchRateGradientWrtIncrements:
         m = tm.parent.shape[0]
         n_tips = (m + 1) // 2
         root = int(tm.root)
-        # nonroot nodes in reference branch order
+        # reference branch order (tips, then DFS-postorder internals)
         post = []
         stack = [(root, False)]
         while stack:
@@ -1777,10 +1858,28 @@ class BranchRateGradientWrtIncrements:
             return sum(l.fn(p, tree0) for l in self.spec.likelihoods)
 
         g = jax.grad(density)([params0[n] for n in names])
+        # log-units increments (rate = exp of increment sums): chain
+        # rule multiplies by the rate values elementwise; with
+        # scaling="byTime" the inverse map u_j = Σ_path sqrt(t_b)·incr_b
+        # adds a sqrt(branch time) factor per increment
+        log_units = by_time = False
+        for rec in getattr(ax, "_autocorr_priors", {}).values():
+            if rec.get("rate_param") in names:
+                log_units = log_units or bool(rec.get("log_units"))
+                by_time = by_time or bool(rec.get("by_time"))
+        sqrt_t = np.ones(nb)
+        if by_time:
+            hts = np.asarray(tm.heights, float)
+            par = np.asarray(tm.parent)
+            for b, node in enumerate(nonroot):
+                sqrt_t[b] = np.sqrt(max(
+                    hts[int(par[node])] - hts[node], 1e-300))
         out = []
-        for gi in g:
+        for n, gi in zip(names, g):
             flat = np.ravel(np.asarray(gi))[:nb]
-            out.append(sub @ flat)
+            if log_units:
+                flat = flat * np.ravel(np.asarray(params0[n]))[:nb]
+            out.append(sqrt_t * (sub @ flat))
         return np.concatenate(out)
 
     def report(self, ax) -> str:
@@ -1806,6 +1905,11 @@ def _branch_rate_gradient_wrt_increments(ax: XmlAnalysis, el):
             spec = obj
     for rec in getattr(ax, "_trait_likelihoods", {}).values():
         tree_id = tree_id or rec.tree_id
+    if tree_id is None and spec is not None:
+        for lk in spec.likelihoods:
+            tree_id = tree_id or lk.tree_id
+    if tree_id is None and ax._trees:
+        tree_id = next(iter(ax._trees))
     if spec is None or tree_id is None:
         raise XmlError("branchRateGradientWrtIncrements structure")
     return BranchRateGradientWrtIncrements(spec, tree_id)
@@ -1857,8 +1961,9 @@ def _branch_rate_gradient(ax: XmlAnalysis, el):
             if rp is None:
                 raise Unsupported(
                     "branchRateGradient without a free-rate clock")
-            sur = getattr(ax, "_surrogate_liks", {}).get(cc.get("id"))
-            return GradientSpec((rp,), (sur or lik,))
+            # the exact likelihood (NOT the first-order surrogate, whose
+            # stop-gradient kills the branch-TIME direction)
+            return GradientSpec((rp,), (lik,))
     raise XmlError("branchRateGradient without a likelihood child")
 
 
@@ -2321,3 +2426,32 @@ def _restricted_partials(ax: XmlAnalysis, el):
     if tm is None or mean is None:
         raise XmlError("restrictedPartials structure")
     return ("restricted_partials", tm.tree_id, tuple(tips), mean, pss)
+
+
+@register("locationScaledBranchRateModel")
+def _location_scaled_branch_rates(ax: XmlAnalysis, el):
+    """ref: LocationScaledBranchRateModel — multiplies an inner branch
+    rate model by a fixed-effect location scalar."""
+    inner = None
+    loc_name = None
+    tree_id = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+        elif cc.tag in _BRANCH_MODEL_TAGS:
+            inner = ax.build(cc)
+        elif cc.tag == "fixedEffects":
+            loc_name = ax.param_from(cc)
+    if inner is None or loc_name is None:
+        raise XmlError("locationScaledBranchRateModel structure")
+    from beast_mcmc_tpu.config.interpreter import ClockModel
+
+    def rates(params, tree, _in=inner, _l=loc_name):
+        return jnp.ravel(params[_l])[0] * _in.rates(params, tree)
+
+    cm = ClockModel("location_scaled", tree_id or inner.tree_id, rates,
+                    inner.rate_param)
+    cm.inner = inner
+    cm.location = loc_name
+    return cm
