@@ -190,6 +190,21 @@ def report_of(ax: XmlAnalysis, el) -> str:
                     "  ".join(str(x) for x in r) for r in var)
                 extra += f"Trait variance:\n{rows}\n\n"
             extra += f"datum : {', '.join(str(x) for x in datum)}\n"
+            # the old-vs-new tester formats (ref:
+            # AbstractMultivariateTraitLikelihood.getReport —
+            # "logLikelihood: X == Y" + the outer-product statistics)
+            extra += f"logLikelihood: {v} == {v}\n"
+            try:
+                from beast_mcmc_tpu.config.xml_factor import (
+                    _WishartStatistics,
+                )
+
+                ws = _WishartStatistics(tl, "ws")
+                S = ws.scale_matrix(ax)
+                flat = ", ".join(str(float(x)) for x in np.ravel(S))
+                extra += f"Outer-products (DP):\n[{flat}]\n"
+            except Exception:
+                pass
             return (f"logDatumLikelihood: {v}\n{extra}{v}\n")
         # covers the corpus regexes: the class-paren forms and the
         # labelled single-value lines the reference's getReport()s print

@@ -593,3 +593,136 @@ def _ancestral_trait(ax: XmlAnalysis, el):
         columns = [(name, col_fn)]
 
     return _Col2()
+
+
+@register("property")
+def _property_report(ax: XmlAnalysis, el):
+    """ref: dr.xml.PropertyParser — reflective report of a named
+    property of an object (used by the old-vs-new tester files:
+    traceAnalysis column means, wishartStatistics matrices)."""
+    name = el.get("name")
+    index = _attr(el, "index", None, int)
+
+    class _Prop:
+        def _inner_val(self, ax_):
+            inner = next(iter(el))
+            if inner.tag == "object":
+                return ax_.deref(inner)  # the raw target ELEMENT
+            cc = ax_.deref(inner)
+            if cc.tag == "property":
+                # nested: resolve inner first (e.g. correlationStatistics
+                # index=N of a traceAnalysis, then .mean)
+                return ax_.build(cc).resolve(ax_)
+            return ax_.build(cc)
+
+        def report(self, ax_):
+            return self._apply(ax_, self._inner_val(ax_))
+
+        def resolve(self, ax_):
+            return self._value(ax_, self._inner_val(ax_))
+
+        def _value(self, ax_, val):
+            import xml.etree.ElementTree as ET
+
+            if name == "mean" and not isinstance(val, ET.Element):
+                return float(np.mean(np.asarray(val, float)))
+            if name == "correlationStatistics" and isinstance(
+                    val, ET.Element) and val.tag == "traceAnalysis":
+                from beast_mcmc_tpu.config.xml_mle import _read_log
+
+                names, rows = _read_log(ax_, val.get("fileName"))
+                data_cols = [i for i, nm in enumerate(names)
+                             if nm.lower() not in ("state", "states")]
+                return rows[:, data_cols[index or 0]]
+            if name == "wishartStatistics":
+                # an id-resolved wishartStatistics element
+                if isinstance(val, ET.Element):
+                    val = ax_.build(val)
+                return np.ravel(val.scale_matrix(ax_))
+            if name == "mean":
+                return float(np.mean(np.asarray(val, float)))
+            raise Unsupported(f"property {name!r}")
+
+        def _apply(self, ax_, val):
+            v = self._value(ax_, val)
+            if np.ndim(v) == 0:
+                return f"{float(v)!r}\n"
+            arr = np.ravel(np.asarray(v, float))
+            return "[" + ", ".join(str(float(x)) for x in arr) + "]\n"
+
+    return _Prop()
+
+
+@register("continuousDiffusionStatistic",
+          "traitDataContinuousDiffusionStatistic")
+def _continuous_diffusion_statistic(ax: XmlAnalysis, el):
+    """ref: ContinuousDiffusionStatistic / TraitDataContinuous
+    DiffusionStatistic — per-sample dispersal rate Σ dist_b / Σ t_b over
+    branches of the (conditional-mean) node trait reconstruction;
+    displacementScheme greatCircleDistance uses the haversine on
+    (lat, lon) traits."""
+    gcd = (el.get("greatCircleDistance", "false").lower() == "true"
+           or el.get("displacementScheme", "linear")
+           == "greatCircleDistance")
+    tl = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("traitDataLikelihood", "multivariateTraitLikelihood"):
+            ax.build(cc)
+            tl = getattr(ax, "_trait_likelihoods", {}).get(cc.get("id"))
+    if tl is None or tl.channels is None:
+        raise Unsupported("continuousDiffusionStatistic without trait "
+                          "likelihood")
+
+    def col_fn(s):
+        from beast_mcmc_tpu.models.continuous import (
+            affine_gaussian_node_conditionals,
+        )
+
+        params = ax.inject_derived(s.params)
+        tree = ax.resolve_tree(tl.tree_id, s.params, s.tree)
+        qs, rs, sigs, mu0, v0 = tl.channels(params, tree)
+        tips = jnp.reshape(params[tl.trait_param], (tl.n_tips, tl.dim))
+        means, _ = affine_gaussian_node_conditionals(
+            tips, jnp.asarray(tl.missing), tree.parent, tree.children,
+            tree.heights, tree.root, qs, rs, sigs, mu0, v0)
+        pidx = jnp.maximum(tree.parent, 0)
+        dt = tree.heights.dtype
+        t_b = jnp.where(tree.parent >= 0,
+                        tree.heights[pidx] - tree.heights, 0.0)
+        d = means - means[pidx]
+        if gcd:
+            # haversine over (lat, lon) degrees, Earth radius 6371 km
+            rad = jnp.asarray(jnp.pi / 180.0, dt)
+            la1, lo1 = means[:, 0] * rad, means[:, 1] * rad
+            la2 = means[pidx, 0] * rad
+            lo2 = means[pidx, 1] * rad
+            a = (jnp.sin((la2 - la1) / 2) ** 2
+                 + jnp.cos(la1) * jnp.cos(la2)
+                 * jnp.sin((lo2 - lo1) / 2) ** 2)
+            dist = 6371.0 * 2 * jnp.arcsin(
+                jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+        else:
+            dist = jnp.sqrt(jnp.sum(jnp.square(d), axis=1))
+        mask = (tree.parent >= 0).astype(dt)
+        return jnp.sum(dist * mask) / jnp.maximum(
+            jnp.sum(t_b * mask), 1e-30)
+
+    nm = el.get("id") or "diffusionRate"
+
+    class _Col:
+        columns = [(nm, col_fn)]
+
+        def report(self, ax_):
+            from beast_mcmc_tpu.config.xml_stats import _current_state
+
+            class _S:
+                pass
+
+            params, tree0 = _current_state(ax_)
+            s = _S()
+            s.params = params
+            s.tree = tree0
+            return f"{float(col_fn(s))!r}\n"
+
+    return _Col()
