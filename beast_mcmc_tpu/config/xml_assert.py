@@ -312,6 +312,21 @@ def _assert_equal(ax: XmlAnalysis, el):
                 ok = bool(np.all(np.abs(lhs - rhs) < t))
         else:
             ok = raw.strip() == expected.strip()
+            if not ok:
+                # the reference's no-tolerance assertEqual is an exact
+                # STRING compare that only passes because both sides come
+                # from the same arithmetic; across implementations apply
+                # the reference's own numeric-check tolerance instead
+                # (ref: BeastUnitTest.DoubleAssert / MarkovChain
+                # evaluationTestThreshold semantics)
+                try:
+                    lhs_n = _parse_array(raw, strip, indices)
+                    rhs_n = _parse_array(expected, strip)
+                    ok = (lhs_n.shape == rhs_n.shape and bool(np.all(
+                        np.abs(lhs_n - rhs_n)
+                        <= 1e-6 * np.maximum(np.abs(rhs_n), 1.0))))
+                except (ValueError, IndexError):
+                    ok = False
         if ok != equal_mode:
             detail = (
                 f"assert {message}: '{raw.strip()[:200]}' "

@@ -726,3 +726,58 @@ def _continuous_diffusion_statistic(ax: XmlAnalysis, el):
             return f"{float(col_fn(s))!r}\n"
 
     return _Col()
+
+
+@register("cladeRelationshipStatistic")
+def _clade_relationship_statistic(ax: XmlAnalysis, el):
+    """ref: src/dr/evomodel/tree/CladeRelationshipStatistic.java:105-128
+    — 1.0 iff taxaA's MRCA is sister to taxaB's MRCA ('sister'), or iff
+    A's MRCA lies inside B's clade ('aInB')."""
+    rel = el.get("relationshipType", "sister")
+    tree_id = None
+    sets = {}
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+        elif cc.tag in ("taxaA", "taxaB"):
+            names = []
+            for t_el in cc.iter("taxon"):
+                names.append(t_el.get("idref") or t_el.get("id"))
+            sets[cc.tag] = names
+    tm = ax._trees[tree_id]
+    idxA = [tm.taxa.index(nm) for nm in sets["taxaA"]]
+    idxB = [tm.taxa.index(nm) for nm in sets["taxaB"]]
+    parent = np.asarray(tm.parent)
+    heights = np.asarray(tm.heights, float)
+    root = int(tm.root)
+
+    def mrca(tips):
+        cur = set(tips)
+        # walk each tip's ancestor path; the lowest common node
+        paths = []
+        for t in tips:
+            p = [t]
+            while p[-1] != root:
+                p.append(int(parent[p[-1]]))
+            paths.append(p)
+        common = set(paths[0])
+        for p in paths[1:]:
+            common &= set(p)
+        return min(common, key=lambda nd: heights[nd])
+
+    mA, mB = mrca(idxA), mrca(idxB)
+    mT = mrca([mA, mB])
+    sister = (mA != root and mB != root
+              and int(parent[mA]) == int(parent[mB]))
+    a_in_b = (not sister) and (mT == mB)
+    val = 1.0 if (sister if rel == "sister" else a_in_b) else 0.0
+    nm = el.get("id") or "cladeRelationship"
+
+    class _R:
+        def report(self, ax_):
+            return f"{nm}: {val!r}\n"
+
+        columns = [(nm, lambda s, v=val: jnp.asarray(v))]
+
+    return _R()

@@ -226,6 +226,16 @@ def _parse_newick_py(
     depth = np.zeros(m, np.float64)
     next_internal = [n]
 
+    def collapse_unary(node):
+        """Merge redundant single-child nodes (extra parentheses in the
+        newick), summing branch lengths."""
+        kids, label, length = node
+        kids = [collapse_unary(k) for k in kids]
+        if len(kids) == 1:
+            ck, cl, clen = kids[0]
+            return (ck, cl, (length or 0.0) + (clen or 0.0))
+        return (kids, label, length)
+
     def assign(node, parent_idx, d):
         kids, label, length = node
         d = d + (length or 0.0)
@@ -246,7 +256,7 @@ def _parse_newick_py(
             children_arr[idx] = ch
         return idx
 
-    root = assign(tree, -1, 0.0)
+    root = assign(collapse_unary(tree), -1, 0.0)
 
     max_depth = depth[:n].max()
     heights = max_depth - depth
