@@ -137,6 +137,7 @@ def gradient_report(ax: XmlAnalysis, spec) -> str:
     return (f"Gradient\nanalytic: {_vec(flat_a)}\n"
             f"numeric : {_vec(numeric)}\n"
             f"peeling : {_vec(flat_a)}\n"  # the peeling-pass analytic form
+            f"Peeling : {_vec(flat_a)}\n"
             f"gradient: {' '.join(str(v) for v in flat_a)}\n")
 
 

@@ -809,6 +809,15 @@ def _zigzag_operator(ax: XmlAnalysis, el, weight):
             if isinstance(obj, Param):
                 names.append(obj.name)
     if not names:
+        # gradient-wrapped targets: the scored data parameters (ref:
+        # ZigZagOperatorParser via GradientWrtParameterProvider)
+        for cc in el:
+            cc2 = ax.deref(cc)
+            if cc2.tag in ("gradient", "jointGradient"):
+                obj = ax.build(cc2)
+                if isinstance(obj, GradientSpec):
+                    names.extend(obj.target_names())
+    if not names:
         raise XmlError(f"<{el.tag}> without a target trait parameter")
     cls = (ZigZagOperator if el.tag == "zigZagOperator"
            else BouncyParticleOperator)

@@ -139,7 +139,12 @@ def _branch_value_fn(ax: XmlAnalysis, el):
     AbstractMultivariateTraitLikelihood.parseDriftModels)."""
     obj = ax.build(el)
     if isinstance(obj, ClockModel):
-        return obj.rates
+        fn = obj.rates
+        try:
+            fn.rate_param = obj.rate_param
+        except AttributeError:
+            pass
+        return fn
     raise Unsupported(f"branch value model <{ax.deref(el).tag}>")
 
 
@@ -172,6 +177,15 @@ def _arbitrary_branch_rates(ax: XmlAnalysis, el):
             pname, np.full(m - 1, fill), lower=p.lower, upper=p.upper)
     reciprocal = _attr(el, "reciprocal", False, bool)
     use_exp = _attr(el, "exp", False, bool)
+    if _attr(el, "centerAtOne", True, bool):
+        # ref: ArbitraryBranchRates ctor `setRates` — centerAtOne
+        # (default true) OVERWRITES the declared values with the
+        # transform's center (1.0; 0.0 in exp-space)
+        p_c = ax._params[pname]
+        ax._params[pname] = Param(
+            pname, np.full(np.ravel(p_c.value).size,
+                           0.0 if use_exp else 1.0),
+            lower=p_c.lower, upper=p_c.upper)
     root = int(tm.root)
 
     # node -> rate-vector index in the REFERENCE numbering: tips as-is,
