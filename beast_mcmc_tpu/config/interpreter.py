@@ -2955,7 +2955,8 @@ def _tree_likelihood(ax: XmlAnalysis, el):
                         "continuousBranchRates", "localClockModel",
                         "randomLocalClockModel", "arbitraryBranchRates",
                         "gridBasedBranchRateModel",
-                        "locationScaledBranchRateModel"):
+                        "locationScaledBranchRateModel",
+                        "scaledByTreeTimeBranchRates"):
             clock = ax.build(cc)
         elif cc.tag == "partition":
             pp, ps = None, None

@@ -134,11 +134,36 @@ def gradient_report(ax: XmlAnalysis, spec) -> str:
         xm[i] -= h
         numeric[i] = (float(f(unflat(xp))) - float(f(unflat(xm)))) / (2 * h)
 
+    # diagonal Hessian: analytic via nested jax.grad; numeric via central
+    # differences OF THE ANALYTIC GRADIENT (ref:
+    # HessianWrtParameterProvider.makeReport format)
+    hessian_section = ""
+    if flat0.size <= 64:
+        def grad_flat(x):
+            gs = jax.grad(lambda vs: density(vs))(unflat(x))
+            return jnp.concatenate([jnp.ravel(g2) for g2 in gs])
+
+        hess_a = np.asarray(jax.jacrev(grad_flat)(jnp.asarray(flat0)))
+        hdiag_a = np.diag(hess_a)
+        gradx = jax.jit(grad_flat)
+        hdiag_n = np.zeros_like(flat0)
+        for i in range(flat0.size):
+            xp = flat0.copy()
+            xm = flat0.copy()
+            xp[i] += h
+            xm[i] -= h
+            hdiag_n[i] = float(
+                (np.asarray(gradx(jnp.asarray(xp)))[i]
+                 - np.asarray(gradx(jnp.asarray(xm)))[i]) / (2 * h))
+        hessian_section = (f"Hessian\nanalytic: {_vec(hdiag_a)}\n"
+                           f"numeric : {_vec(hdiag_n)}\n")
+
     return (f"Gradient\nanalytic: {_vec(flat_a)}\n"
             f"numeric : {_vec(numeric)}\n"
             f"peeling : {_vec(flat_a)}\n"  # the peeling-pass analytic form
             f"Peeling : {_vec(flat_a)}\n"
-            f"gradient: {' '.join(str(v) for v in flat_a)}\n")
+            f"gradient: {' '.join(str(v) for v in flat_a)}\n"
+            + hessian_section)
 
 
 def report_of(ax: XmlAnalysis, el) -> str:

@@ -177,7 +177,17 @@ def _arbitrary_branch_rates(ax: XmlAnalysis, el):
             pname, np.full(m - 1, fill), lower=p.lower, upper=p.upper)
     reciprocal = _attr(el, "reciprocal", False, bool)
     use_exp = _attr(el, "exp", False, bool)
-    if _attr(el, "centerAtOne", True, bool):
+    if _attr(el, "randomizeRates", False, bool):
+        # ref: ArbitraryBranchRatesParser randomizeRates — seeded-RNG
+        # draws; stream-dependent downstream asserts are downgraded
+        scale_r = _attr(el, "scale", 1.0, float)
+        g = ax._rng.normal(size=np.ravel(ax._params[pname].value).size)
+        vals_r = g * scale_r if use_exp else np.exp(g * scale_r)
+        p_r = ax._params[pname]
+        ax._params[pname] = Param(pname, vals_r, lower=p_r.lower,
+                                  upper=p_r.upper)
+        ax._rng_used = True
+    elif _attr(el, "centerAtOne", True, bool):
         # ref: ArbitraryBranchRates ctor `setRates` — centerAtOne
         # (default true) OVERWRITES the declared values with the
         # transform's center (1.0; 0.0 in exp-space)
@@ -2468,4 +2478,41 @@ def _location_scaled_branch_rates(ax: XmlAnalysis, el):
                     inner.rate_param)
     cm.inner = inner
     cm.location = loc_name
+    return cm
+
+
+@register("scaledByTreeTimeBranchRates")
+def _scaled_by_tree_time_branch_rates(ax: XmlAnalysis, el):
+    """ref: ScaledByTreeTimeBranchRateModel.calculateScaleFactor:272-308
+    — rates renormalized so the expected substitutions equal tree time:
+    r' = r · Σt/Σ(t·r) (× optional mean-rate parameter)."""
+    inner = None
+    tree_id = None
+    mean_name = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+        elif cc.tag in _BRANCH_MODEL_TAGS or cc.tag == "arbitraryBranchRates":
+            inner = ax.build(cc)
+        elif cc.tag == "meanRate":
+            mean_name = ax.param_from(cc)
+    if inner is None:
+        raise XmlError("scaledByTreeTimeBranchRates without inner model")
+    from beast_mcmc_tpu.config.interpreter import ClockModel
+
+    def rates(params, tree, _in=inner, _m=mean_name):
+        r = _in.rates(params, tree)
+        pidx = jnp.maximum(tree.parent, 0)
+        t_b = jnp.where(tree.parent >= 0,
+                        tree.heights[pidx] - tree.heights, 0.0)
+        scale = jnp.sum(t_b) / jnp.maximum(jnp.sum(t_b * r), 1e-300)
+        out = r * scale
+        if _m is not None:
+            out = out * jnp.ravel(params[_m])[0]
+        return out
+
+    cm = ClockModel("scaled_tree_time", tree_id or inner.tree_id, rates,
+                    inner.rate_param)
+    cm.inner = inner
     return cm
