@@ -2956,7 +2956,8 @@ def _tree_likelihood(ax: XmlAnalysis, el):
                         "randomLocalClockModel", "arbitraryBranchRates",
                         "gridBasedBranchRateModel",
                         "locationScaledBranchRateModel",
-                        "scaledByTreeTimeBranchRates"):
+                        "scaledByTreeTimeBranchRates",
+                        "timeIncrementBranchRateModel"):
             clock = ax.build(cc)
         elif cc.tag == "partition":
             pp, ps = None, None

@@ -2516,3 +2516,45 @@ def _scaled_by_tree_time_branch_rates(ax: XmlAnalysis, el):
                     inner.rate_param)
     cm.inner = inner
     return cm
+
+
+@register("timeIncrementBranchRateModel")
+def _time_increment_branch_rates(ax: XmlAnalysis, el):
+    """ref: TimeIncrementBranchRateModel — adds `offset` units of lost
+    time to a taxon's terminal branch: the branch's effective length
+    becomes (t + offset)·r, i.e. rate' = r·(t + offset)/t."""
+    inner = None
+    tree_id = None
+    offset_name = None
+    taxon = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "treeModel":
+            tree_id = ax.build(cc).tree_id
+        elif cc.tag == "arbitraryBranchRates" or cc.tag in _BRANCH_MODEL_TAGS:
+            inner = ax.build(cc)
+        elif cc.tag == "taxon":
+            taxon = cc.get("id") or cc.get("idref")
+        elif cc.tag == "parameter":
+            obj = ax.build(cc)
+            offset_name = obj.name
+    if inner is None or taxon is None or offset_name is None:
+        raise XmlError("timeIncrementBranchRateModel structure")
+    tm = ax._trees[tree_id or inner.tree_id]
+    tip = tm.taxa.index(taxon)
+    from beast_mcmc_tpu.config.interpreter import ClockModel
+
+    def rates(params, tree, _in=inner, _t=tip, _o=offset_name):
+        r = _in.rates(params, tree)
+        pidx = jnp.maximum(tree.parent, 0)
+        t_b = jnp.where(tree.parent >= 0,
+                        tree.heights[pidx] - tree.heights, 1.0)
+        off = jnp.ravel(params[_o])[0]
+        factor = jnp.where(jnp.arange(r.shape[0]) == _t,
+                           (t_b + off) / jnp.maximum(t_b, 1e-300), 1.0)
+        return r * factor
+
+    cm = ClockModel("time_increment", tree_id or inner.tree_id, rates,
+                    inner.rate_param)
+    cm.inner = inner
+    return cm
