@@ -2891,16 +2891,18 @@ def _speciation_likelihood(ax: XmlAnalysis, el):
         def fn(params, tree):
             rho_c = jnp.ravel(params[names["rho"]])[0] if names.get(
                 "rho") else 0.0
+            x0 = jnp.ravel(params[names["origin"]])[0]
             return episodic_serial_birth_death_loglik(
                 tree.heights, n_taxa,
-                jnp.ravel(params[names["origin"]])[0],
+                x0,
                 jnp.ravel(params[names["birth"]]),
                 jnp.ravel(params[names["death"]]),
                 jnp.ravel(params[names["psi"]]),
                 treatment_probs=jnp.ravel(params[names["r"]])
                 if names.get("r") else 1.0,
                 rho_present=rho_c,
-                grid_end=names["cutoff"],
+                grid_end=(x0 if names["cutoff"] is None
+                          else names["cutoff"]),
                 num_intervals=names["k"],
             )
 

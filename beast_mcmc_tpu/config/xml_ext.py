@@ -897,9 +897,15 @@ def _new_bdss(ax: XmlAnalysis, el):
     cut = el.find("cutOff")
     ngp = el.find("numGridPoints")
     if cut is None or ngp is None:
-        raise Unsupported("newBirthDeathSerialSampling without grid")
-    names["cutoff"] = float(np.ravel(ax.value_of(ax.param_from(cut)))[0])
-    names["k"] = int(float(np.ravel(ax.value_of(ax.param_from(ngp)))[0]))
+        # constant-rate BDSS (ref: NewBirthDeathSerialSamplingModel with
+        # no grid) == episodic model with a single interval spanning
+        # [0, origin] (grid_end resolved dynamically from origin)
+        names["cutoff"] = None
+        names["k"] = 1
+    else:
+        names["cutoff"] = float(np.ravel(ax.value_of(ax.param_from(cut)))[0])
+        names["k"] = int(
+            float(np.ravel(ax.value_of(ax.param_from(ngp)))[0]))
     return ("spec", "bdss_grid", names)
 
 
