@@ -60,7 +60,7 @@ def brownian_loglikelihood(
     mu = jnp.zeros((m, d), dt).at[:n].set(tip_traits)
     v = jnp.full((m,), jnp.inf, dt).at[:n].set(tip_sampling_variance)
 
-    order = peel_order_from_heights(heights, n)
+    order = peel_order_from_heights(heights, n, parent)
 
     def step(carry, node):
         mu, v, logrem = carry
@@ -168,7 +168,7 @@ def drift_brownian_loglikelihood(
 
     mu = jnp.zeros((m, d), dt).at[:n].set(tip_traits)
     v = jnp.full((m,), jnp.inf, dt).at[:n].set(0.0)
-    order = peel_order_from_heights(heights, n)
+    order = peel_order_from_heights(heights, n, parent)
 
     def step(carry, node):
         mu, v, logrem = carry
@@ -255,7 +255,7 @@ def ou_loglikelihood(
 
     mu = jnp.zeros((m, d), dt).at[:n].set(tip_traits)
     v = jnp.full((m,), jnp.inf, dt).at[:n].set(0.0)
-    order = peel_order_from_heights(heights, n)
+    order = peel_order_from_heights(heights, n, parent)
 
     def branch_transform(mu_c, v_c, node):
         mu_t = th + (mu_c - th) / q[node]
@@ -368,7 +368,7 @@ def brownian_loglikelihood_missing(
     b_arr = jnp.zeros((m, d), dt).at[:n].set(b0)
     g_arr = jnp.zeros((m,), dt).at[:n].set(g0)
 
-    order = peel_order_from_heights(heights, n)
+    order = peel_order_from_heights(heights, n, parent)
 
     def child_message(p_arr, b_arr, g_arr, c):
         """Child c's message in its parent's frame: tips are stored pushed;
@@ -475,7 +475,7 @@ def affine_gaussian_tree_loglikelihood(
     b_arr = jnp.zeros((m, d), dt).at[:n].set(b0)
     g_arr = jnp.zeros((m,), dt).at[:n].set(g0)
 
-    order = peel_order_from_heights(heights, n)
+    order = peel_order_from_heights(heights, n, parent)
 
     def child_message(p_arr, b_arr, g_arr, c):
         """Child c's message in its parent's frame (tips stored pushed)."""
@@ -551,7 +551,7 @@ def affine_gaussian_node_conditionals(
     p_up = jnp.zeros((m, d, d), dt).at[:n].set(p0)
     b_up = jnp.zeros((m, d), dt).at[:n].set(b0)
 
-    order = peel_order_from_heights(heights, n)
+    order = peel_order_from_heights(heights, n, parent)
 
     def push_up(pc, bc, c):
         p1, b1, _ = _push_canonical_cov(pc, bc, jnp.asarray(0.0, dt),

@@ -66,7 +66,7 @@ def stochastic_dollo_site_likelihoods(
         1.0 - tip_presence.astype(dt), tip_presence.astype(dt)
     ], axis=1)  # [N, 2, P]
     post = jnp.zeros((m, 2, p), dt).at[:n].set(tips)
-    order = peel_order_from_heights(heights, n)
+    order = peel_order_from_heights(heights, n, parent)
 
     def step(post, node):
         l = children[node, 0]

@@ -196,7 +196,7 @@ def canonical_bp_loglikelihood(
               else jnp.zeros((m, k, k), dt).at[:n].set(
                   tip_cov_extra.astype(dt)))
 
-    order = peel_order_from_heights(heights, n)
+    order = peel_order_from_heights(heights, n, parent)
 
     def step(carry, node):
         p_a, b_a, g_a = carry

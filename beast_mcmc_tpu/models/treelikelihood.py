@@ -79,7 +79,7 @@ def tree_loglikelihood(
     p_mats = branch_transition_matrices(
         eig, parent, heights, branch_rates, category_rates
     )
-    order = peel_order_from_heights(heights, n_taxa)
+    order = peel_order_from_heights(heights, n_taxa, parent)
     if use_pallas is None:
         use_pallas = _use_pallas_peeling()
     if use_pallas:
@@ -115,7 +115,7 @@ def tree_site_logliks(
     p_mats = branch_transition_matrices(
         eig, parent, heights, branch_rates, category_rates
     )
-    order = peel_order_from_heights(heights, n_taxa)
+    order = peel_order_from_heights(heights, n_taxa, parent)
     return peel_site_loglik(
         tip_partials, children, order, root, p_mats, freqs, category_weights
     )
@@ -143,7 +143,7 @@ def tree_loglikelihood_q(
     bl = branch_lengths(parent, heights) * branch_rates
     t = bl[:, None] * category_rates[None, :]
     p_mats = transition_probs_expm(q, t)
-    order = peel_order_from_heights(heights, n_taxa)
+    order = peel_order_from_heights(heights, n_taxa, parent)
     return peel_loglikelihood(
         tip_partials, children, order, root, p_mats, freqs,
         category_weights, pattern_weights,
@@ -179,7 +179,7 @@ def tree_loglikelihood_q_approx_grad(
     q0 = jax.lax.stop_gradient(q)
     p_mats = p0 + t[..., None, None] * jnp.einsum(
         "ncij,jk->ncik", p0, q - q0)
-    order = peel_order_from_heights(heights, n_taxa)
+    order = peel_order_from_heights(heights, n_taxa, parent)
     return peel_loglikelihood(
         tip_partials, children, order, root, p_mats, freqs,
         category_weights, pattern_weights,
@@ -212,7 +212,7 @@ def multipartition_loglikelihood(
     into `category_rates[k] = mu_k * site_rates`.  Returns sum_k logL_k.
     """
     n_taxa = tip_partials.shape[1]
-    order = peel_order_from_heights(heights, n_taxa)
+    order = peel_order_from_heights(heights, n_taxa, parent)
     p_mats = jax.vmap(
         lambda e, cr: branch_transition_matrices(
             e, parent, heights, branch_rates, cr
@@ -255,7 +255,7 @@ def tree_loglikelihood_pmats(
     point for epoch/branch-specific models (ref: BranchModel +
     SubstitutionModelDelegate convolution)."""
     n_taxa = tip_partials.shape[0]
-    order = peel_order_from_heights(heights, n_taxa)
+    order = peel_order_from_heights(heights, n_taxa, parent)
     return peel_loglikelihood(
         tip_partials, children, order, root, p_mats, freqs,
         category_weights, pattern_weights,

@@ -33,16 +33,35 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def peel_order_from_heights(heights: jnp.ndarray, n_taxa: int) -> jnp.ndarray:
+def peel_order_from_heights(heights: jnp.ndarray, n_taxa: int,
+                            parent: jnp.ndarray | None = None) -> jnp.ndarray:
     """Topological (child-before-parent) order over internal nodes.
 
     heights: [M] node heights. Returns int32[N-1] internal-node indices
-    sorted by height. Valid because heights[parent] > heights[child] is a
-    tree invariant enforced by every operator.
+    sorted by height. Valid because heights[parent] >= heights[child] is
+    a tree invariant enforced by every operator. Trees with ZERO-LENGTH
+    internal branches (parent height == child height, e.g. multifurcating
+    newicks resolved with 0-length edges) make the height sort ambiguous;
+    pass `parent` to break ties by root-distance (deeper nodes peel
+    first), which is exact for any valid tree.
     """
-    return jnp.argsort(heights[n_taxa:]).astype(jnp.int32) + n_taxa
+    h = heights[n_taxa:]
+    if parent is None:
+        return jnp.argsort(h).astype(jnp.int32) + n_taxa
+    m = heights.shape[0]
+    # depth (edge count from root) by pointer doubling: O(M log M)
+    jump = jnp.where(parent >= 0, parent, jnp.arange(m))
+    d = (parent >= 0).astype(jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(max(m, 2)))))
+    for _ in range(steps):
+        d = d + d[jump]
+        jump = jump[jump]
+    # primary: height ascending; secondary: depth descending
+    key = jnp.lexsort((-d[n_taxa:], h))
+    return key.astype(jnp.int32) + n_taxa
 
 
 def _node_op(p_l, p_r, post_l, post_r):
