@@ -2058,3 +2058,43 @@ def _reward_aware_tree_likelihood(ax: XmlAnalysis, el, model_el):
             weights.astype(tree.heights.dtype))
 
     return LikelihoodFn(fn, tid, el.get("id") or "rewardTreeLikelihood")
+
+
+@register("transformedVectorSumTransform")
+def _transformed_vector_sum(ax: XmlAnalysis, el):
+    """ref: TransformedVectorSumParameter (hmc increment coordinates) —
+    x_k = g(sum_{i<=k} y_i) over the increment vector y; g = exp for
+    incrementTransformType="log", scaled logistic for "logit"."""
+    from beast_mcmc_tpu.config.interpreter import DerivedParam
+
+    kind = el.get("incrementTransformType", "log")
+    lo = float(el.get("lower", "0.0"))
+    hi = float(el.get("upper", "1.0"))
+    comp = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("compoundParameter", "parameter"):
+            comp = ax.build(cc)
+    from beast_mcmc_tpu.config.interpreter import CompoundParam, Param
+
+    if isinstance(comp, CompoundParam):
+        names = tuple(comp.names)
+    elif isinstance(comp, Param):
+        names = (comp.name,)
+    else:
+        raise XmlError("transformedVectorSumTransform inner parameter")
+
+    def fn(params, _names=names, _k=kind, _lo=lo, _hi=hi):
+        y = jnp.concatenate(
+            [jnp.ravel(jnp.asarray(params[n])) for n in _names])
+        s = jnp.cumsum(y)
+        if _k == "log":
+            return jnp.exp(s)
+        return _lo + (_hi - _lo) / (1.0 + jnp.exp(-s))
+
+    name = el.get("id") or f"vecSum{len(ax._derived_params)}"
+    ax._derived_params[name] = fn
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+
+    p0, _ = _current_state(ax)
+    return DerivedParam(name, fn, value=np.asarray(fn(p0), float))

@@ -1494,3 +1494,86 @@ def _skyline_gradient(ax: XmlAnalysis, el):
     if sub is not None:
         return GradientSpec((ax.param_from(sub),), (lik,))
     raise Unsupported(f"skylineGradient wrt {wrt!r}")
+
+
+@dataclasses.dataclass
+class _IncrementGradient1D:
+    """ref: src/dr/evomodel/speciation/GradientWrtIncrement.java — a
+    gradient provider in the INCREMENT coordinates y of a
+    transformedVectorSumTransform parameter x = g(cumsum(y)); since the
+    wrapped likelihood reads x through the derived-parameter overlay,
+    jax.grad wrt the increment components IS the chained gradient."""
+
+    spec: object
+    inc_names: tuple
+
+    def report(self, ax) -> str:
+        import numpy as np
+
+        from beast_mcmc_tpu.config.xml_assert import (
+            _vec,
+            initial_eval_state,
+        )
+
+        params0, tree0 = initial_eval_state(ax)
+        names = list(self.inc_names)
+        liks = self.spec.likelihoods
+
+        def density(vals):
+            p = dict(params0)
+            for n, v in zip(names, vals):
+                p[n] = jnp.reshape(v, jnp.shape(params0[n]))
+            tot = 0.0
+            for lik in liks:
+                t = ax.resolve_tree(lik.tree_id, p, tree0)
+                tot = tot + lik.fn(p, t)
+            return tot
+
+        vals0 = [jnp.asarray(params0[n]) for n in names]
+        analytic = jax.grad(density)(vals0)
+        flat_a = np.concatenate(
+            [np.ravel(np.asarray(a)) for a in analytic])
+
+        flat0 = np.concatenate([np.ravel(np.asarray(v)) for v in vals0])
+        sizes = [int(np.asarray(v).size) for v in vals0]
+
+        def unflat(x):
+            out, off = [], 0
+            for sz in sizes:
+                out.append(jnp.asarray(x[off:off + sz]))
+                off += sz
+            return out
+
+        f = jax.jit(lambda vs: density(vs))
+        h = 1e-5
+        numeric = np.zeros_like(flat0)
+        for i in range(flat0.size):
+            xp = flat0.copy()
+            xm = flat0.copy()
+            xp[i] += h
+            xm[i] -= h
+            numeric[i] = (float(f(unflat(xp)))
+                          - float(f(unflat(xm)))) / (2 * h)
+        return (f"Gradient WRT increments: {_vec(flat_a)}\n"
+                f"Numerical gradient: {_vec(numeric)}\n")
+
+
+@register("gradientWrtIncrements1D")
+def _gradient_wrt_increments_1d(ax: XmlAnalysis, el):
+    spec = None
+    inc_names = None
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "speciationLikelihoodGradient":
+            spec = ax.build(cc)
+        elif cc.tag == "compoundParameter":
+            from beast_mcmc_tpu.config.interpreter import CompoundParam
+
+            obj = ax.build(cc)
+            inc_names = tuple(obj.names) if isinstance(
+                obj, CompoundParam) else (obj.name,)
+        elif cc.tag == "parameter":
+            inc_names = (ax.param_from(cc),)
+    if spec is None or inc_names is None:
+        raise Unsupported("gradientWrtIncrements1D structure")
+    return _IncrementGradient1D(spec, inc_names)

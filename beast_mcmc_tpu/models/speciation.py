@@ -253,7 +253,10 @@ def episodic_serial_birth_death_loglik(
         serial_term,
     )
     ll = ll + jnp.sum(tip_term)
-    valid = (x0 >= root_h) & (x0 <= jnp.asarray(grid_end, dt))
+    # origin beyond the last grid point is fine: idx_of clips to the
+    # last interval, whose rates extend to the origin (ref
+    # setupTimeline — rates are constant past the final grid point)
+    valid = x0 >= root_h
     return jnp.where(valid, ll, -jnp.inf)
 
 
