@@ -278,6 +278,22 @@ def _log_rate_substitution_model(ax: XmlAnalysis, el):
     k = int(np.ravel(ax.value_of(fname)).size)
     lr = el.find("logRates")
     if lr is None:
+        # <rateProvider> form: rates come from a LogAdditiveCtmcRate
+        # provider in REAL space (ref: LogRateSubstitutionModel.
+        # setupRelativeRates :69-71 copies lrm.getRates() directly)
+        rp = el.find("rateProvider")
+        if rp is not None:
+            provider = ax.build(ax.deref(next(iter(rp))))
+            normalize = _attr(el, "normalize", True, bool)
+            scale_by = _attr(el, "scaleRatesByFrequencies", True, bool)
+
+            def freqs_p(params):
+                f = params[fname]
+                return f / jnp.sum(f)
+
+            q_fn = _complex_q_fn(ax, provider.rates, fname, k,
+                                 normalize, scale_by)
+            return ("subst_q", q_fn, freqs_p, k)
         raise XmlError("logRateSubstitutionModel without logRates")
     lname = ax.param_from(lr)
     n = int(np.ravel(ax.value_of(lname)).size)
@@ -900,3 +916,175 @@ def _structured_coalescent_gradient(ax: XmlAnalysis, el):
     if not names:
         return GradientSpec(tuple(lik.data_params), (lik,))
     return GradientSpec(tuple(names), (lik,))
+
+
+# ---------------------------------------------------------------------------
+# strongly-lumpable CTMC rates (ref: StronglyLumpableCtmcRates.java)
+# ---------------------------------------------------------------------------
+
+
+def _lump_build_map(n: int) -> np.ndarray:
+    """ref: StronglyLumpableCtmcRates.buildMap — upper triangle row-major
+    numbered first, then lower triangle column-major; -1 on diagonal."""
+    m = -np.ones((n, n), int)
+    off = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            m[i, j] = off
+            off += 1
+    for j in range(n):
+        for i in range(j + 1, n):
+            m[i, j] = off
+            off += 1
+    return m
+
+
+@register("stateSet")
+def _state_set(ax: XmlAnalysis, el):
+    """ref: StateSetParser — a named subset of a generalDataType's
+    states."""
+    dt_obj, states = None, []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "generalDataType":
+            dt_obj = ax.build(cc)
+        elif cc.tag == "state":
+            states.append(dt_obj.char_map[cc.get("code").upper()])
+    return ("stateSet", tuple(states))
+
+
+class _LumpableRates:
+    """ref: StronglyLumpableCtmcRates — a rate PROVIDER whose K(K-1)
+    rates (complex order: upper row-major then lower column-major) are
+    gathered from within-lump rate parameters and across-lump
+    rate×proportion products (SuperInfo.getRate :419-430)."""
+
+    def __init__(self, specs, k):
+        self.specs = specs
+        self.k = k
+
+    def rates(self, params):
+        vals = []
+        for s in self.specs:
+            if s[0] == "within":
+                _, name, idx = s
+                vals.append(jnp.ravel(params[name])[idx])
+            else:
+                _, pname, pidx, aname, aidx = s
+                vals.append(jnp.ravel(params[pname])[pidx]
+                            * jnp.ravel(params[aname])[aidx])
+        return jnp.stack(vals)
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_assert import _vec
+        from beast_mcmc_tpu.config.xml_stats import _current_state
+
+        p0, _ = _current_state(ax)
+        return _vec(np.asarray(self.rates(p0))) + "\n"
+
+
+@register("stronglyLumpableCtmcRates")
+def _strongly_lumpable_rates(ax: XmlAnalysis, el):
+    dt_obj, across_name = None, None
+    lumps = []  # (declared_states, within_rates_name, [(src,dest,pname)])
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "generalDataType":
+            dt_obj = ax.build(cc)
+        elif cc.tag == "rates":
+            across_name = ax.param_from(cc)
+        elif cc.tag == "lump":
+            states, wr, props = None, None, []
+            for d in cc:
+                dd = ax.deref(d)
+                if dd.tag == "stateSet":
+                    states = ax.build(dd)[1]
+                elif dd.tag == "rates":
+                    wr = ax.param_from(dd)
+                elif dd.tag == "proportions":
+                    src, pn = None, None
+                    for e in dd:
+                        ee = ax.deref(e)
+                        if ee.tag == "state":
+                            src = dt_obj.char_map[ee.get("code").upper()]
+                        elif ee.tag == "parameter":
+                            pn = ax.param_from(ee)
+                    props.append((src, pn))
+            lumps.append((tuple(states), wr, props))
+    if dt_obj is None or across_name is None:
+        raise XmlError("stronglyLumpableCtmcRates structure")
+    k = dt_obj.state_count
+    n_lumps = len(lumps)
+    lump_map = _lump_build_map(n_lumps)
+
+    # LumpIndex per state: (lump, index-in-sorted, original index, count)
+    def lump_index(state):
+        for a, (declared, _, _) in enumerate(lumps):
+            if state in declared:
+                srt = sorted(declared)
+                return (a, srt.index(state), declared.index(state),
+                        len(declared))
+        raise XmlError(f"state {state} in no lump")
+
+    def super_spec(i, j):
+        a, ii, io, ca = lump_index(i)
+        b, jj, jo, cb = lump_index(j)
+        if a == b:
+            wmap = _lump_build_map(ca)
+            return ("within", lumps[a][1], int(wmap[ii, jj]))
+        prop_index = b if a < b else b + 1
+        pname = lumps[a][2][io * (n_lumps - 1) + prop_index - 1][1]
+        return ("across", pname, jj, across_name, int(lump_map[a, b]))
+
+    specs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            specs.append(super_spec(i, j))
+    for j in range(k):
+        for i in range(j + 1, k):
+            specs.append(super_spec(i, j))
+    return _LumpableRates(tuple(specs), k)
+
+
+@register("approximateLogCtmcRateGradient", "logCtmcRateGradient")
+def _approx_log_ctmc_rate_gradient(ax: XmlAnalysis, el):
+    """ref: ApproximateLogCtmcRateGradientParser /
+    LumpableCtmcRateGradient — dlogL/d(rate parameters) of a discrete
+    trait likelihood whose Q comes from a lumpable/log-additive rate
+    provider; jax.grad through the expm path is exact (the reference's
+    'approximate' linear-in-time form is its CPU shortcut)."""
+    from beast_mcmc_tpu.config.interpreter import CompoundParam
+    from beast_mcmc_tpu.config.xml_hmc import GradientSpec
+
+    lik, names = None, []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag in ("treeDataLikelihood", "treeLikelihood",
+                      "ancestralTreeLikelihood"):
+            lik = ax.build(cc)
+        elif cc.tag in ("compoundParameter", "parameter"):
+            obj = ax.build(cc)
+            if isinstance(obj, CompoundParam):
+                names.extend(obj.names)
+            else:
+                names.append(obj.name)
+    if lik is None or not names:
+        raise XmlError("approximateLogCtmcRateGradient structure")
+    return GradientSpec(tuple(names), (lik,))
+
+
+def _log_rate_subst_report(ax, el):
+    """Q-matrix report (ref: LogRateSubstitutionModel extends
+    ComplexSubstitutionModel.getReport — infinitesimal matrix print)."""
+    from beast_mcmc_tpu.config.xml_stats import _current_state
+
+    kind = ax.build(el)
+    p0, _ = _current_state(ax)
+    q = np.asarray(kind[1](p0))
+    rows = "\n".join(" ".join(str(v) for v in r) for r in q)
+    return f"Infinitesimal rate matrix:\n{rows}\n"
+
+
+from beast_mcmc_tpu.config.xml_hmc import OP_REPORTS as _OPR_GEO  # noqa: E402
+
+_OPR_GEO["logRateSubstitutionModel"] = _log_rate_subst_report
