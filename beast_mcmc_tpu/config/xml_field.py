@@ -163,7 +163,10 @@ def _gp_field(ax: XmlAnalysis, el):
         return -0.5 * (diff @ alpha + logdet
                        + dim * jnp.log(2.0 * jnp.asarray(jnp.pi, dt)))
 
-    return FieldDist(logpdf, dim, tuple(hyper))
+    fd = FieldDist(logpdf, dim, tuple(hyper))
+    fd.bases = tuple(bases)  # (design, kfn, scale_n, length_n, wfn)
+    fd.nugget = nugget
+    return fd
 
 
 def jax_solve_chol(l, b):
@@ -491,3 +494,87 @@ def _np_coalescent_gradient(ax: XmlAnalysis, el):
     if lik is None:
         raise XmlError("gradient without NP coalescent child")
     return GradientSpec(tuple(names), (lik,))
+
+
+# ---------------------------------------------------------------------------
+# GP prediction (posterior mean/variance at new design points)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GpPrediction:
+    """ref: gp/GaussianProcessPrediction.java — predictive
+    mean = K*o (Koo + noise I)^-1 y and
+    cov = K** - K*o (Koo + noise I)^-1 Ko* summed over the additive
+    bases, each prediction basis paired with the matching GP basis."""
+
+    field_param: str = ""
+    dist: object = None
+    pred_designs: tuple = ()
+
+    def _cross(self, kfn, a, b, length):
+        if kfn is None:  # dotProduct
+            return np.outer(a, b)
+        d2 = (a[:, None] - b[None, :]) ** 2
+        return np.asarray(kfn(jnp.asarray(d2), length))
+
+    def report(self, ax) -> str:
+        from beast_mcmc_tpu.config.xml_assert import (
+            _vec,
+            initial_eval_state,
+        )
+
+        params0, _ = initial_eval_state(ax)
+        y = np.ravel(np.asarray(params0[self.field_param]))
+        n = self.dist.dim
+        m = len(np.ravel(self.pred_designs[0]))
+        koo = np.zeros((n, n))
+        kpo = np.zeros((m, n))
+        kpp = np.zeros((m, m))
+        for (basis, pred) in zip(self.dist.bases, self.pred_designs):
+            design, kfn, scale_n, length_n, wfn = basis
+            xs = np.ravel(np.asarray(params0[design]))[:n]
+            ps = np.ravel(pred)
+            s = (float(np.ravel(np.asarray(params0[scale_n]))[0])
+                 if scale_n else 1.0)
+            ln = (float(np.ravel(np.asarray(params0[length_n]))[0])
+                  if length_n else 1.0)
+            koo += s * self._cross(kfn, xs, xs, ln)
+            kpo += s * self._cross(kfn, ps, xs, ln)
+            kpp += s * self._cross(kfn, ps, ps, ln)
+        if self.dist.nugget is not None:
+            koo += float(np.ravel(
+                np.asarray(params0[self.dist.nugget]))[0]) * np.eye(n)
+        sol = np.linalg.solve(koo, y)
+        mean = kpo @ sol
+        cov = kpp - kpo @ np.linalg.solve(koo, kpo.T)
+        return f"mean: {_vec(mean)}\nvariance: {_vec(cov)}\n"
+
+
+@register("gaussianProcessPrediction")
+def _gp_prediction(ax: XmlAnalysis, el):
+    from beast_mcmc_tpu.config.interpreter import _text_values
+
+    fname, dist = None, None
+    preds = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "parameter":
+            fname = ax.param_from(cc)
+        elif cc.tag in ("additiveGaussianProcessDistribution",
+                        "gaussianProcessField"):
+            dist = ax.build(cc)
+        elif cc.tag == "bases":
+            for d in cc:
+                dd = ax.deref(d)
+                if dd.tag == "designMatrix":
+                    for p in dd:
+                        pp = ax.deref(p)
+                        if pp.tag == "parameter":
+                            preds.append(
+                                _text_values(pp) if pp.get("value")
+                                else np.ravel(ax.value_of(
+                                    ax.param_from(pp))))
+    if fname is None or dist is None or not preds:
+        raise XmlError("gaussianProcessPrediction structure")
+    return GpPrediction(fname, dist, tuple(preds))
