@@ -122,11 +122,21 @@ def _gp_field(ax: XmlAnalysis, el):
                     ln = bb.find("length")
                     scale_n = ax.param_from(sc) if sc is not None else None
                     length_n = ax.param_from(ln) if ln is not None else None
+                    if sc is None and ln is None:
+                        # bare ordered <parameter> children: scale, length
+                        ps = [ax.param_from(d) for d in bb
+                              if ax.deref(d).tag == "parameter"]
+                        if len(ps) >= 1:
+                            scale_n = ps[0]
+                        if len(ps) >= 2:
+                            length_n = ps[1]
                 elif bb.tag == "weightFunction":
                     wfn = _weight_fn(bb)
             if design is None or ktype is None:
                 raise XmlError("<basis> needs designMatrix + kernel")
-            bases.append((design, kfn, scale_n, length_n, wfn))
+            ortho = (cc.get("orthogonalProjection") or "false"
+                     ).lower() == "true"
+            bases.append((design, kfn, scale_n, length_n, wfn, ortho))
             hyper.extend(n for n in (scale_n, length_n) if n)
     if dim is None:
         raise XmlError("gaussianProcessField without dim")
@@ -136,7 +146,7 @@ def _gp_field(ax: XmlAnalysis, el):
     def logpdf(params, tree, x):
         dt = x.dtype
         k = jnp.zeros((dim, dim), dt)
-        for design, kfn, scale_n, length_n, wfn in bases:
+        for design, kfn, scale_n, length_n, wfn, ortho in bases:
             xs = jnp.ravel(params[design]).astype(dt)[:dim]
             scale = (jnp.ravel(params[scale_n])[0].astype(dt)
                      if scale_n else jnp.asarray(1.0, dt))
@@ -150,6 +160,11 @@ def _gp_field(ax: XmlAnalysis, el):
                 kb = kfn(d2, length)
             if w is not None:
                 kb = kb * jnp.outer(w, w)
+            if ortho:
+                # ref: basis orthogonalProjection — K_b -> H K_b H with
+                # H = I - x x^T / (x^T x)
+                h = jnp.eye(dim, dtype=dt) - jnp.outer(xs, xs) / (xs @ xs)
+                kb = h @ kb @ h
             k = k + scale * kb
         if nugget is not None:
             k = k + jnp.ravel(params[nugget])[0].astype(dt) * jnp.eye(
@@ -532,7 +547,7 @@ class GpPrediction:
         kpo = np.zeros((m, n))
         kpp = np.zeros((m, m))
         for (basis, pred) in zip(self.dist.bases, self.pred_designs):
-            design, kfn, scale_n, length_n, wfn = basis
+            design, kfn, scale_n, length_n, wfn, ortho = basis
             xs = np.ravel(np.asarray(params0[design]))[:n]
             ps = np.ravel(pred)
             s = (float(np.ravel(np.asarray(params0[scale_n]))[0])
@@ -578,3 +593,30 @@ def _gp_prediction(ax: XmlAnalysis, el):
     if fname is None or dist is None or not preds:
         raise XmlError("gaussianProcessPrediction structure")
     return GpPrediction(fname, dist, tuple(preds))
+
+
+def _gp_field_report(ax, el):
+    """precision report (ref: AdditiveGaussianProcessDistribution.
+    getReport — inverse of the assembled covariance)."""
+    from beast_mcmc_tpu.config.xml_assert import _vec, initial_eval_state
+
+    dist = ax.build(el)
+    params0, tree0 = initial_eval_state(ax)
+    # reuse logpdf's covariance by differentiating is overkill: rebuild
+    # through a probe — logpdf at unit vectors gives the quadratic form,
+    # but the bases are stored, so assemble directly
+    n = dist.dim
+    import jax
+
+    def neg2_logdens(x):
+        return dist.logpdf(params0, tree0, x)
+
+    # Hessian of the log-density is -Precision (exact for a Gaussian)
+    hess = jax.hessian(neg2_logdens)(jnp.zeros(n, jnp.float64))
+    prec = -np.asarray(hess)
+    return f"precision: {_vec(prec)}\n"
+
+
+from beast_mcmc_tpu.config.xml_hmc import OP_REPORTS as _OPR_FIELD  # noqa: E402
+
+_OPR_FIELD["gaussianProcessField"] = _gp_field_report
