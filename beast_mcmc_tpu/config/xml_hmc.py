@@ -1577,3 +1577,68 @@ def _gradient_wrt_increments_1d(ax: XmlAnalysis, el):
     if spec is None or inc_names is None:
         raise Unsupported("gradientWrtIncrements1D structure")
     return _IncrementGradient1D(spec, inc_names)
+
+
+from beast_mcmc_tpu.inference.operators import Operator as _BaseOp  # noqa: E402
+
+
+@dataclasses.dataclass
+class SphereRowWalkOperator(_BaseOp):
+    """ref: MatrixVonMisesFisherGibbsOperator — updates the unit-norm
+    loadings columns of an integrated factor model on the sphere. The
+    reference Gibbs-samples each row from a von Mises-Fisher
+    approximation of its full conditional; here the TPU-native kernel is
+    a symmetric geodesic random walk on S^{p-1} (isotropic tangent step,
+    exact Metropolis correction via the chain's accept step), which
+    targets the same invariant distribution."""
+
+    parameters: tuple = ()
+    window: float = 0.1
+    adaptable: bool = True
+
+    def initial_adapt(self) -> float:
+        import math as _m
+
+        return _m.log(self.window)
+
+    def tuning(self, adapt_value):
+        return jnp.exp(adapt_value)
+
+    def propose(self, params, tree, key, tuning):
+        kp, kv, kt = jax.random.split(key, 3)
+        pick = jax.random.randint(kp, (), 0, len(self.parameters))
+        out = dict(params)
+        theta = jnp.abs(jax.random.normal(kt, ())) * tuning
+        for i, name in enumerate(self.parameters):
+            v = jnp.ravel(params[name])
+            n = v / jnp.linalg.norm(v)
+            g = jax.random.normal(jax.random.fold_in(kv, i), v.shape,
+                                  v.dtype)
+            tang = g - (g @ n) * n
+            u = tang / jnp.maximum(jnp.linalg.norm(tang), 1e-300)
+            prop = jnp.cos(theta) * n + jnp.sin(theta) * u
+            new = jnp.where(pick == i, prop, v)
+            out[name] = new.reshape(jnp.shape(params[name]))
+        return out, tree, jnp.asarray(0.0)
+
+
+@register_operator("matrixVonMisesFisherGibbsOperator")
+def _matrix_vmf_gibbs(ax: XmlAnalysis, el, weight):
+    """Targets the loadings matrixParameter columns of the
+    integratedFactorModel child."""
+    names = []
+    for c in el:
+        cc = ax.deref(c)
+        if cc.tag == "integratedFactorModel":
+            ax.build(cc)
+            l_el = cc.find("loadings")
+            if l_el is not None:
+                mp = ax.deref(next(iter(l_el)))
+                for d in mp:
+                    dd = ax.deref(d)
+                    if dd.tag == "parameter":
+                        names.append(ax.param_from(dd))
+    if not names:
+        raise Unsupported("matrixVonMisesFisherGibbsOperator loadings")
+    return SphereRowWalkOperator(weight=weight,
+                                 parameters=tuple(names)), None
