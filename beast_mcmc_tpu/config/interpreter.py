@@ -3025,7 +3025,7 @@ def _tree_likelihood(ax: XmlAnalysis, el):
             p_mats = eigen.p_mats(params, tree, r, br)
             tot = tree_loglikelihood_pmats(
                 tips_j, w_j, tree.children, tree.heights, tree.root,
-                p_mats, freqs_of(params), w,
+                tree.parent, p_mats, freqs_of(params), w,
             )
         elif site_kind == "site_q":
             from beast_mcmc_tpu.models.treelikelihood import (
@@ -3708,7 +3708,11 @@ def _compound_likelihood(ax: XmlAnalysis, el):
             tot = tot + p.fn(params, tree)
         return tot
 
-    return LikelihoodFn(fn, tree_id, el.get("id") or el.tag)
+    out = LikelihoodFn(fn, tree_id, el.get("id") or el.tag)
+    # expose the addends for component-cached MCMC stepping
+    # (inference/component_cache.py — the dirty-flag role)
+    out.parts = tuple(parts)
+    return out
 
 
 # -- statistics ---------------------------------------------------------------

@@ -51,6 +51,8 @@ def make_mcmc_step(
     adaptation_delay: int = 0,
     derived: Optional[Dict] = None,
     post_update=None,
+    components=None,
+    op_tree_flags=None,
 ):
     """Build `step(state, temperature=1.0) -> state` (jit-safe).
 
@@ -73,6 +75,16 @@ def make_mcmc_step(
     statistics such as the AVMVN running covariance
     (samplers.make_post_update; ref:
     AdaptableVarianceMultivariateNormalOperator.java:59).
+
+    components: optional list of inference.component_cache.Component —
+    the posterior as a SUM of cached component log-densities (the
+    reference's CompoundLikelihood dirty-flag role). Each operator's
+    branch recomputes only the components whose jaxpr-sliced input sets
+    intersect the operator's targets (op_tree_flags[i] says whether
+    operator i can move the tree); the step's acceptance uses the cached
+    sum. params must be seeded with seed_components() first, and
+    `log_posterior` should remain the cache-free posterior (HMC
+    internals bind it).
     """
     for op in operators:
         if hasattr(op, "bind_log_posterior"):
@@ -82,7 +94,38 @@ def make_mcmc_step(
     adaptable = jnp.asarray([op.adaptable for op in operators])
     targets = jnp.asarray([op.target_acceptance for op in operators])
 
-    def make_branch(op: Operator):
+    if components is not None:
+        # component refresh runs as a SECOND switch over the DISTINCT
+        # affected-index sets (not per operator) so each expensive
+        # likelihood graph is compiled once per set, not once per
+        # operator — 27-operator schedules compile in seconds instead
+        # of tens of minutes
+        from beast_mcmc_tpu.inference.component_cache import (
+            COMP_KEY,
+            affected_indices,
+            refresh_components,
+        )
+
+        sets = []
+        group_of_op = []
+        for i, op in enumerate(operators):
+            tree_flag = (op_tree_flags[i]
+                         if op_tree_flags is not None else True)
+            idxs = tuple(affected_indices(components, op, tree_flag))
+            if idxs not in sets:
+                sets.append(idxs)
+            group_of_op.append(sets.index(idxs))
+        group_of_op = jnp.asarray(group_of_op, jnp.int32)
+
+        def _mk_comp_branch(idxs):
+            def f(p, t):
+                return refresh_components(p, t, components, list(idxs))
+
+            return f
+
+        comp_branches = [_mk_comp_branch(idxs) for idxs in sets]
+
+    def make_branch(op: Operator, op_pos: int):
         if derived:
             mod = op.modified_params()
             stale = [
@@ -91,7 +134,6 @@ def make_mcmc_step(
             ]
         else:
             stale = []
-
         def branch(params, tree, key, adapt_vec, op_idx):
             tuning = op.tuning(adapt_vec[op_idx])
             out = op.propose(params, tree, key, tuning)
@@ -120,7 +162,7 @@ def make_mcmc_step(
 
         return branch
 
-    branches = [make_branch(op) for op in operators]
+    branches = [make_branch(op, i) for i, op in enumerate(operators)]
 
     def step_given_op(state: MCMCState, op_idx, temperature=1.0
                       ) -> MCMCState:
@@ -150,8 +192,13 @@ def make_mcmc_step(
         # (ref self-check contract: MarkovChain.java:55)
         from beast_mcmc_tpu.utils.accum import accum_dtype
 
-        new_lp = jnp.asarray(log_posterior(new_params, new_tree),
-                             accum_dtype())
+        if components is not None:
+            new_params = jax.lax.switch(
+                group_of_op[op_idx], comp_branches, new_params, new_tree)
+            new_lp = jnp.sum(new_params[COMP_KEY])
+        else:
+            new_lp = log_posterior(new_params, new_tree)
+        new_lp = jnp.asarray(new_lp, accum_dtype())
         new_lp = jnp.where(jnp.isnan(new_lp), -jnp.inf, new_lp)
 
         # MCMCCriterion.java:64-71 (temperature = 1/(1+dT k) for MC3 chains)

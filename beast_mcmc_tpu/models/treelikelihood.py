@@ -247,6 +247,7 @@ def tree_loglikelihood_pmats(
     children: jnp.ndarray,
     heights: jnp.ndarray,
     root,
+    parent,
     p_mats: jnp.ndarray,  # [M,C,S,S] precomputed (e.g. epoch convolution)
     freqs: jnp.ndarray,
     category_weights: jnp.ndarray,

@@ -92,6 +92,25 @@ def peel_site_loglik(
     return site_logl
 
 
+_PEEL_CHUNK = 8
+
+
+def _chunked(order: jnp.ndarray, chunk: int = _PEEL_CHUNK) -> jnp.ndarray:
+    """[K] -> [K/chunk, chunk], padded by REPEATING the last node.
+
+    Reprocessing an already-peeled node recomputes the identical value
+    from its (unchanged) children, so the padding is a no-op — this
+    keeps the scan trip count low (sequential-step launch overhead is
+    the cost driver for small-pattern partitions, e.g. the 1-pattern
+    56-state geography CTMC) while XLA fuses the intra-chunk chain."""
+    k = order.shape[0]
+    pad = (-k) % chunk
+    if pad:
+        order = jnp.concatenate(
+            [order, jnp.broadcast_to(order[-1], (pad,))])
+    return order.reshape(-1, chunk)
+
+
 def _peel_forward(tip_partials, children, order, root, p_matrices, freqs, cat_w):
     n_tips, s, p = tip_partials.shape
     m = children.shape[0]
@@ -104,20 +123,23 @@ def _peel_forward(tip_partials, children, order, root, p_matrices, freqs, cat_w)
     )
     logscale = jnp.zeros((m, p), dt)
 
-    def step(carry, node):
+    def step(carry, nodes):
         post, logscale = carry
-        l = children[node, 0]
-        r = children[node, 1]
-        x = _node_op(p_matrices[l], p_matrices[r], post[l], post[r])
-        scale = jnp.max(x, axis=(0, 1))  # [P]
-        scale = jnp.where(scale > 0, scale, 1.0)
-        post = post.at[node].set(x / scale)
-        logscale = logscale.at[node].set(
-            logscale[l] + logscale[r] + jnp.log(scale)
-        )
+        for i in range(nodes.shape[0]):
+            node = nodes[i]
+            l = children[node, 0]
+            r = children[node, 1]
+            x = _node_op(p_matrices[l], p_matrices[r], post[l], post[r])
+            scale = jnp.max(x, axis=(0, 1))  # [P]
+            scale = jnp.where(scale > 0, scale, 1.0)
+            post = post.at[node].set(x / scale)
+            logscale = logscale.at[node].set(
+                logscale[l] + logscale[r] + jnp.log(scale)
+            )
         return (post, logscale), None
 
-    (post, logscale), _ = jax.lax.scan(step, (post, logscale), order)
+    (post, logscale), _ = jax.lax.scan(step, (post, logscale),
+                                       _chunked(order))
 
     site_lik = jnp.einsum(
         "c,s,csp->p", cat_w, freqs, post[root], preferred_element_type=dt
@@ -148,8 +170,13 @@ def _peel_bwd(residuals, g):
     )
     d_p = jnp.zeros_like(p_matrices)
 
-    def step(carry, node):
+    def step(carry, nodes):
         adj, d_p = carry
+        for i in range(nodes.shape[0]):
+            adj, d_p = _bwd_node(adj, d_p, nodes[i])
+        return (adj, d_p), None
+
+    def _bwd_node(adj, d_p, node):
         l = children[node, 0]
         r = children[node, 1]
         p_l = p_matrices[l]
@@ -178,9 +205,10 @@ def _peel_bwd(residuals, g):
         d_p = d_p.at[r].set(
             jnp.einsum("cip,cjp->cij", br, post_r, preferred_element_type=dt)
         )
-        return (adj, d_p), None
+        return adj, d_p
 
-    (adj, d_p), _ = jax.lax.scan(step, (adj, d_p), order[::-1])
+    (adj, d_p), _ = jax.lax.scan(step, (adj, d_p),
+                                 _chunked(order[::-1]))
 
     root_post = post[root]
     d_freqs = jnp.einsum(

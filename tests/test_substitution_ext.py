@@ -166,7 +166,7 @@ def test_epoch_identical_models_equals_homogeneous():
     )
     got = float(tree_loglikelihood_pmats(
         tips, weights, jnp.asarray(children), jnp.asarray(heights), root,
-        p_mats, freqs, cat_w,
+        jnp.asarray(parent), p_mats, freqs, cat_w,
     ))
     np.testing.assert_allclose(got, base, rtol=1e-8)
 
