@@ -47,6 +47,27 @@ def discrete_gamma_rates(
 
     if _jax.config.jax_enable_x64:
         dtype = jnp.float64
+    # AS91 bit-parity route: concrete f64 evaluation (host report paths)
+    # runs the reference's exact published quantile algorithm, whose
+    # 0.5e-6 truncation is part of the corpus' 1e-13 oracle values
+    # (utils/as91.py). Traced/jitted evaluations keep the smooth
+    # differentiable quantile below.
+    if (dtype == jnp.float64 and p_invariant is None
+            and not isinstance(alpha, _jax.core.Tracer)
+            and (mu is None or not isinstance(mu, _jax.core.Tracer))):
+        try:
+            a_c = float(alpha)
+        except (TypeError, _jax.errors.ConcretizationTypeError):
+            a_c = None
+        if a_c is not None and a_c > 0:
+            from beast_mcmc_tpu.utils.as91 import gamma_category_rates
+
+            r_np = gamma_category_rates(a_c, n_categories)
+            rates = jnp.asarray(r_np, dtype)
+            weights = jnp.full((n_categories,), 1.0 / n_categories, dtype)
+            if mu is not None:
+                rates = rates * jnp.asarray(mu, dtype)
+            return rates.astype(out_dtype), weights.astype(out_dtype)
     alpha = jnp.asarray(alpha, dtype)
     k = n_categories
     # Chebyshev-tabulated log-quantiles (ops.special): the scale 1/alpha
