@@ -229,7 +229,8 @@ def make_mcmc_step(
         acc_prob = jnp.where(jnp.isnan(acc_stat), acc_prob, acc_stat)
         op_accept = state.op_accept.at[op_idx].add(accept.astype(jnp.int32))
         op_reject = state.op_reject.at[op_idx].add(1 - accept.astype(jnp.int32))
-        op_sum_accept = state.op_sum_accept.at[op_idx].add(acc_prob)
+        op_sum_accept = state.op_sum_accept.at[op_idx].add(
+            acc_prob.astype(state.op_sum_accept.dtype))
 
         do_adapt = (
             adaptable[op_idx]

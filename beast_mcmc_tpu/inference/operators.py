@@ -78,7 +78,9 @@ def other_child(children: jnp.ndarray, node, child) -> jnp.ndarray:
 
 def _scale_draw(key, scale_factor):
     """BEAST scale draw: uniform on [sf, 1/sf] (ScaleOperator.java)."""
-    u = jax.random.uniform(key)
+    dt = jnp.result_type(scale_factor)
+    dt = dt if jnp.issubdtype(dt, jnp.floating) else jnp.float_
+    u = jax.random.uniform(key, dtype=dt)
     return scale_factor + u * (1.0 / scale_factor - scale_factor)
 
 
@@ -153,6 +155,7 @@ class ScaleOperator(Operator):
         x = params[self.parameter]
         flat = jnp.atleast_1d(x)
         dim = flat.shape[0]
+        tuning = jnp.asarray(tuning, flat.dtype)
         if self.mode == "independent":
             s = jax.vmap(_scale_draw, in_axes=(0, None))(
                 jax.random.split(key, dim), tuning
