@@ -2417,7 +2417,8 @@ def _site_model(ax: XmlAnalysis, el):
         if gname is not None:
             p_inv = params[iname] if iname else None
             r, w = discrete_gamma_rates(
-                params[gname], n_cat, p_invariant=p_inv, dtype=dtype
+                params[gname], n_cat, p_invariant=p_inv, dtype=dtype,
+                exact_quantiles=True,
             )
         elif iname is not None:
             from beast_mcmc_tpu.models.sitemodel import invariant_only_rates

@@ -29,6 +29,7 @@ def discrete_gamma_rates(
     p_invariant=None,
     mu=None,
     dtype=jnp.float64,
+    exact_quantiles: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(rates[C], weights[C]) matching GammaSiteModel.calculateCategoryRates.
 
@@ -52,7 +53,8 @@ def discrete_gamma_rates(
     # 0.5e-6 truncation is part of the corpus' 1e-13 oracle values
     # (utils/as91.py). Traced/jitted evaluations keep the smooth
     # differentiable quantile below.
-    if (dtype == jnp.float64 and p_invariant is None
+    if (exact_quantiles
+            and dtype == jnp.float64 and p_invariant is None
             and not isinstance(alpha, _jax.core.Tracer)
             and (mu is None or not isinstance(mu, _jax.core.Tracer))):
         try:
