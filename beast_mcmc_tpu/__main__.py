@@ -52,6 +52,15 @@ def _cmd_run(argv):
     p.add_argument("-log", default=None, help="parameter log file")
     p.add_argument("-trees", default=None, help="NEXUS tree log file")
     p.add_argument("-overwrite", action="store_true")
+    p.add_argument("-mc3_chains", type=int, default=1,
+                   help="number of Metropolis-coupled chains "
+                        "(ref BeastMain.java:436)")
+    p.add_argument("-mc3_delta", type=float, default=None,
+                   help="temperature increment parameter")
+    p.add_argument("-mc3_temperatures", default=None,
+                   help="comma-separated hot-chain temperatures")
+    p.add_argument("-mc3_swap", type=int, default=100,
+                   help="states between chain swap attempts")
     p.add_argument("-testxml", action="store_true",
                    help="run through the TestXML interpreter "
                         "(multi-mcmc blocks + embedded assertions)")
@@ -137,9 +146,13 @@ def _cmd_run(argv):
               f"-> {args.particles}.out")
         return 0
 
+    mc3_temps = (None if args.mc3_temperatures is None else
+                 [float(x) for x in args.mc3_temperatures.split(",")])
     result = run_analysis(
         spec, log_file=log_file, tree_file=tree_file,
         checkpoint_file=args.save_state, load_state=args.load_state,
+        mc3_chains=args.mc3_chains, mc3_delta=args.mc3_delta,
+        mc3_temperatures=mc3_temps, mc3_swap=args.mc3_swap,
     )
     print(result.report)
     print(f"{result.states_per_sec:.1f} states/sec; logs: {log_file}, "

@@ -66,6 +66,7 @@ def make_mc3_runner(
     swap_every: int = 100,
     delta: float = 1.0,
     adaptation: bool = True,
+    temperatures=None,
 ):
     """Returns (run(states, key, n_rounds, collector) -> (states, outputs),
     temperatures). states: a vmapped batch of MCMCState (batch size
@@ -73,7 +74,9 @@ def make_mc3_runner(
     swap attempt. collector(cold_state_slice) gathers per-round outputs.
     """
     step = make_mcmc_step(log_posterior, operators, adaptation=adaptation)
-    temps = mc3_temperatures(n_chains, delta)
+    temps = (jnp.asarray(temperatures)
+             if temperatures is not None
+             else mc3_temperatures(n_chains, delta))
 
     vstep = jax.vmap(step, in_axes=(0, 0))
 

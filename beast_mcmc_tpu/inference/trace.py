@@ -42,23 +42,28 @@ def analyze(samples: np.ndarray, step_size: int = 1) -> TraceStats:
     for k in range(max_lag):
         gamma[k] = np.dot(d[: n - k], d[k:]) / (n - k)
     var = gamma[0]
-    if var <= 0:
-        act = step_size
+    # the reference's PAIRWISE initial-sequence rule (TraceCorrelation.
+    # java:140-168): add 2*(gamma[lag-1] + gamma[lag]) at every EVEN lag
+    # while the pair sum stays positive, then stop
+    var_stat = gamma[0]
+    for lag in range(2, max_lag, 2):
+        pair = gamma[lag - 1] + gamma[lag]
+        if pair > 0:
+            var_stat += 2.0 * pair
+        else:
+            break
+    if gamma[0] == 0:
+        act = 0.0
     else:
-        s = gamma[0]
-        for k in range(1, max_lag):
-            if gamma[k] <= 0:
-                break
-            s += 2 * gamma[k]
-        act = step_size * s / gamma[0]
-    ess = n * step_size / act
+        act = step_size * var_stat / gamma[0]
+    ess = 1.0 if act == 0 else (step_size * n) / act
     return TraceStats(
         mean=float(mean),
-        stdev=float(np.sqrt(var)),
+        stdev=float(np.sqrt(max(var, 0.0))),
         variance=float(var),
         act=float(act),
         ess=float(ess),
-        std_error_of_mean=float(np.sqrt(var / max(ess, 1e-12))),
+        std_error_of_mean=float(np.sqrt(max(var_stat, 0.0) / n)),
     )
 
 

@@ -40,3 +40,13 @@ def test_cli_importer_mode_with_checkpoint(tmp_path, monkeypatch):
 
 def test_cli_unknown_command():
     assert main(["frobnicate"]) == 2
+
+
+def test_cli_mc3_flags(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main(["run", STRICT_CLOCK, "-seed", "3", "-chain_length", "600",
+               "-mc3_chains", "3", "-mc3_delta", "0.5",
+               "-mc3_swap", "50", "-log", "mc3.log", "-overwrite"])
+    assert rc == 0
+    lines = (tmp_path / "mc3.log").read_text().strip().splitlines()
+    assert len(lines) > 3  # header + rounds
