@@ -180,8 +180,16 @@ def main(argv=None):
         from beast_mcmc_tpu.apps.treeannotator import main as m
 
         return m(rest)
+    if cmd == "seqgen":
+        from beast_mcmc_tpu.apps.seqgen import main as m
+
+        return m(rest)
+    if cmd == "treestat":
+        from beast_mcmc_tpu.apps.treestat import main as m
+
+        return m(rest)
     print(f"unknown command {cmd!r}; try: run, loganalyser, logcombiner, "
-          f"treeannotator", file=sys.stderr)
+          f"treeannotator, seqgen, treestat", file=sys.stderr)
     return 2
 
 
