@@ -59,7 +59,7 @@ for f in files:
         ok.append(name)  # counted as handled: reference fails identically
         continue
     try:
-        run_testxml(f, scale=0.02, max_states=4000, strict_expectations=False)
+        run_testxml(f, scale=0.02, max_states=4000, strict_expectations=True)
         ok.append(name)
         print(f"PASS {name}", flush=True)
     except Unsupported as e:
