@@ -216,20 +216,31 @@ def measure_thorney(n_tips, n_steps) -> float:
     return n_steps / (time.perf_counter() - t0)
 
 
-def measure_makona_joint(n_steps=64):
+def measure_makona_joint(n_steps=192):
     """The Makona-1610 JOINT analysis (sequence GTR+G4 + UCLD + skygrid +
     56-location asymmetric CTMC + BSSVS), assembled from the real XML
     surface (examples/makona_joint.xml, scripts/make_makona.py) and
-    stepped on-chip. Returns (states/s, n_patterns)."""
+    stepped on-chip with the COMPONENT-CACHED posterior
+    (inference/component_cache.py — the dirty-flag role: a skygrid walk
+    never pays for the 1610-taxon peel, a BSSVS flip never pays for the
+    sequence partition). The driver dispatches jitted single steps from
+    the host: on this chip the in-XLA fori_loop composition of the
+    switch-heavy step degrades ~50x (measured), while per-step dispatch
+    amortizes fine at this step granularity. Returns states/s."""
     import jax
     import jax.numpy as jnp
 
     from beast_mcmc_tpu.config.interpreter import XmlAnalysis
     from beast_mcmc_tpu.config.xml_assert import initial_eval_state
+    from beast_mcmc_tpu.inference.component_cache import (
+        decompose_likelihood,
+        full_lp_fn,
+        make_components,
+        seed_components,
+    )
     from beast_mcmc_tpu.inference.mcmc import (
         init_mcmc_state,
         make_mcmc_step,
-        run_chain,
     )
 
     ax = XmlAnalysis(
@@ -242,20 +253,33 @@ def measure_makona_joint(n_steps=64):
     ops_el = mcmc_el.find("operators")
     operators, _tids = ax.build(ax.deref(ops_el))
     params0, tree0 = initial_eval_state(ax)
-    step = make_mcmc_step(post.fn, operators)
+    leaves = decompose_likelihood(post)
+    comps = make_components([(lf.fn, lf.name) for lf in leaves],
+                            params0, tree0)
+    params0 = seed_components(params0, tree0, comps)
+    lp_fn = full_lp_fn(comps)
+    step = make_mcmc_step(
+        lp_fn, operators, components=comps,
+        op_tree_flags=[t is not None for t in _tids],
+    )
     state = init_mcmc_state(
-        params0, tree0, jax.random.PRNGKey(7), operators, post.fn,
+        params0, tree0, jax.random.PRNGKey(7), operators, lp_fn,
         dtype=jnp.float32,
     )
-    run = jax.jit(lambda s, n: run_chain(step, s, n)[0], static_argnums=1)
-    state = run(state, n_steps)
+    st = jax.jit(step)
+    for _ in range(16):  # warm both compile and caches
+        state = st(state)
     jax.block_until_ready(state.log_posterior)
     t0 = time.perf_counter()
-    state = run(state, n_steps)
+    for _ in range(n_steps):
+        state = st(state)
     jax.block_until_ready(state.log_posterior)
     dt = time.perf_counter() - t0
     lp = float(state.log_posterior)
     assert lp == lp, "NaN posterior in Makona joint chain"
+    # carried-vs-fresh self-check (the component cache must stay exact)
+    fresh = float(lp_fn(state.params, state.tree))
+    assert abs(lp - fresh) < 0.1, (lp, fresh)
     return n_steps / dt
 
 
