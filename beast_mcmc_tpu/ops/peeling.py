@@ -111,11 +111,176 @@ def _chunked(order: jnp.ndarray, chunk: int = _PEEL_CHUNK) -> jnp.ndarray:
     return order.reshape(-1, chunk)
 
 
+# category*pattern threshold below which the LEVEL-PARALLEL peel wins:
+# small-pattern partitions (e.g. the 1-pattern 56-state geography CTMC)
+# are bound by sequential scan-step latency, not FLOPs — processing all
+# same-depth nodes in one batched masked update turns ~N scan steps into
+# ~tree-depth while_loop iterations (valid because a parent is always
+# STRICTLY shallower than its children)
+_LEVEL_PEEL_MAX_CP = 8
+
+
+def _internal_depths(children, n_tips):
+    """Depth-from-root (edge count) of every node, from the children
+    arrays alone (parent derived by scatter; pointer doubling)."""
+    m = children.shape[0]
+    ids = jnp.arange(n_tips, m)
+    par = jnp.full((m,), -1, jnp.int32)
+    par = par.at[children[n_tips:, 0]].set(ids.astype(jnp.int32))
+    par = par.at[children[n_tips:, 1]].set(ids.astype(jnp.int32))
+    jump = jnp.where(par >= 0, par, jnp.arange(m))
+    d = (par >= 0).astype(jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(max(m, 2)))))
+    for _ in range(steps):
+        d = d + d[jump]
+        jump = jump[jump]
+    return d
+
+
+def _peel_forward_levels(tip_partials, children, root, p_matrices,
+                         freqs, cat_w):
+    """Level-parallel forward peel: one masked batched node-op per tree
+    level, deepest first. Exact same post/logscale as the sequential
+    scan (node ops are independent within a level)."""
+    n_tips, s, p = tip_partials.shape
+    m = children.shape[0]
+    c = p_matrices.shape[1]
+    dt = p_matrices.dtype
+    mi = m - n_tips
+
+    post = jnp.zeros((m, c, s, p), dt)
+    post = post.at[:n_tips].set(
+        jnp.broadcast_to(tip_partials[:, None], (n_tips, c, s, p))
+    )
+    logscale = jnp.zeros((m, p), dt)
+
+    depth = _internal_depths(children, n_tips)
+    d_int = depth[n_tips:]  # [Mi]
+    dmax = jnp.max(d_int)
+    l_idx = children[n_tips:, 0]
+    r_idx = children[n_tips:, 1]
+    # loop-invariant child-edge matrices, gathered once
+    p_l = p_matrices[l_idx]  # [Mi,C,S,S]
+    p_r = p_matrices[r_idx]
+
+    def body(carry):
+        k, post, logscale = carry
+        xl = jnp.einsum("mcsj,mcjp->mcsp", p_l, post[l_idx],
+                        preferred_element_type=dt,
+                        precision=jax.lax.Precision.HIGHEST)
+        xr = jnp.einsum("mcsj,mcjp->mcsp", p_r, post[r_idx],
+                        preferred_element_type=dt,
+                        precision=jax.lax.Precision.HIGHEST)
+        x = xl * xr
+        scale = jnp.max(x, axis=(1, 2))  # [Mi,P]
+        scale = jnp.where(scale > 0, scale, 1.0)
+        new_post = x / scale[:, None, None, :]
+        new_ls = (logscale[l_idx] + logscale[r_idx] + jnp.log(scale))
+        mask = (d_int == k)
+        post = post.at[n_tips:].set(
+            jnp.where(mask[:, None, None, None], new_post, post[n_tips:]))
+        logscale = logscale.at[n_tips:].set(
+            jnp.where(mask[:, None], new_ls, logscale[n_tips:]))
+        return k - 1, post, logscale
+
+    _, post, logscale = jax.lax.while_loop(
+        lambda cr: cr[0] >= 0, body, (dmax, post, logscale))
+
+    site_lik = jnp.einsum(
+        "c,s,csp->p", cat_w, freqs, post[root], preferred_element_type=dt
+    )
+    site_logl = jnp.log(site_lik) + logscale[root]
+    return site_logl, post, site_lik
+
+
+def _peel_bwd_levels(residuals, g):
+    """Level-parallel adjoint sweep: parents strictly shallower than
+    children, so processing levels SHALLOWEST-first preserves the
+    pre-order dependency. Same outputs as the sequential bwd."""
+    children, order, root, p_matrices, freqs, cat_w, post, site_lik = \
+        residuals
+    m, c, s, p = post.shape
+    n_tips = (m + 1) // 2
+    dt = post.dtype
+
+    g_over_lik = (g / site_lik).astype(dt)
+    adj = jnp.zeros((m, c, s, p), dt)
+    adj = adj.at[root].set(
+        cat_w[:, None, None] * freqs[None, :, None]
+        * g_over_lik[None, None, :]
+    )
+    d_p = jnp.zeros_like(p_matrices)
+
+    depth = _internal_depths(children, n_tips)
+    d_int = depth[n_tips:]
+    dmax = jnp.max(d_int)
+    l_idx = children[n_tips:, 0]
+    r_idx = children[n_tips:, 1]
+    p_l = p_matrices[l_idx]
+    p_r = p_matrices[r_idx]
+    post_l_all = post[l_idx]
+    post_r_all = post[r_idx]
+
+    def body(carry):
+        k, adj, d_p = carry
+        xl = jnp.einsum("mcsj,mcjp->mcsp", p_l, post_l_all,
+                        preferred_element_type=dt,
+                        precision=jax.lax.Precision.HIGHEST)
+        xr = jnp.einsum("mcsj,mcjp->mcsp", p_r, post_r_all,
+                        preferred_element_type=dt,
+                        precision=jax.lax.Precision.HIGHEST)
+        x = xl * xr
+        scale = jnp.max(x, axis=(1, 2))
+        scale = jnp.where(scale > 0, scale, 1.0)
+        b = adj[n_tips:] / scale[:, None, None, :]
+        bl = b * xr
+        br = b * xl
+        adj_l = jnp.einsum("mcip,mcij->mcjp", bl, p_l,
+                           preferred_element_type=dt)
+        adj_r = jnp.einsum("mcip,mcij->mcjp", br, p_r,
+                           preferred_element_type=dt)
+        dp_l = jnp.einsum("mcip,mcjp->mcij", bl, post_l_all,
+                          preferred_element_type=dt)
+        dp_r = jnp.einsum("mcip,mcjp->mcij", br, post_r_all,
+                          preferred_element_type=dt)
+        mask = (d_int == k)
+        # child indices are unique across nodes (one parent each), so
+        # the masked scatters are race-free
+        adj = adj.at[l_idx].set(
+            jnp.where(mask[:, None, None, None], adj_l, adj[l_idx]))
+        adj = adj.at[r_idx].set(
+            jnp.where(mask[:, None, None, None], adj_r, adj[r_idx]))
+        d_p = d_p.at[l_idx].set(
+            jnp.where(mask[:, None, None, None], dp_l, d_p[l_idx]))
+        d_p = d_p.at[r_idx].set(
+            jnp.where(mask[:, None, None, None], dp_r, d_p[r_idx]))
+        return k + 1, adj, d_p
+
+    _, adj, d_p = jax.lax.while_loop(
+        lambda cr: cr[0] <= dmax, body, (jnp.asarray(0, dmax.dtype),
+                                         adj, d_p))
+
+    root_post = post[root]
+    d_freqs = jnp.einsum(
+        "c,csp,p->s", cat_w, root_post, g_over_lik,
+        preferred_element_type=dt
+    )
+    d_cat_w = jnp.einsum(
+        "s,csp,p->c", freqs, root_post, g_over_lik,
+        preferred_element_type=dt
+    )
+    return (None, None, None, None, d_p, d_freqs, d_cat_w)
+
+
 def _peel_forward(tip_partials, children, order, root, p_matrices, freqs, cat_w):
     n_tips, s, p = tip_partials.shape
     m = children.shape[0]
     c = p_matrices.shape[1]
     dt = p_matrices.dtype
+
+    if c * p <= _LEVEL_PEEL_MAX_CP:
+        return _peel_forward_levels(
+            tip_partials, children, root, p_matrices, freqs, cat_w)
 
     post = jnp.zeros((m, c, s, p), dt)
     post = post.at[:n_tips].set(
@@ -161,6 +326,8 @@ def _peel_bwd(residuals, g):
     children, order, root, p_matrices, freqs, cat_w, post, site_lik = residuals
     m, c, s, p = post.shape
     dt = post.dtype
+    if c * p <= _LEVEL_PEEL_MAX_CP:
+        return _peel_bwd_levels(residuals, g)
 
     # adjoint wrt stored (rescaled) post partials
     g_over_lik = (g / site_lik).astype(dt)  # [P]
