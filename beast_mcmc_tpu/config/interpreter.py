@@ -2989,8 +2989,13 @@ def _tree_likelihood(ax: XmlAnalysis, el):
     # tip_partials is [taxa, patterns, states]; peel wants [N, S, P]
     tips = np.swapaxes(patterns.tip_partials(np.float64)[idx], 1, 2)
     dtype = ax.dtype
+    # lane-pad only wide pattern sets; tiny ones (single-column discrete
+    # trait partitions) stay unpadded so the small-pattern LEVEL peel
+    # path applies (ops/peeling.py:_LEVEL_PEEL_MAX_CP)
+    pad_to = 128 if len(patterns.weights) >= 32 else 1
     tips_j, w_j = pad_patterns(
-        jnp.asarray(tips, dtype), jnp.asarray(patterns.weights, dtype), 128
+        jnp.asarray(tips, dtype), jnp.asarray(patterns.weights, dtype),
+        pad_to,
     )
 
     # additional <partition>s share the tree + clock (ref:
@@ -3003,7 +3008,8 @@ def _tree_likelihood(ax: XmlAnalysis, el):
         idx_k = [pp.taxa.index(t) for t in tm.taxa]
         tk = np.swapaxes(pp.tip_partials(np.float64)[idx_k], 1, 2)
         tk_j, wk_j = pad_patterns(
-            jnp.asarray(tk, dtype), jnp.asarray(pp.weights, dtype), 128
+            jnp.asarray(tk, dtype), jnp.asarray(pp.weights, dtype),
+            128 if len(pp.weights) >= 32 else 1,
         )
         extra.append((eig_k, fr_k, rw_k, tk_j, wk_j))
 

@@ -26,7 +26,7 @@ _MAX_SQUARINGS = 30
 
 
 def expm_taylor(a: jnp.ndarray, order: int | None = None,
-                max_squarings: int = _MAX_SQUARINGS) -> jnp.ndarray:
+                max_squarings: int | None = None) -> jnp.ndarray:
     """Batched expm of a [..., S, S] tensor.
 
     Scaling-and-squaring: scale each matrix by 2^-s so its inf-norm is
@@ -38,6 +38,12 @@ def expm_taylor(a: jnp.ndarray, order: int | None = None,
     dt = a.dtype
     if order is None:
         order = 17 if dt == jnp.float64 else 9
+    if max_squarings is None:
+        # the squaring chain is bandwidth-bound (each is a full batched
+        # matmul); f32 production paths cap the norm range at 0.5*2^16
+        # (any generator*time beyond that is numerically hopeless in f32
+        # anyway), f64 keeps the full range for corpus parity
+        max_squarings = _MAX_SQUARINGS if dt == jnp.float64 else 16
     s_dim = a.shape[-1]
     eye = jnp.eye(s_dim, dtype=dt)
     # inf-norm per matrix -> squarings needed to bring it under 0.5
