@@ -60,22 +60,18 @@ def _kahan_sum_f32(p: jnp.ndarray) -> jnp.ndarray:
         body, (jnp.zeros(lanes, jnp.float32), jnp.zeros(lanes, jnp.float32)),
         rows,
     )
-    # true lane totals are ~ (s - c); feed both into a scalar Kahan pass
-    tail = jnp.concatenate([s, -c])
-
-    def body2(carry, v):
-        s2, c2 = carry
-        y = v - c2
-        t = s2 + y
-        c2 = (t - s2) - y
-        return (t, c2), None
-
-    (total, comp), _ = jax.lax.scan(
-        body2,
-        (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
-        tail,
-    )
-    return total - comp
+    # true lane totals are ~ (s - c); combine the 256 (sum, -comp) values
+    # by FIXED-ORDER pairwise halving — deterministic across fusion
+    # contexts (explicit slicing pins the reduction tree) and log-depth
+    # (a scalar Kahan scan here cost ~0.07 ms/eval, half the whole
+    # benchmark2 likelihood)
+    tail = jnp.concatenate([s, -c])  # [256]
+    n2 = tail.shape[0]
+    while n2 > 1:
+        half = n2 // 2
+        tail = tail[:half] + tail[half:n2]
+        n2 = half
+    return tail[0]
 
 
 @jax.custom_vjp
