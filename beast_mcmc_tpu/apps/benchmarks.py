@@ -206,7 +206,9 @@ def build_analysis(
     if derived:
         from beast_mcmc_tpu.inference.mcmc import apply_derived
 
-        params0 = apply_derived(derived, params0)
+        # jit-seeded: bitwise-identical to the in-graph branch refresh /
+        # full-evaluation recompute (see init_mcmc_state)
+        params0 = jax.jit(lambda p: apply_derived(derived, p))(params0)
     aux = {
         "tips": tips, "weights": weights, "freqs": freqs,
         "log_lik": log_lik, "derived": derived,

@@ -143,7 +143,13 @@ def gradient_report(ax: XmlAnalysis, spec) -> str:
             gs = jax.grad(lambda vs: density(vs))(unflat(x))
             return jnp.concatenate([jnp.ravel(g2) for g2 in gs])
 
-        hess_a = np.asarray(jax.jacrev(grad_flat)(jnp.asarray(flat0)))
+        # second-order trace: the level-parallel peel's while_loop sweeps
+        # cannot be transposed a second time — force the scan-based
+        # sequential peel, which differentiates to any order
+        from beast_mcmc_tpu.ops.peeling import sequential_peel_only
+
+        with sequential_peel_only():
+            hess_a = np.asarray(jax.jacrev(grad_flat)(jnp.asarray(flat0)))
         hdiag_a = np.diag(hess_a)
         gradx = jax.jit(grad_flat)
         hdiag_n = np.zeros_like(flat0)

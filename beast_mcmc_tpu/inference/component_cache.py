@@ -110,8 +110,12 @@ def seed_components(params, tree, components, dtype=None):
     from beast_mcmc_tpu.utils.accum import accum_dtype
 
     dt = dtype or accum_dtype()
-    vals = jnp.stack([jnp.asarray(c.fn(params, tree), dt)
-                      for c in components])
+    # seeded UNDER JIT: compiled evaluation is bitwise-reproducible
+    # against the in-graph branch refreshes, so the carried component sum
+    # matches a fresh recompute exactly even in pure-f32 deployments
+    # (same policy as init_mcmc_state's derived seeding)
+    vals = jax.jit(lambda p, t: jnp.stack(
+        [jnp.asarray(c.fn(p, t), dt) for c in components]))(params, tree)
     return {**params, COMP_KEY: vals}
 
 

@@ -36,11 +36,35 @@ from beast_mcmc_tpu.tree.topology import TreeState
 LogPosteriorFn = Callable[[Dict, TreeState], jnp.ndarray]
 
 
+def _derive_isolated(fn, params):
+    """Evaluate a derived-cache entry behind optimization barriers.
+
+    The carried-vs-fresh full-evaluation self-check (ref tolerance 0.1,
+    MarkovChain.java:55) requires the refreshed cache to be BITWISE
+    reproducible wherever it is recomputed: a 1-ulp f32 reassociation in
+    the eigendecomposition amplifies through |logL| ~ 3e6 to O(1) log
+    units. Barriers on the inputs and outputs pin the derivation to an
+    isolated subgraph that XLA compiles identically inside an operator's
+    lax.switch branch, the jit seed, and the self-check's recompute."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    f_leaves = [x for x in leaves if hasattr(x, "dtype")
+                and jnp.issubdtype(x.dtype, jnp.inexact)]
+    if f_leaves:
+        barred = jax.lax.optimization_barrier(tuple(f_leaves))
+        it = iter(barred)
+        leaves = [next(it) if (hasattr(x, "dtype")
+                               and jnp.issubdtype(x.dtype, jnp.inexact))
+                  else x for x in leaves]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+    out = fn(params)
+    return jax.tree_util.tree_map(jax.lax.optimization_barrier, out)
+
+
 def apply_derived(derived, params: Dict) -> Dict:
     """Recompute every derived (cached) entry from the raw parameters.
     `derived`: {name: (fn(params) -> value, depends_on_param_names)}."""
     for name, (fn, _) in derived.items():
-        params = {**params, name: fn(params)}
+        params = {**params, name: _derive_isolated(fn, params)}
     return params
 
 
@@ -145,7 +169,7 @@ def make_mcmc_step(
             if stale:
                 p, t, logh, acc = out
                 for name in stale:
-                    p = {**p, name: derived[name][0](p)}
+                    p = {**p, name: _derive_isolated(derived[name][0], p)}
                 out = (p, t, logh, acc)
             # dtype-preservation guarantee: proposals must not promote
             # state leaves (under x64 a Python-float constant inside an
@@ -309,13 +333,22 @@ def init_mcmc_state(
         if hasattr(op, "init_stats") and op.stats_key not in params:
             params = op.init_stats(params)
     if derived:
-        params = apply_derived(derived, params)
+        # seed UNDER JIT: the compiled derivation is bitwise-reproducible
+        # across fusion contexts (measured: step-branch refresh, the
+        # full-evaluation recompute and this seed all agree exactly),
+        # whereas an eager op-by-op seed differs at the f32 ulp — which
+        # the |logL|-scale carried-vs-fresh self-check amplifies to O(1)
+        params = jax.jit(lambda p: apply_derived(derived, p))(params)
     init_adapt = jnp.asarray([op.initial_adapt() for op in operators], dtype)
     state = init_state(params, tree, key, len(operators), init_adapt, dtype)
     if log_posterior is not None:
         from beast_mcmc_tpu.utils.accum import accum_dtype
 
-        lp = log_posterior(state.params, state.tree)
+        # anchored UNDER JIT: the chain's initial carried posterior must
+        # be bitwise-identical to an in-graph recompute (an eager eval
+        # differs at the f32 ulp, which |logL| amplifies past the 0.1
+        # full-evaluation tolerance before the first accepted step)
+        lp = jax.jit(log_posterior)(state.params, state.tree)
         state = state.replace(log_posterior=jnp.asarray(lp, accum_dtype()))
     return state
 

@@ -119,6 +119,27 @@ def _chunked(order: jnp.ndarray, chunk: int = _PEEL_CHUNK) -> jnp.ndarray:
 # STRICTLY shallower than its children)
 _LEVEL_PEEL_MAX_CP = 8
 
+# escape hatch: the level-parallel sweeps carry lax.while_loop, which
+# reverse-mode cannot transpose — second-order consumers (Hessian
+# reports, jacrev-of-grad) flip this off around their traces to get the
+# scan-based sequential path, which differentiates to any order
+_LEVEL_PEEL_ENABLED = True
+
+
+class sequential_peel_only:
+    """Context manager: force the sequential scan peel (re-entrant)."""
+
+    def __enter__(self):
+        global _LEVEL_PEEL_ENABLED
+        self._prev = _LEVEL_PEEL_ENABLED
+        _LEVEL_PEEL_ENABLED = False
+        return self
+
+    def __exit__(self, *exc):
+        global _LEVEL_PEEL_ENABLED
+        _LEVEL_PEEL_ENABLED = self._prev
+        return False
+
 
 def _internal_depths(children, n_tips):
     """Depth-from-root (edge count) of every node, from the children
@@ -278,7 +299,7 @@ def _peel_forward(tip_partials, children, order, root, p_matrices, freqs, cat_w)
     c = p_matrices.shape[1]
     dt = p_matrices.dtype
 
-    if c * p <= _LEVEL_PEEL_MAX_CP:
+    if _LEVEL_PEEL_ENABLED and c * p <= _LEVEL_PEEL_MAX_CP:
         return _peel_forward_levels(
             tip_partials, children, root, p_matrices, freqs, cat_w)
 
@@ -326,7 +347,7 @@ def _peel_bwd(residuals, g):
     children, order, root, p_matrices, freqs, cat_w, post, site_lik = residuals
     m, c, s, p = post.shape
     dt = post.dtype
-    if c * p <= _LEVEL_PEEL_MAX_CP:
+    if _LEVEL_PEEL_ENABLED and c * p <= _LEVEL_PEEL_MAX_CP:
         return _peel_bwd_levels(residuals, g)
 
     # adjoint wrt stored (rescaled) post partials

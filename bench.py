@@ -36,11 +36,13 @@ def _setup():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    # accumulate high: hot-path tensors stay f32 (every benchmark passes
-    # dtype=float32 explicitly) but log-density reductions and the carried
-    # chain posterior run f64 so the reference's 0.1 full-evaluation
-    # self-check holds at Makona scale (utils/accum.py)
-    jax.config.update("jax_enable_x64", True)
+    # pure-f32 deployment policy (x64 OFF): log-density reductions go
+    # through the deterministic chunked-Kahan path (utils/accum.py) and
+    # every derived/component cache is seeded UNDER JIT, which makes the
+    # carried chain posterior bitwise-identical to a from-scratch
+    # recompute — the reference's 0.1 full-evaluation self-check holds
+    # with zero emulated-f64 in the hot loop (the r04 global x64 policy
+    # cost ~4x on the benchmark2 headline)
     return jax
 
 
@@ -60,8 +62,8 @@ def _build(model, n_taxa, n_patterns, use_pallas=None):
         aux["log_post_cached"], operators, derived=aux["derived"]
     )
     state = init_mcmc_state(
-        params0, tree0, jax.random.PRNGKey(0), operators, log_post,
-        dtype=jnp.float32,
+        params0, tree0, jax.random.PRNGKey(0), operators,
+        aux["log_post_cached"], dtype=jnp.float32,
     )
     return step, state, aux
 
@@ -115,8 +117,8 @@ def measure_multichain(model, n_taxa, n_patterns, n_chains, n_steps,
         dtype=jnp.float32, use_pallas=use_pallas,
     )
     state0 = init_mcmc_state(
-        params0, tree0, jax.random.PRNGKey(0), operators, log_post,
-        dtype=jnp.float32,
+        params0, tree0, jax.random.PRNGKey(0), operators,
+        aux["log_post_cached"], dtype=jnp.float32,
     )
     states = jax.vmap(
         lambda k: state0.replace(key=k)
@@ -353,8 +355,8 @@ def measure_f32_deviation(n_steps=256) -> float:
         aux["log_post_cached"], operators, derived=aux["derived"]
     )
     state = init_mcmc_state(
-        params0, tree0, jax.random.PRNGKey(2), operators, log_post,
-        dtype=jnp.float32,
+        params0, tree0, jax.random.PRNGKey(2), operators,
+        aux["log_post_cached"], dtype=jnp.float32,
     )
     check = jax.jit(
         lambda s: full_evaluation_check(
